@@ -1,0 +1,24 @@
+"""Divergence RHS for the pressure-correction Poisson solve.
+
+rhs[j, i] = ((u*[j, i+1] - u*[j, i])/dx + (v*[j+1, i] - v*[j, i])/dy) / dt_sub
+
+over all pressure cells (model.rs:1406-1440 recompute_divergence,
+index.html:729-739). All slices are exact (no padding needed): u has
+nx+1 columns and v has ny+1 rows.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def divergence_rhs(u_star: jnp.ndarray, v_star: jnp.ndarray,
+                   dt_sub, dx: float, dy: float) -> jnp.ndarray:
+    du = (u_star[:, 1:] - u_star[:, :-1]) / dx
+    dv = (v_star[1:, :] - v_star[:-1, :]) / dy
+    return (du + dv) / dt_sub
+
+
+def divergence(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    """Plain velocity divergence on cells (diagnostic; used by tests to
+    check that the projection drives div(u) toward zero)."""
+    return (u[:, 1:] - u[:, :-1]) / dx + (v[1:, :] - v[:-1, :]) / dy

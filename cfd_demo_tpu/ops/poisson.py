@@ -1,0 +1,274 @@
+"""Pressure-correction solvers: damped Jacobi, red/black SOR, multigrid.
+
+Jacobi is the reference's hottest loop (model.rs:733-824; 50 iterations
+x full grid per corrector round). The TPU formulation is a whole-array
+sweep under lax.while_loop (exact early exit, model.rs:816-819) or
+lax.scan with masked updates (identical fields, fixed cost,
+vmap-friendly). The per-iteration boundary conditions on p'
+(model.rs:807-815: Neumann bottom/top/left via row/col copies,
+Dirichlet 0 at the outlet column) are row/column writes fused by XLA.
+
+SOR (index.html:741-774) is re-designed as red/black Gauss-Seidel:
+the JS in-place lexicographic sweep is inherently sequential; red/black
+is its standard parallel form (documented deviation, docs/SPEC.md).
+
+Multigrid (index.html:775-795, kit :1344-1470) is reproduced
+structurally: V-cycle with 5 pre/post undamped-Jacobi smooths,
+full-weighting restriction with boundary injection, bilinear
+prolongation, direct-ish solve (10 smooths) at <=4 cells, 3 V-cycles.
+The shape recursion unrolls at trace time (static shapes).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _interior_mask(shape):
+    ny, nx = shape
+    m = np.zeros(shape, dtype=bool)
+    m[1:ny - 1, 1:nx - 1] = True
+    return m
+
+
+def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:
+    """model.rs:807-815 / index.html:820-827: rows first, then columns."""
+    pp = pp.at[0, :].set(pp[1, :])        # bottom (Neumann)
+    pp = pp.at[-1, :].set(pp[-2, :])      # top (Neumann)
+    pp = pp.at[:, 0].set(pp[:, 1])        # left/inlet (Neumann)
+    pp = pp.at[:, -1].set(0.0)            # right/outlet (Dirichlet 0)
+    return pp
+
+
+def _jacobi_sweep(pp, rhs, dx, dy, omega):
+    """One damped-Jacobi iteration incl. p' BCs; returns (pp, max_err)."""
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    east = pp[1:-1, 2:]
+    west = pp[1:-1, :-2]
+    north = pp[2:, 1:-1]
+    south = pp[:-2, 1:-1]
+    center = pp[1:-1, 1:-1]
+    update = ((east + west) / dx2 + (north + south) / dy2
+              - rhs[1:-1, 1:-1]) / denom
+    new_val = omega * update + (1.0 - omega) * center
+    err = jnp.max(jnp.abs(new_val - center))
+    pp = pp.at[1:-1, 1:-1].set(new_val)
+    return _apply_pprime_bcs(pp), err
+
+
+def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+           omega: float, tol: float, iters: int,
+           early_exit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (p_prime, max_error_of_last_sweep, iterations_run).
+
+    Matches the reference's do-while structure: at least one sweep runs,
+    and the loop exits after the first sweep whose max interior change
+    is below ``tol`` (model.rs:748-819).
+    """
+    sweep = partial(_jacobi_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega)
+
+    if early_exit:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_or(it == 0,
+                                  jnp.logical_and(it < iters, err >= tol))
+
+        def body(carry):
+            pp, _, it = carry
+            pp, err = sweep(pp)
+            return pp, err, it + 1
+
+        pp, err, it = lax.while_loop(
+            cond, body, (pp0, jnp.asarray(jnp.inf, pp0.dtype),
+                         jnp.asarray(0, jnp.int32)))
+        return pp, err, it
+
+    def body(carry, _):
+        pp, err, done, n = carry
+        pp2, err2 = sweep(pp)
+        pp = jnp.where(done, pp, pp2)
+        err = jnp.where(done, err, err2)
+        n = n + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = jnp.logical_or(done, err < tol)
+        return (pp, err, done, n), None
+
+    (pp, err, _, n), _ = lax.scan(
+        body,
+        (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
+         jnp.asarray(0, jnp.int32)),
+        None, length=iters)
+    return pp, err, n
+
+
+# ---------------------------------------------------------------------------
+# Red/black SOR
+# ---------------------------------------------------------------------------
+
+def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask):
+    """One red/black SOR iteration incl. p' BCs; returns (pp, max_err)."""
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    old = pp
+
+    def half(pp, mask):
+        east = pp[1:-1, 2:]
+        west = pp[1:-1, :-2]
+        north = pp[2:, 1:-1]
+        south = pp[:-2, 1:-1]
+        center = pp[1:-1, 1:-1]
+        update = ((east + west) / dx2 + (north + south) / dy2
+                  - rhs[1:-1, 1:-1]) / denom
+        new_val = (1.0 - omega) * center + omega * update
+        return pp.at[1:-1, 1:-1].set(jnp.where(mask, new_val, center))
+
+    pp = half(pp, red_mask)
+    pp = half(pp, black_mask)
+    err = jnp.max(jnp.abs(pp[1:-1, 1:-1] - old[1:-1, 1:-1]))
+    return _apply_pprime_bcs(pp), err
+
+
+def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+        omega: float, tol: float, iters: int,
+        early_exit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Red/black SOR (parallel form of index.html:741-774)."""
+    ny, nx = pp0.shape
+    ii, jj = np.meshgrid(np.arange(1, nx - 1), np.arange(1, ny - 1))
+    red = jnp.asarray((ii + jj) % 2 == 0)
+    black = jnp.asarray((ii + jj) % 2 == 1)
+    sweep = partial(_sor_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega,
+                    red_mask=red, black_mask=black)
+
+    if early_exit:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_or(it == 0,
+                                  jnp.logical_and(it < iters, err >= tol))
+
+        def body(carry):
+            pp, _, it = carry
+            pp, err = sweep(pp)
+            return pp, err, it + 1
+
+        pp, err, it = lax.while_loop(
+            cond, body, (pp0, jnp.asarray(jnp.inf, pp0.dtype),
+                         jnp.asarray(0, jnp.int32)))
+        return pp, err, it
+
+    def body(carry, _):
+        pp, err, done, n = carry
+        pp2, err2 = sweep(pp)
+        pp = jnp.where(done, pp, pp2)
+        err = jnp.where(done, err, err2)
+        n = n + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = jnp.logical_or(done, err < tol)
+        return (pp, err, done, n), None
+
+    (pp, err, _, n), _ = lax.scan(
+        body, (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
+               jnp.asarray(0, jnp.int32)), None, length=iters)
+    return pp, err, n
+
+
+# ---------------------------------------------------------------------------
+# Multigrid V-cycle (JS kit, index.html:1344-1470)
+# ---------------------------------------------------------------------------
+
+def _mg_smooth(p, rhs, dx, dy, iterations: int):
+    """Undamped Jacobi on the interior, no BCs (index.html:1347-1369)."""
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+
+    def body(p, _):
+        update = ((p[1:-1, 2:] + p[1:-1, :-2]) / dx2
+                  + (p[2:, 1:-1] + p[:-2, 1:-1]) / dy2
+                  - rhs[1:-1, 1:-1]) / denom
+        return p.at[1:-1, 1:-1].set(update), None
+
+    p, _ = lax.scan(body, p, None, length=iterations)
+    return p
+
+
+def _mg_residual(p, rhs, dx, dy):
+    """r = rhs - A p on the interior, 0 on the boundary
+    (index.html:1430-1441)."""
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ap = ((p[1:-1, 2:] + p[1:-1, :-2]) / dx2
+          + (p[2:, 1:-1] + p[:-2, 1:-1]) / dy2
+          - denom * p[1:-1, 1:-1])
+    r = jnp.zeros_like(p)
+    return r.at[1:-1, 1:-1].set(rhs[1:-1, 1:-1] - ap)
+
+
+def _mg_restrict(fine: jnp.ndarray, nx_c: int, ny_c: int) -> jnp.ndarray:
+    """Full-weighting on the interior, injection on the boundary
+    (index.html:1372-1395)."""
+    ny_f, nx_f = fine.shape
+    c = jnp.zeros((ny_c, nx_c), fine.dtype)
+    fi = 2 * np.arange(1, nx_c - 1)
+    fj = 2 * np.arange(1, ny_c - 1)
+    FJ, FI = np.meshgrid(fj, fi, indexing="ij")
+    s = (fine[FJ, FI]
+         + 0.5 * (fine[FJ, FI - 1] + fine[FJ, FI + 1]
+                  + fine[FJ - 1, FI] + fine[FJ + 1, FI])
+         + 0.25 * (fine[FJ - 1, FI - 1] + fine[FJ + 1, FI - 1]
+                   + fine[FJ - 1, FI + 1] + fine[FJ + 1, FI + 1]))
+    c = c.at[1:ny_c - 1, 1:nx_c - 1].set(s / 4.0)
+    # Boundary injection (flat-index quirks of the JS resolved to the
+    # same-row/col samples; see docs/SPEC.md).
+    xi = np.minimum(2 * np.arange(nx_c), nx_f - 1)
+    yj = np.minimum(2 * np.arange(ny_c), ny_f - 1)
+    c = c.at[0, :].set(fine[0, xi])
+    c = c.at[ny_c - 1, :].set(fine[ny_f - 1, xi])
+    c = c.at[:, 0].set(fine[yj, 0])
+    c = c.at[:, nx_c - 1].set(fine[yj, nx_f - 1])
+    return c
+
+
+def _mg_prolong(coarse: jnp.ndarray, nx_f: int, ny_f: int) -> jnp.ndarray:
+    """Bilinear prolongation (index.html:1398-1421)."""
+    ny_c, nx_c = coarse.shape
+    i0 = np.arange(nx_f) // 2
+    i1 = np.minimum(i0 + 1, nx_c - 1)
+    a = (np.arange(nx_f) % 2) * 0.5
+    j0 = np.arange(ny_f) // 2
+    j1 = np.minimum(j0 + 1, ny_c - 1)
+    b = (np.arange(ny_f) % 2) * 0.5
+    a = jnp.asarray(a, coarse.dtype)[None, :]
+    b = jnp.asarray(b, coarse.dtype)[:, None]
+    row = coarse[:, i0] * (1 - a) + coarse[:, i1] * a        # (ny_c, nx_f)
+    return row[j0, :] * (1 - b) + row[j1, :] * b             # (ny_f, nx_f)
+
+
+def _mg_vcycle(p, rhs, dx, dy, opts):
+    ny, nx = p.shape
+    p = _mg_smooth(p, rhs, dx, dy, opts.mg_pre_smooth)
+    if nx <= opts.mg_coarsest or ny <= opts.mg_coarsest:
+        return _mg_smooth(p, rhs, dx, dy, opts.mg_coarse_smooth)
+    r = _mg_residual(p, rhs, dx, dy)
+    nx_c, ny_c = (nx + 1) // 2, (ny + 1) // 2
+    r_c = _mg_restrict(r, nx_c, ny_c)
+    e_c = _mg_vcycle(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy, opts)
+    p = p + _mg_prolong(e_c, nx, ny)
+    return _mg_smooth(p, rhs, dx, dy, opts.mg_post_smooth)
+
+
+def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+              opts) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """3 V-cycles + final residual report (index.html:775-795).
+
+    ``pp0`` is ignored except for shape/dtype: JS zero-initializes
+    (index.html:777).
+    """
+    pp = jnp.zeros_like(pp0)
+    for _ in range(opts.mg_cycles):
+        pp = _mg_vcycle(pp, rhs, dx, dy, opts)
+    r = _mg_residual(pp, rhs, dx, dy)
+    err = jnp.max(jnp.abs(r[1:-1, 1:-1]))
+    return pp, err, jnp.asarray(opts.mg_cycles, jnp.int32)

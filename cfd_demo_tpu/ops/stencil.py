@@ -1,0 +1,55 @@
+"""Shifted-array stencil helpers.
+
+Instead of the reference's per-lane SIMD loads with scalar tail loops
+(model.rs LANES=8 throughout), stencils here are whole-array shifted
+views: XLA fuses the pads/slices/selects into a single VPU loop over
+(8,128) tiles, and the SPMD partitioner turns the shifts into halo
+exchanges when the arrays are sharded. Out-of-range reads return 0.0;
+every consumer masks them out with static index predicates, so the
+padding value is never observable.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_PAD = 3  # max stencil offset is 2 (QUICK); one extra for shape slack
+
+
+def shifted(src: jnp.ndarray, out_shape, dj: int, di: int) -> jnp.ndarray:
+    """out[j, i] = src[j + dj, i + di], zero where out of bounds.
+
+    Works across the staggered shapes: ``src`` may be any of the u/v/p
+    arrays and ``out_shape`` the shape of the field being updated.
+    """
+    H, W = out_shape
+    p = jnp.pad(src, ((_PAD, _PAD), (_PAD, _PAD)))
+    return lax.slice(p, (_PAD + dj, _PAD + di), (_PAD + dj + H, _PAD + di + W))
+
+
+def col_index(shape) -> jnp.ndarray:
+    """int32 array of x (i) indices, broadcast to ``shape``."""
+    return lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+
+
+def row_index(shape) -> jnp.ndarray:
+    """int32 array of y (j) indices, broadcast to ``shape``."""
+    return lax.broadcasted_iota(jnp.int32, shape, dimension=0)
+
+
+class Shifts:
+    """Bundle of shifted views of one source array on a target grid.
+
+    ``s(dj, di)`` is cached so repeated offsets trace a single slice.
+    """
+
+    def __init__(self, src: jnp.ndarray, out_shape):
+        self._src = src
+        self._shape = tuple(out_shape)
+        self._cache = {}
+
+    def __call__(self, dj: int, di: int) -> jnp.ndarray:
+        key = (dj, di)
+        if key not in self._cache:
+            self._cache[key] = shifted(self._src, self._shape, dj, di)
+        return self._cache[key]

@@ -1,0 +1,36 @@
+"""Cell-centered derived fields: velocity magnitude and vorticity.
+
+* velocity magnitude: face-average u and v to cell centers
+  (src/app.rs:289-306, index.html:1014-1016).
+* vorticity: the two references differ --
+  - Rust (src/app.rs:345-361): central differences of the *cell-
+    centered averaged* velocity field on interior cells,
+    w = dv/dx - du/dy over 2dx/2dy, zero on the boundary ring.
+  - JS (index.html:933-946): averages the staggered neighbors first
+    (equivalent formulation), also zero on the boundary ring.
+  Both reduce to the same stencil on the cell-centered field; we
+  implement that once.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cell_center_velocity(u: jnp.ndarray, v: jnp.ndarray):
+    """(uc, vc) on pressure cells."""
+    uc = 0.5 * (u[:, :-1] + u[:, 1:])
+    vc = 0.5 * (v[:-1, :] + v[1:, :])
+    return uc, vc
+
+
+def velocity_magnitude(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    uc, vc = cell_center_velocity(u, v)
+    return jnp.sqrt(uc * uc + vc * vc)
+
+
+def vorticity(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    uc, vc = cell_center_velocity(u, v)
+    w = jnp.zeros_like(uc)
+    dvdx = (vc[1:-1, 2:] - vc[1:-1, :-2]) / (2.0 * dx)
+    dudy = (uc[2:, 1:-1] - uc[:-2, 1:-1]) / (2.0 * dy)
+    return w.at[1:-1, 1:-1].set(dvdx - dudy)

@@ -1,0 +1,273 @@
+"""The PISO time-step, fully on-device.
+
+Reference call stack being rebuilt (SURVEY.md section 3.1):
+  Model::update (model.rs:304-379)
+    -> piso_step (model.rs:529-730)
+         predictor -> divergence -> Jacobi -> corrector
+         -> up to 20 extra corrector rounds (model.rs:696-724)
+         -> boundary conditions (model.rs:826-875)
+  JS twin: updateSimulation (index.html:261-363) with extrapolation,
+  adaptive substeps and the dt controller (index.html:333-358).
+
+TPU-native design: one pure function advances the whole step; the
+pressure iterations are lax.while_loop / lax.scan so hundreds of grid
+sweeps run per dispatch without leaving the device; dt and the
+convergence-controlled loop bounds live in the carry so there is no
+host round trip (SURVEY.md section 7 "CFL dt control").
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import (Grid, InletProfile, PressureSolver, Semantics,
+                           SimulationParams, SolverOptions, VelocityScheme)
+from ..core.masks import build_masks
+from ..core.state import State, init_state
+from ..ops.bc import apply_bcs
+from ..ops.corrector import correct
+from ..ops.divergence import divergence_rhs
+from ..ops.poisson import jacobi, multigrid, sor
+from ..ops.predictor import predict
+
+
+class StepDiagnostics(NamedTuple):
+    """Per-step residual record (model.rs:23-32 Residuals)."""
+
+    step: jnp.ndarray
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    res_u: jnp.ndarray
+    res_v: jnp.ndarray
+    res_p: jnp.ndarray
+    substeps: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """A compiled simulation setup: grid + static numerics + masks.
+
+    Build with :func:`make_scene`. The returned ``step`` closure is the
+    single-device jit target; runtime scalars flow through ``State``.
+    """
+
+    grid: Grid
+    params: SimulationParams
+    opts: SolverOptions
+    mask_u: np.ndarray
+    mask_v: np.ndarray
+    mask_u_bc: np.ndarray
+    mask_v_bc: np.ndarray
+
+    def init_state(self, dtype=jnp.float32) -> State:
+        return init_state(self.grid, self.params, self.opts, dtype)
+
+
+def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
+               opts: Optional[SolverOptions] = None) -> Scene:
+    params = params or SimulationParams()
+    opts = opts or SolverOptions()
+    mu, mv, mub, mvb = build_masks(grid, opts.semantics)
+    return Scene(grid=grid, params=params, opts=opts,
+                 mask_u=mu, mask_v=mv, mask_u_bc=mub, mask_v_bc=mvb)
+
+
+# ---------------------------------------------------------------------------
+# PISO substep
+# ---------------------------------------------------------------------------
+
+def _solve_pressure(scene: Scene, pp0, rhs):
+    g, opts = scene.grid, scene.opts
+    solver = scene.params.pressure_solver
+    if solver == PressureSolver.JACOBI:
+        return jacobi(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
+                      opts.jacobi_tol, opts.jacobi_iters,
+                      early_exit=opts.early_exit)
+    if solver == PressureSolver.SOR:
+        return sor(pp0, rhs, g.dx, g.dy, opts.sor_omega,
+                   opts.jacobi_tol, opts.jacobi_iters,
+                   early_exit=opts.early_exit)
+    if solver == PressureSolver.MULTIGRID:
+        return multigrid(pp0, rhs, g.dx, g.dy, opts)
+    raise ValueError(solver)
+
+
+def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
+    """One PISO substep (model.rs:529-730 / index.html:366-867).
+
+    Returns (u, v, p, p_prime, p_residual).
+    """
+    g, opts = scene.grid, scene.opts
+    nx, ny = g.nx, g.ny
+    avg_conv_v = opts.semantics == Semantics.JS
+    mask_u = jnp.asarray(scene.mask_u, u.dtype)
+    mask_v = jnp.asarray(scene.mask_v, v.dtype)
+    mask_u_bc = jnp.asarray(scene.mask_u_bc, u.dtype)
+    mask_v_bc = jnp.asarray(scene.mask_v_bc, v.dtype)
+    scheme = scene.params.velocity_scheme
+
+    u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, nx, ny,
+                             scheme, avg_conv_v, mask_u, mask_v)
+    rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
+    pp0 = p_prime if opts.semantics == Semantics.RUST else jnp.zeros_like(p_prime)
+    pp, err, _ = _solve_pressure(scene, pp0, rhs)
+    u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
+
+    # Rust-only outer corrector rounds (model.rs:696-724): repeat
+    # div -> solve -> correct until the pressure residual drops below
+    # outer_corrector_tol, at most outer_corrector_rounds times.
+    rounds = opts.outer_corrector_rounds
+    if rounds > 0:
+        def round_body(u, v, p, pp):
+            rhs = divergence_rhs(u, v, dt_sub, g.dx, g.dy)
+            pp, err, _ = _solve_pressure(scene, pp, rhs)
+            u, v, p = correct(u, v, p, pp, dt_sub, g.dx, g.dy)
+            return u, v, p, pp, err
+
+        if opts.early_exit:
+            def cond(carry):
+                _, _, _, _, err, it = carry
+                return jnp.logical_and(it < rounds,
+                                       err >= opts.outer_corrector_tol)
+
+            def body(carry):
+                u, v, p, pp, _, it = carry
+                u, v, p, pp, err = round_body(u, v, p, pp)
+                return u, v, p, pp, err, it + 1
+
+            u, v, p, pp, err, _ = lax.while_loop(
+                cond, body, (u, v, p, pp, err, jnp.asarray(0, jnp.int32)))
+        else:
+            def body(carry, _):
+                u, v, p, pp, err, done = carry
+                done = jnp.logical_or(done, err < opts.outer_corrector_tol)
+                u2, v2, p2, pp2, err2 = round_body(u, v, p, pp)
+                sel = lambda a, b: jnp.where(done, a, b)
+                u, v, p = sel(u, u2), sel(v, v2), sel(p, p2)
+                pp, err = sel(pp, pp2), sel(err, err2)
+                return (u, v, p, pp, err, done), None
+
+            (u, v, p, pp, err, _), _ = lax.scan(
+                body, (u, v, p, pp, err, jnp.asarray(False)),
+                None, length=rounds)
+
+    u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
+                     mask_u_bc, mask_v_bc)
+    return u, v, p, pp, err
+
+
+# ---------------------------------------------------------------------------
+# Full outer step
+# ---------------------------------------------------------------------------
+
+def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
+    """One Model::update / updateSimulation. Pure; jit/vmap/scan-able."""
+    g, opts = scene.grid, scene.opts
+    js = opts.semantics == Semantics.JS
+    f32 = state.u.dtype
+
+    u_enter, v_enter = state.u, state.v
+    u, v = u_enter, v_enter
+    # JS extrapolated initial guess (index.html:263-270). NOTE: the JS
+    # copies uPrev from the *end-of-step* field (index.html:360-362),
+    # which makes its 2u - uPrev a no-op; we restore the intended
+    # semantics (u_prev = previous converged field). Set
+    # opts.extrapolate=False for the JS's effective behavior. docs/SPEC.md.
+    if js and opts.extrapolate:
+        nonzero = state.step > 0
+        u = jnp.where(nonzero, 2.0 * u - state.u_prev, u)
+        v = jnp.where(nonzero, 2.0 * v - state.v_prev, v)
+    u_old, v_old = u, v
+
+    # Inlet ramp (model.rs:311-316 / index.html:277-281).
+    ramp = jnp.minimum(state.step.astype(f32) / float(opts.ramp_up_steps), 1.0)
+    inlet = ramp * state.target_inlet
+
+    substeps = state.substeps
+    dt_sub = state.dt / substeps.astype(f32)
+
+    def sub_body(i, carry):
+        u, v, p, pp, max_res_p = carry
+        u, v, p, pp, err = piso_substep(scene, u, v, p, pp, dt_sub,
+                                        state.nu, inlet)
+        # JS tracks the max residual across substeps (index.html:288-293);
+        # Rust reports the last substep's residual (model.rs:326).
+        max_res_p = jnp.maximum(max_res_p, err) if js else err
+        return u, v, p, pp, max_res_p
+
+    u, v, p, pp, res_p = lax.fori_loop(
+        0, substeps, sub_body,
+        (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
+
+    res_u = jnp.max(jnp.abs(u - u_old))
+    res_v = jnp.max(jnp.abs(v - v_old))
+    new_step = state.step + 1
+    new_t = state.t + state.dt
+
+    # Substep adaptation (index.html:310-317).
+    if js and opts.substeps_adaptive:
+        error_norm = jnp.maximum(jnp.maximum(res_u, res_v), res_p)
+        tol = opts.substep_tolerance
+        factor = error_norm / tol
+        grown = jnp.minimum(
+            jnp.ceil(substeps.astype(f32) * factor),
+            float(opts.substeps_max)).astype(jnp.int32)
+        shrunk = jnp.maximum(substeps // 2, 1)
+        substeps = jnp.where(
+            error_norm > tol, grown,
+            jnp.where(jnp.logical_and(error_norm < tol / 10.0, substeps > 1),
+                      shrunk, substeps))
+
+    # CFL dt control (model.rs:877-889 / index.html:1326-1341).
+    max_vel = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+    cap = state.dt_user if js else state.dt
+    dt_cfl = jnp.where(max_vel == 0.0, cap,
+                       jnp.minimum(opts.cfl * min(g.dx, g.dy) / max_vel, cap))
+    if js and opts.residual_dt_scaling:
+        # index.html:338-350
+        ptol = opts.residual_dt_tol
+        dt_pressure = jnp.where(res_p > ptol,
+                                dt_cfl * (ptol / (res_p + 1e-10)), dt_cfl)
+        dt_cfl = jnp.minimum(dt_cfl, dt_pressure)
+    new_dt = jnp.where(dt_cfl > state.dt,
+                       jnp.minimum(dt_cfl, state.dt * opts.dt_growth_cap),
+                       dt_cfl)
+
+    new_state = dataclasses.replace(
+        state, u=u, v=v, p=p, p_prime=pp,
+        u_prev=u_enter if js else None, v_prev=v_enter if js else None,
+        dt=new_dt, t=new_t, step=new_step, substeps=substeps,
+        res_u=res_u, res_v=res_v, res_p=res_p)
+    diag = StepDiagnostics(step=new_step, t=new_t, dt=state.dt,
+                           res_u=res_u, res_v=res_v, res_p=res_p,
+                           substeps=state.substeps)
+    return new_state, diag
+
+
+def make_step(scene: Scene, donate: bool = True, jit: bool = True):
+    """jit-compiled single step: state -> (state, diagnostics)."""
+    fn = partial(step_fn, scene)
+    if not jit:
+        return fn
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_run(scene: Scene, n_steps: int, donate: bool = True):
+    """n steps fused under lax.scan: state -> (state, stacked diags).
+
+    This is the throughput path: the scan keeps every pressure sweep on
+    device and only the (n_steps,)-shaped scalar diagnostics come back.
+    """
+    def run(state: State):
+        def body(s, _):
+            s, d = step_fn(scene, s)
+            return s, d
+        return lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,74 @@
+"""Physics sanity checks (SURVEY.md section 4c).
+
+The reference validates the solver only visually through the GUI; these
+tests assert the physical invariants the projection method must
+satisfy: divergence reduction, inflow development, no-slip walls, and
+obstacle blocking.
+"""
+import numpy as np
+
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          make_run, make_scene, solver_options_for)
+from cfd_demo_tpu.ops.divergence import divergence
+
+
+def channel_scene(obstacle=True, **opt_overrides):
+    obstacles = (Cylinder(center_x=1.5, center_y=0.75, radius=0.25),) if obstacle else ()
+    grid = Grid(nx=48, ny=24, lx=6.0, ly=1.5, obstacles=obstacles)
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
+                              **opt_overrides)
+    return make_scene(grid, params, opts)
+
+
+def test_divergence_after_projection():
+    scene = channel_scene()
+    run = make_run(scene, 30, donate=False)
+    state, diags = run(scene.init_state())
+    div = np.asarray(divergence(state.u, state.v, scene.grid.dx,
+                                scene.grid.dy))
+    # Interior cells away from the obstacle should be nearly
+    # divergence-free after the corrector rounds.
+    assert np.abs(div[1:-1, 1:-1]).max() < 0.5
+    assert np.sqrt(np.mean(div[1:-1, 1:-1] ** 2)) < 0.05
+
+
+def test_channel_flow_develops():
+    scene = channel_scene(obstacle=False)
+    run = make_run(scene, 60, donate=False)
+    state, _ = run(scene.init_state())
+    u = np.asarray(state.u)
+    assert np.all(np.isfinite(u))
+    # Mid-channel u should be positive and of order the inlet velocity.
+    mid = u[scene.grid.ny // 2, scene.grid.nx // 2]
+    assert 0.1 < mid < 3.0
+    # No-slip rows are exactly zero.
+    assert np.abs(u[0, :]).max() == 0.0
+    assert np.abs(u[-1, :]).max() == 0.0
+    v = np.asarray(state.v)
+    assert np.abs(v[0, :]).max() == 0.0
+    assert np.abs(v[-1, :]).max() == 0.0
+
+
+def test_obstacle_blocks_flow():
+    scene = channel_scene(obstacle=True)
+    run = make_run(scene, 60, donate=False)
+    state, _ = run(scene.init_state())
+    u = np.asarray(state.u)
+    g = scene.grid
+    ci = int(1.5 / g.dx)
+    cj = int(0.75 / g.dy)
+    # u at the obstacle center face must be zero (mask + BCs).
+    assert abs(u[cj, ci]) < 1e-6
+    # Flow accelerates around the obstacle: above-gap speed exceeds inlet.
+    gap = u[cj + int(0.3 / g.dy) + 1:, ci].max()
+    assert np.isfinite(gap)
+
+
+def test_long_rollout_stable():
+    scene = channel_scene()
+    run = make_run(scene, 200, donate=False)
+    state, diags = run(scene.init_state())
+    assert np.all(np.isfinite(np.asarray(state.u)))
+    assert np.all(np.isfinite(np.asarray(state.p)))
+    assert float(state.dt) > 0
