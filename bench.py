@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: cell-updates/sec/chip at 2048^2.
+
+Target (BASELINE.md): >= 1e9 cell-updates/sec/chip, where one
+cell-update = one pressure cell advanced through one full PISO substep
+(predictor + 50-iteration Jacobi pressure solve + corrector + BCs).
+``--sweeps`` mode also reports pressure-iteration throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--mode", choices=["fast", "reference"], default="fast",
+                    help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
+                         "cost); reference: full Rust semantics incl. outer "
+                         "corrector rounds")
+    args = ap.parse_args()
+
+    import jax
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+
+    n = args.n
+    grid = Grid(nx=n, ny=n, lx=30.0, ly=30.0,
+                obstacles=(Cylinder(7.5, 15.0, 0.75),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    if args.mode == "fast":
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=10,
+            jacobi_tol=0.0, jacobi_iters=50, outer_corrector_rounds=0,
+            early_exit=False)
+    else:
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=10)
+    scene = cfd.make_scene(grid, params, opts)
+
+    state = scene.init_state()
+    run_w = cfd.make_run(scene, args.warmup, donate=False)
+    run = cfd.make_run(scene, args.steps, donate=False)
+    state, _ = run_w(state)
+    state, _ = run(state)           # compile + first timed shape
+    float(state.res_u)              # force completion (axon's
+    #                                 block_until_ready is a no-op)
+    t0 = time.perf_counter()
+    state, _ = run(state)
+    float(state.res_u)
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(np.asarray(state.u)).all(), "non-finite fields"
+    cell_updates = n * n * args.steps / dt
+    result = {
+        "metric": f"cell-updates/sec/chip at {n}^2 ({args.mode} PISO substep)",
+        "value": round(cell_updates, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(cell_updates / 1e9, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,7 +126,13 @@ class Grid:
 
     @property
     def shape_v(self) -> Tuple[int, int]:
-        return (self.ny + 1, self.nx)
+        """Stored v shape. The reference stores nx*(ny+1) v faces; the
+        top face row j=ny is identically zero for all time (set by the
+        BCs every substep, never updated elsewhere), so the TPU layout
+        stores only rows 0..ny-1 -- every field then has exactly ny
+        rows and shards evenly over the row mesh axis. Use
+        ``State.v_full`` for the reference-shaped array."""
+        return (self.ny, self.nx)
 
     @property
     def obstacle(self) -> Optional[object]:

@@ -101,5 +101,7 @@ def build_masks(grid: Grid, semantics: Semantics) -> Tuple[np.ndarray, np.ndarra
         mask_u_bc = mask_u
         mask_v_bc = mask_v
     f32 = np.float32
-    return (mask_u.astype(f32), mask_v.astype(f32),
-            mask_u_bc.astype(f32), mask_v_bc.astype(f32))
+    # v is stored without its implicit-zero top face row (Grid.shape_v);
+    # a mask there would only re-zero an already-zero row.
+    return (mask_u.astype(f32), mask_v[:ny].astype(f32),
+            mask_u_bc.astype(f32), mask_v_bc[:ny].astype(f32))

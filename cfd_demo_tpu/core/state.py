@@ -26,7 +26,9 @@ class State:
 
     Staggered fields (model.rs:161-165), array layout (rows=y, cols=x):
       u: (ny, nx+1)   horizontal velocity on vertical faces
-      v: (ny+1, nx)   vertical velocity on horizontal faces
+      v: (ny, nx)     vertical velocity on horizontal faces j=0..ny-1;
+          the reference's top face row j=ny is identically zero (BC) and
+          is stored implicitly -- see Grid.shape_v and State.v_full
       p: (ny, nx)     pressure at cell centers
       p_prime: (ny, nx) pressure-correction; warm-started across calls
           in Rust semantics (model.rs never clears it), zero-initialized
@@ -56,6 +58,12 @@ class State:
     def fields(self):
         return self.u, self.v, self.p
 
+    @property
+    def v_full(self) -> jax.Array:
+        """v in the reference's (ny+1, nx) shape (explicit zero top row)."""
+        zero_row = jnp.zeros((1, self.v.shape[-1]), self.v.dtype)
+        return jnp.concatenate([self.v, zero_row], axis=0)
+
 
 def init_state(grid: Grid, params: SimulationParams, opts: SolverOptions,
                dtype=jnp.float32) -> State:
@@ -63,7 +71,7 @@ def init_state(grid: Grid, params: SimulationParams, opts: SolverOptions,
     f = lambda x: jnp.asarray(x, dtype)
     js = opts.semantics == Semantics.JS
     zu = jnp.zeros((grid.ny, grid.nx + 1), dtype)
-    zv = jnp.zeros((grid.ny + 1, grid.nx), dtype)
+    zv = jnp.zeros((grid.ny, grid.nx), dtype)
     zp = jnp.zeros((grid.ny, grid.nx), dtype)
     return State(
         u=zu, v=zv, p=zp, p_prime=zp,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Grid, InletProfile
+from .stencil import col_index, row_index, shifted
 
 
 def inlet_profile_column(grid: Grid, profile: InletProfile,
@@ -37,14 +38,25 @@ def inlet_profile_column(grid: Grid, profile: InletProfile,
 def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
               profile: InletProfile, inlet_velocity,
               mask_u_bc: jnp.ndarray, mask_v_bc: jnp.ndarray):
-    """Returns (u, v) with boundary conditions enforced."""
-    u = u.at[:, 0].set(inlet_profile_column(grid, profile, inlet_velocity,
-                                            u.dtype))
-    u = u.at[:, -1].set(u[:, -2])
-    u = u.at[0, :].set(0.0)
-    u = u.at[-1, :].set(0.0)
-    v = v.at[0, :].set(0.0)
-    v = v.at[-1, :].set(0.0)
+    """Returns (u, v) with boundary conditions enforced.
+
+    All edge writes are mask-selects over iota predicates (no scatters:
+    TPU-friendly and GSPMD-safe under row sharding). Application order
+    matches the reference: inlet, outlet copy, then no-slip rows
+    overwrite the corners.
+    """
+    ny, nx = grid.ny, grid.nx
+    cu = col_index(u.shape)
+    ru = row_index(u.shape)
+    inlet_col = inlet_profile_column(grid, profile, inlet_velocity,
+                                     u.dtype)[:, None]
+    u = jnp.where(cu == 0, inlet_col, u)
+    u = jnp.where(cu == nx, shifted(u, u.shape, 0, -1), u)  # outlet copy
+    u = jnp.where((ru == 0) | (ru == ny - 1), 0.0, u)       # no-slip rows
+    # v top face row j=ny is implicit zero (Grid.shape_v); only the
+    # bottom face row needs zeroing.
+    rv = row_index(v.shape)
+    v = jnp.where(rv == 0, 0.0, v)
     u = jnp.where(mask_u_bc > 0, 0.0, u)
     v = jnp.where(mask_v_bc > 0, 0.0, v)
     return u, v

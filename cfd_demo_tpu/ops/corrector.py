@@ -5,20 +5,32 @@ v[j,i]  = v*[j,i]  - dt_sub * (p'[j,i] - p'[j-1,i]) / dy   (j in [1, ny-1])
 p      += p'                                              (everywhere)
 
 model.rs:1334-1404 apply_corrector / index.html:841-863. Faces outside
-the update range keep their u*/v* values via .at[] region writes (the
-reference writes u in place from u_star, so untouched faces hold the
-pre-corrector u; our u* equals that by construction).
+the update range keep their u*/v* values (the reference writes u in
+place from u_star; our u* equals the pre-corrector u there by
+construction). Updates are mask-selects over iota predicates -- no
+scatters -- so they fuse on the VPU and partition correctly under row
+sharding.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .stencil import col_index, row_index, shifted
+
 
 def correct(u_star: jnp.ndarray, v_star: jnp.ndarray, p: jnp.ndarray,
             p_prime: jnp.ndarray, dt_sub, dx: float, dy: float):
-    """Returns (u, v, p)."""
-    dpx = (p_prime[:, 1:] - p_prime[:, :-1]) / dx     # (ny, nx-1) at u faces 1..nx-1
-    u = u_star.at[:, 1:-1].set(u_star[:, 1:-1] - dt_sub * dpx)
-    dpy = (p_prime[1:, :] - p_prime[:-1, :]) / dy     # (ny-1, nx) at v faces 1..ny-1
-    v = v_star.at[1:-1, :].set(v_star[1:-1, :] - dt_sub * dpy)
+    """Returns (u, v, p). v in the implicit-top-row layout."""
+    nx = p_prime.shape[1]
+    # u faces 1..nx-1: p' cell i is east of face i, cell i-1 west.
+    ppW = shifted(p_prime, u_star.shape, 0, -1)
+    ppE = shifted(p_prime, u_star.shape, 0, 0)
+    cu = col_index(u_star.shape)
+    u_upd = u_star - dt_sub * (ppE - ppW) / dx
+    u = jnp.where((cu >= 1) & (cu <= nx - 1), u_upd, u_star)
+    # v faces 1..ny-1 (row 0 is the bottom boundary face).
+    ppS = shifted(p_prime, v_star.shape, -1, 0)
+    rv = row_index(v_star.shape)
+    v_upd = v_star - dt_sub * (p_prime - ppS) / dy
+    v = jnp.where(rv >= 1, v_upd, v_star)
     return u, v, p + p_prime

@@ -3,22 +3,26 @@
 rhs[j, i] = ((u*[j, i+1] - u*[j, i])/dx + (v*[j+1, i] - v*[j, i])/dy) / dt_sub
 
 over all pressure cells (model.rs:1406-1440 recompute_divergence,
-index.html:729-739). All slices are exact (no padding needed): u has
-nx+1 columns and v has ny+1 rows.
+index.html:729-739). v is stored in the implicit-top-row layout
+(Grid.shape_v): row j=ny is identically zero, supplied here by the
+zero-padding shift.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .stencil import shifted
+
 
 def divergence_rhs(u_star: jnp.ndarray, v_star: jnp.ndarray,
                    dt_sub, dx: float, dy: float) -> jnp.ndarray:
     du = (u_star[:, 1:] - u_star[:, :-1]) / dx
-    dv = (v_star[1:, :] - v_star[:-1, :]) / dy
+    dv = (shifted(v_star, v_star.shape, 1, 0) - v_star) / dy
     return (du + dv) / dt_sub
 
 
 def divergence(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
     """Plain velocity divergence on cells (diagnostic; used by tests to
     check that the projection drives div(u) toward zero)."""
-    return (u[:, 1:] - u[:, :-1]) / dx + (v[1:, :] - v[:-1, :]) / dy
+    return ((u[:, 1:] - u[:, :-1]) / dx
+            + (shifted(v, v.shape, 1, 0) - v) / dy)

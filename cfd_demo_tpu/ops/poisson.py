@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .stencil import col_index, row_index, shifted
+
 
 def _interior_mask(shape):
     ny, nx = shape
@@ -36,12 +38,31 @@ def _interior_mask(shape):
     return m
 
 
+def _iota_masks(shape):
+    """(interior, row, col) index predicates as traced constants.
+
+    All boundary writes in this module are mask-selects rather than
+    .at[] scatters: scatters of single rows are both slow on TPU and
+    mis-partitioned by GSPMD under row sharding (each shard would apply
+    a global-row-0 write to its local row 0); selects over broadcast
+    iota partition correctly and fuse into the sweep loop.
+    """
+    r = row_index(shape)
+    c = col_index(shape)
+    ny, nx = shape
+    interior = (r >= 1) & (r <= ny - 2) & (c >= 1) & (c <= nx - 2)
+    return interior, r, c
+
+
 def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:
-    """model.rs:807-815 / index.html:820-827: rows first, then columns."""
-    pp = pp.at[0, :].set(pp[1, :])        # bottom (Neumann)
-    pp = pp.at[-1, :].set(pp[-2, :])      # top (Neumann)
-    pp = pp.at[:, 0].set(pp[:, 1])        # left/inlet (Neumann)
-    pp = pp.at[:, -1].set(0.0)            # right/outlet (Dirichlet 0)
+    """model.rs:807-815 / index.html:820-827: rows first, then columns
+    (the corner values depend on this order)."""
+    ny, nx = pp.shape
+    _, r, c = _iota_masks(pp.shape)
+    pp = jnp.where(r == 0, shifted(pp, pp.shape, 1, 0), pp)       # bottom
+    pp = jnp.where(r == ny - 1, shifted(pp, pp.shape, -1, 0), pp)  # top
+    pp = jnp.where(c == 0, shifted(pp, pp.shape, 0, 1), pp)       # left
+    pp = jnp.where(c == nx - 1, 0.0, pp)                          # outlet
     return pp
 
 
@@ -49,16 +70,15 @@ def _jacobi_sweep(pp, rhs, dx, dy, omega):
     """One damped-Jacobi iteration incl. p' BCs; returns (pp, max_err)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
-    east = pp[1:-1, 2:]
-    west = pp[1:-1, :-2]
-    north = pp[2:, 1:-1]
-    south = pp[:-2, 1:-1]
-    center = pp[1:-1, 1:-1]
-    update = ((east + west) / dx2 + (north + south) / dy2
-              - rhs[1:-1, 1:-1]) / denom
-    new_val = omega * update + (1.0 - omega) * center
-    err = jnp.max(jnp.abs(new_val - center))
-    pp = pp.at[1:-1, 1:-1].set(new_val)
+    interior, _, _ = _iota_masks(pp.shape)
+    east = shifted(pp, pp.shape, 0, 1)
+    west = shifted(pp, pp.shape, 0, -1)
+    north = shifted(pp, pp.shape, 1, 0)
+    south = shifted(pp, pp.shape, -1, 0)
+    update = ((east + west) / dx2 + (north + south) / dy2 - rhs) / denom
+    new_val = omega * update + (1.0 - omega) * pp
+    err = jnp.max(jnp.where(interior, jnp.abs(new_val - pp), 0.0))
+    pp = jnp.where(interior, new_val, pp)
     return _apply_pprime_bcs(pp), err
 
 
@@ -114,22 +134,21 @@ def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask):
     """One red/black SOR iteration incl. p' BCs; returns (pp, max_err)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
+    interior, _, _ = _iota_masks(pp.shape)
     old = pp
 
     def half(pp, mask):
-        east = pp[1:-1, 2:]
-        west = pp[1:-1, :-2]
-        north = pp[2:, 1:-1]
-        south = pp[:-2, 1:-1]
-        center = pp[1:-1, 1:-1]
-        update = ((east + west) / dx2 + (north + south) / dy2
-                  - rhs[1:-1, 1:-1]) / denom
-        new_val = (1.0 - omega) * center + omega * update
-        return pp.at[1:-1, 1:-1].set(jnp.where(mask, new_val, center))
+        east = shifted(pp, pp.shape, 0, 1)
+        west = shifted(pp, pp.shape, 0, -1)
+        north = shifted(pp, pp.shape, 1, 0)
+        south = shifted(pp, pp.shape, -1, 0)
+        update = ((east + west) / dx2 + (north + south) / dy2 - rhs) / denom
+        new_val = (1.0 - omega) * pp + omega * update
+        return jnp.where(interior & mask, new_val, pp)
 
     pp = half(pp, red_mask)
     pp = half(pp, black_mask)
-    err = jnp.max(jnp.abs(pp[1:-1, 1:-1] - old[1:-1, 1:-1]))
+    err = jnp.max(jnp.where(interior, jnp.abs(pp - old), 0.0))
     return _apply_pprime_bcs(pp), err
 
 
@@ -137,10 +156,9 @@ def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         omega: float, tol: float, iters: int,
         early_exit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Red/black SOR (parallel form of index.html:741-774)."""
-    ny, nx = pp0.shape
-    ii, jj = np.meshgrid(np.arange(1, nx - 1), np.arange(1, ny - 1))
-    red = jnp.asarray((ii + jj) % 2 == 0)
-    black = jnp.asarray((ii + jj) % 2 == 1)
+    _, r, c = _iota_masks(pp0.shape)
+    red = (r + c) % 2 == 0
+    black = (r + c) % 2 == 1
     sweep = partial(_sor_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega,
                     red_mask=red, black_mask=black)
 
@@ -183,12 +201,13 @@ def _mg_smooth(p, rhs, dx, dy, iterations: int):
     """Undamped Jacobi on the interior, no BCs (index.html:1347-1369)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
+    interior, _, _ = _iota_masks(p.shape)
 
     def body(p, _):
-        update = ((p[1:-1, 2:] + p[1:-1, :-2]) / dx2
-                  + (p[2:, 1:-1] + p[:-2, 1:-1]) / dy2
-                  - rhs[1:-1, 1:-1]) / denom
-        return p.at[1:-1, 1:-1].set(update), None
+        update = ((shifted(p, p.shape, 0, 1) + shifted(p, p.shape, 0, -1)) / dx2
+                  + (shifted(p, p.shape, 1, 0) + shifted(p, p.shape, -1, 0)) / dy2
+                  - rhs) / denom
+        return jnp.where(interior, update, p), None
 
     p, _ = lax.scan(body, p, None, length=iterations)
     return p
@@ -199,11 +218,11 @@ def _mg_residual(p, rhs, dx, dy):
     (index.html:1430-1441)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
-    ap = ((p[1:-1, 2:] + p[1:-1, :-2]) / dx2
-          + (p[2:, 1:-1] + p[:-2, 1:-1]) / dy2
-          - denom * p[1:-1, 1:-1])
-    r = jnp.zeros_like(p)
-    return r.at[1:-1, 1:-1].set(rhs[1:-1, 1:-1] - ap)
+    interior, _, _ = _iota_masks(p.shape)
+    ap = ((shifted(p, p.shape, 0, 1) + shifted(p, p.shape, 0, -1)) / dx2
+          + (shifted(p, p.shape, 1, 0) + shifted(p, p.shape, -1, 0)) / dy2
+          - denom * p)
+    return jnp.where(interior, rhs - ap, 0.0)
 
 
 def _mg_restrict(fine: jnp.ndarray, nx_c: int, ny_c: int) -> jnp.ndarray:
@@ -221,7 +240,10 @@ def _mg_restrict(fine: jnp.ndarray, nx_c: int, ny_c: int) -> jnp.ndarray:
                    + fine[FJ - 1, FI + 1] + fine[FJ + 1, FI + 1]))
     c = c.at[1:ny_c - 1, 1:nx_c - 1].set(s / 4.0)
     # Boundary injection (flat-index quirks of the JS resolved to the
-    # same-row/col samples; see docs/SPEC.md).
+    # same-row/col samples; see docs/SPEC.md). NOTE: these .at[] row
+    # writes are not GSPMD-safe under row sharding; the multigrid
+    # solver currently runs replicated/single-shard (the sharded tier
+    # covers Jacobi/SOR).
     xi = np.minimum(2 * np.arange(nx_c), nx_f - 1)
     yj = np.minimum(2 * np.arange(ny_c), ny_f - 1)
     c = c.at[0, :].set(fine[0, xi])
@@ -270,5 +292,5 @@ def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     for _ in range(opts.mg_cycles):
         pp = _mg_vcycle(pp, rhs, dx, dy, opts)
     r = _mg_residual(pp, rhs, dx, dy)
-    err = jnp.max(jnp.abs(r[1:-1, 1:-1]))
+    err = jnp.max(jnp.abs(r))  # boundary entries are exactly 0
     return pp, err, jnp.asarray(opts.mg_cycles, jnp.int32)

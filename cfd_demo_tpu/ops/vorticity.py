@@ -15,11 +15,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .stencil import shifted
+
 
 def cell_center_velocity(u: jnp.ndarray, v: jnp.ndarray):
-    """(uc, vc) on pressure cells."""
+    """(uc, vc) on pressure cells. v is in the implicit-top-row layout
+    (Grid.shape_v); the zero-padding shift supplies v[ny] = 0."""
     uc = 0.5 * (u[:, :-1] + u[:, 1:])
-    vc = 0.5 * (v[:-1, :] + v[1:, :])
+    vc = 0.5 * (v + shifted(v, v.shape, 1, 0))
     return uc, vc
 
 

@@ -49,10 +49,14 @@ class NumpyModel:
         self.u_prev = self.u.copy()
         self.v_prev = self.v.copy()
         mu, mv, mub, mvb = build_masks(grid, opts.semantics)
+        # build_masks returns v masks in the implicit-top-row layout
+        # (Grid.shape_v); the oracle keeps the reference's (ny+1, nx) v,
+        # whose top row is identically zero, so the mask row is False.
+        pad = np.zeros((1, nx), dtype=bool)
         self.mask_u = mu > 0
-        self.mask_v = mv > 0
+        self.mask_v = np.concatenate([mv > 0, pad], axis=0)
         self.mask_u_bc = mub > 0
-        self.mask_v_bc = mvb > 0
+        self.mask_v_bc = np.concatenate([mvb > 0, pad], axis=0)
         self.dt = F(params.dt)
         self.dt_user = F(params.dt)
         self.nu = F(params.viscosity)

@@ -1,0 +1,81 @@
+"""Device-mesh grid decomposition (SURVEY.md section 2.7).
+
+The reference is single-address-space (its whole "comm stack" is three
+mpsc channels and 8-lane SIMD); scale-out is a new, TPU-native
+capability: the (ny, nx) field arrays are sharded by *rows* (y) across
+an ICI mesh axis, so the x axis stays contiguous on the 128-lane
+dimension of each chip.
+
+Tier 1 (this module): jit + NamedSharding. XLA's SPMD partitioner
+turns every stencil shift into the 1-2 row halo exchanges
+automatically and every jnp.max into a global reduction over ICI --
+this is the idiomatic form of the hand-written NCCL halo code a
+GPU framework would carry. Tier 2 (kernels/) runs shard_map with
+explicit ppermute halo exchange around the fused Pallas sweeps.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import State
+from ..solver.piso import Scene, step_fn
+
+
+ROW_AXIS = "y"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = ROW_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def state_shardings(mesh: Mesh, axis: str = ROW_AXIS) -> State:
+    """A State-shaped pytree of NamedShardings: fields row-sharded,
+    scalars replicated."""
+    row = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    return State(
+        u=row, v=row, p=row, p_prime=row,
+        u_prev=row, v_prev=row,
+        dt=rep, dt_user=rep, nu=rep, target_inlet=rep,
+        t=rep, step=rep, substeps=rep,
+        res_u=rep, res_v=rep, res_p=rep)
+
+
+def _match(shardings: State, state: State) -> State:
+    """Drop sharding entries for absent (None) state leaves."""
+    return dataclasses.replace(
+        shardings,
+        u_prev=shardings.u_prev if state.u_prev is not None else None,
+        v_prev=shardings.v_prev if state.v_prev is not None else None)
+
+
+def shard_state(state: State, mesh: Mesh, axis: str = ROW_AXIS) -> State:
+    sh = _match(state_shardings(mesh, axis), state)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh,
+                        is_leaf=lambda x: x is None)
+
+
+def make_sharded_step(scene: Scene, mesh: Mesh, axis: str = ROW_AXIS,
+                      donate: bool = False):
+    """jit step with GSPMD row decomposition over ``mesh``."""
+    example = scene.init_state()
+    sh = _match(state_shardings(mesh, axis), example)
+    diag_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                           _example_diag())
+    fn = partial(step_fn, scene)
+    return jax.jit(fn, in_shardings=(sh,), out_shardings=(sh, diag_sh),
+                   donate_argnums=(0,) if donate else ())
+
+
+def _example_diag():
+    from ..solver.piso import StepDiagnostics
+    return StepDiagnostics(step=0, t=0, dt=0, res_u=0, res_v=0, res_p=0,
+                           substeps=0)

@@ -250,15 +250,24 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
     return new_state, diag
 
 
-def make_step(scene: Scene, donate: bool = True, jit: bool = True):
+def _resolve_donate(donate):
+    """Buffer donation keeps the fields update-in-place in HBM, but the
+    axon PJRT backend (the tunneled single-chip dev path) rejects
+    donated buffers; 'auto' enables donation everywhere else."""
+    if donate == "auto":
+        return jax.default_backend() != "axon"
+    return bool(donate)
+
+
+def make_step(scene: Scene, donate="auto", jit: bool = True):
     """jit-compiled single step: state -> (state, diagnostics)."""
     fn = partial(step_fn, scene)
     if not jit:
         return fn
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(fn, donate_argnums=(0,) if _resolve_donate(donate) else ())
 
 
-def make_run(scene: Scene, n_steps: int, donate: bool = True):
+def make_run(scene: Scene, n_steps: int, donate="auto"):
     """n steps fused under lax.scan: state -> (state, stacked diags).
 
     This is the throughput path: the scan keeps every pressure sweep on
@@ -270,4 +279,4 @@ def make_run(scene: Scene, n_steps: int, donate: bool = True):
             return s, d
         return lax.scan(body, state, None, length=n_steps)
 
-    return jax.jit(run, donate_argnums=(0,) if donate else ())
+    return jax.jit(run, donate_argnums=(0,) if _resolve_donate(donate) else ())

@@ -32,6 +32,16 @@ from cfd_demo_tpu.oracle.reference import NumpyModel
 from conftest import l2
 
 
+def oracle_field(oracle, name):
+    """The oracle keeps the reference's (ny+1, nx) v shape; the TPU
+    layout stores the implicit-zero top row separately (Grid.shape_v)."""
+    f = getattr(oracle, name)
+    if name == "v":
+        assert np.abs(f[-1, :]).max() == 0.0, "oracle v top row not zero"
+        return f[:-1]
+    return f
+
+
 def small_grid(obstacle=True):
     obstacles = (Cylinder(center_x=1.0, center_y=0.75, radius=0.3),) if obstacle else ()
     return Grid(nx=24, ny=16, lx=4.0, ly=1.5, obstacles=obstacles)
@@ -78,7 +88,7 @@ def test_pipeline_fixed_iters(name, sem, scheme, solver, profile):
         state, _ = step(state)
         for fname in ("u", "v", "p", "p_prime"):
             got = np.asarray(getattr(state, fname))
-            want = getattr(oracle, fname)
+            want = oracle_field(oracle, fname)
             err = l2(got, want)
             assert err <= 1e-5, f"{name} step {k}: {fname} L2={err:.3e}"
         assert np.isclose(float(state.dt), float(oracle.dt),
@@ -101,7 +111,7 @@ def test_step_matches_oracle(name, sem, scheme, solver, profile):
         oracle.update()
         state, diag = step(state)
         for fname in ("u", "v"):
-            want = getattr(oracle, fname)
+            want = oracle_field(oracle, fname)
             err = l2(np.asarray(getattr(state, fname)), want)
             scale = max(1.0, float(np.sqrt(np.mean(
                 np.asarray(want, np.float64) ** 2))))

@@ -45,9 +45,10 @@ def test_channel_flow_develops():
     # No-slip rows are exactly zero.
     assert np.abs(u[0, :]).max() == 0.0
     assert np.abs(u[-1, :]).max() == 0.0
+    # v bottom face row is zero; the top face row (j=ny) is implicit
+    # zero by layout (Grid.shape_v).
     v = np.asarray(state.v)
     assert np.abs(v[0, :]).max() == 0.0
-    assert np.abs(v[-1, :]).max() == 0.0
 
 
 def test_obstacle_blocks_flow():

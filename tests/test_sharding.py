@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+SURVEY.md section 4d: sharded-vs-unsharded equality validates the
+GSPMD halo exchanges without a TPU pod.
+"""
+import numpy as np
+
+import jax
+
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          make_scene, make_step, solver_options_for)
+from cfd_demo_tpu.shard.mesh import make_mesh, make_sharded_step, shard_state
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) == 8
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=5)
+    scene = make_scene(grid, params, opts)
+
+    step1 = make_step(scene, donate=False)
+    s1 = scene.init_state()
+
+    mesh = make_mesh()
+    stepN = make_sharded_step(scene, mesh)
+    sN = shard_state(scene.init_state(), mesh)
+
+    for _ in range(4):
+        s1, _ = step1(s1)
+        sN, _ = stepN(sN)
+
+    for name in ("u", "v", "p", "p_prime"):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6,
+                                   err_msg=f"field {name}")
+    assert np.isclose(float(s1.res_p), float(sN.res_p), atol=1e-7)
+
+
+def test_sharded_second_order_quick():
+    """2-wide stencils (SECOND/QUICK) need 2-row halos; GSPMD must get
+    them right across shard boundaries."""
+    from cfd_demo_tpu import VelocityScheme
+    grid = Grid(nx=48, ny=64, lx=4.0, ly=4.0)
+    mesh = make_mesh()
+    for scheme in (VelocityScheme.SECOND, VelocityScheme.QUICK):
+        params = SimulationParams(dt=0.002, viscosity=1e-4,
+                                  velocity_scheme=scheme)
+        opts = solver_options_for(Semantics.JS, ramp_up_steps=5,
+                                  substeps_adaptive=False, substeps_init=1)
+        scene = make_scene(grid, params, opts)
+        s1 = scene.init_state()
+        step1 = make_step(scene, donate=False)
+        sN = shard_state(scene.init_state(), mesh)
+        stepN = make_sharded_step(scene, mesh)
+        for _ in range(3):
+            s1, _ = step1(s1)
+            sN, _ = stepN(sN)
+        np.testing.assert_allclose(np.asarray(s1.u), np.asarray(sN.u),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.v), np.asarray(sN.v),
+                                   rtol=0, atol=1e-6)
+
+
+def test_vmap_ensemble():
+    """BASELINE config 5: vmap over a batch of scenes (different
+    viscosities/inlets) -- the step must be batchable."""
+    grid = Grid(nx=32, ny=24, lx=2.0, ly=1.5)
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    # masked iteration mode: while_loop trip counts are per-element.
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                              early_exit=False)
+    scene = make_scene(grid, params, opts)
+    from cfd_demo_tpu.solver.piso import step_fn
+    from functools import partial
+    import dataclasses
+
+    base = scene.init_state()
+    B = 8
+    nus = np.linspace(1e-4, 1e-3, B).astype(np.float32)
+
+    def broadcast(x):
+        return jax.numpy.broadcast_to(x, (B,) + x.shape)
+
+    batched = jax.tree.map(broadcast, base)
+    batched = dataclasses.replace(batched, nu=jax.numpy.asarray(nus))
+
+    step = jax.jit(jax.vmap(partial(step_fn, scene)))
+    for _ in range(3):
+        batched, diags = step(batched)
+    u = np.asarray(batched.u)
+    assert u.shape == (B, grid.ny, grid.nx + 1)
+    assert np.isfinite(u).all()
+    # Different viscosities must produce different flows.
+    assert not np.allclose(u[0], u[-1])
+
+    # Element k of the batch must equal an unbatched run with nu_k.
+    params_k = dataclasses.replace(params, viscosity=float(nus[3]))
+    scene_k = make_scene(grid, params_k, opts)
+    sk = scene_k.init_state()
+    step_k = make_step(scene_k, donate=False)
+    for _ in range(3):
+        sk, _ = step_k(sk)
+    np.testing.assert_allclose(u[3], np.asarray(sk.u), rtol=0, atol=1e-6)
