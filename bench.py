@@ -27,6 +27,9 @@ def main():
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
                          "corrector rounds")
+    ap.add_argument("--impl", choices=["pallas", "jnp"], default="pallas",
+                    help="pressure-solve implementation (pallas = fused "
+                         "K-iteration VMEM kernel)")
     args = ap.parse_args()
 
     import jax
@@ -42,9 +45,10 @@ def main():
         opts = solver_options_for(
             Semantics.RUST, ramp_up_steps=10,
             jacobi_tol=0.0, jacobi_iters=50, outer_corrector_rounds=0,
-            early_exit=False)
+            early_exit=False, pressure_impl=args.impl)
     else:
-        opts = solver_options_for(Semantics.RUST, ramp_up_steps=10)
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
+                                  pressure_impl=args.impl)
     scene = cfd.make_scene(grid, params, opts)
 
     state = scene.init_state()

@@ -194,6 +194,13 @@ class SolverOptions:
     # (lax.scan). Both produce identical fields; masked mode is
     # vmap-friendly and has deterministic cost.
     early_exit: bool = True
+    # Pressure-solve implementation: "jnp" (exact reference semantics,
+    # per-iteration convergence checks) or "pallas" (fused K-iteration
+    # VMEM kernel; convergence checked every K iterations -- the
+    # throughput path; falls back to jnp on unsupported shapes/backends).
+    pressure_impl: str = "jnp"
+    pallas_fuse_k: int = 10
+    pallas_block_rows: int = 128
 
 
 def solver_options_for(semantics: Semantics, **overrides) -> SolverOptions:

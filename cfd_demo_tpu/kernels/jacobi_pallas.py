@@ -1,0 +1,231 @@
+"""Fused multi-iteration Jacobi sweep as a Pallas TPU kernel.
+
+The pressure solve is the hottest loop in the framework (SURVEY.md
+section 3.1: 50 Jacobi iterations x up to 21 corrector rounds per
+substep = ~1000 grid sweeps). The jnp formulation reads and writes p'
+from HBM once *per iteration*; this kernel runs K iterations per
+launch entirely in VMEM, cutting HBM traffic by ~K.
+
+Design (wide-halo redundant compute):
+  * 1-D grid over row blocks of BS rows; each program manually DMAs a
+    (BS + 2K)-row window of p' and rhs from HBM into VMEM (overlapping
+    windows are not expressible as BlockSpecs, hence ANY memory space +
+    make_async_copy with a clamped dynamic start row).
+  * K damped-Jacobi iterations run on the window; the valid region
+    shrinks by one row per iteration from window edges that are not
+    true domain edges, and the window is sized so the BS output rows
+    remain valid after K iterations.
+  * Neighbor access is pltpu.roll on the window; wrap-around garbage
+    only ever lands in rows/cols that are invalid halo (masked) or are
+    overwritten by the boundary-condition selects.
+  * The reference's per-iteration p' BCs (model.rs:807-815) are global
+    row/col selects on broadcast iota of *global* indices, so every
+    block applies exactly the rows/columns it owns.
+  * Per-block max |delta| of the *last* iteration is reduced to SMEM;
+    the caller maxes over blocks, preserving the reference's
+    convergence metric at K-iteration granularity.
+
+The exact-semantics path (early exit at single-iteration granularity)
+remains the jnp implementation in ops/poisson.py; this kernel is the
+throughput path, checking the tolerance every K iterations.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _halo8(k: int) -> int:
+    """Halo width rounded up to the sublane tiling so every DMA start
+    row stays a provable multiple of 8."""
+    return -(-k // 8) * 8
+
+
+def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
+            *, ny, nx, nxp, bs, halo, k, dx2, dy2, omega):
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    # Window start: k halo rows below row0, rounded down to a multiple
+    # of 8 and clamped to the array; ny, bs, w are all multiples of 8,
+    # so start (and hence out_lo) stay 8-aligned.
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    # The convergence metric must only count rows this block *owns*:
+    # halo rows are stale by the last fused iteration.
+    owned = interior & (gr >= row0) & (gr < row0 + bs)
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    # Fold every division into compile-time multipliers (VPU divides
+    # are an order of magnitude slower than fmas).
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    # Pre-scale rhs once: new = ax*(E+W) + ay*(N+S) + ac*C - ar*rhs.
+    rhs = ar * rhs_win[:]
+
+    # pltpu.roll requires non-negative shifts; roll by size-1 is the
+    # negative-direction shift.
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - 1, 1)
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    def iterate(want_err):
+        pp = pp_win[:]
+        new = (ax * (east(pp) + west(pp)) + ay * (north(pp) + south(pp))
+               + ac * pp - rhs)
+        # Only the final iteration's max |delta| is reported
+        # (model.rs:821-823 reports the error of the exiting sweep).
+        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp = jnp.where(interior, new, pp)
+        # p' BCs, rows then columns (corner order matters).
+        pp = jnp.where(is_bot, north(pp), pp)
+        pp = jnp.where(is_top, south(pp), pp)
+        pp = jnp.where(is_left, east(pp), pp)
+        pp = jnp.where(is_right, 0.0, pp)
+        pp_win[:] = pp
+        return err
+
+    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    err = iterate(True)
+    # Dynamic-start vector loads from VMEM are not lowerable; a local
+    # DMA handles the dynamic sublane offset.
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i, 0] = err
+
+
+def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+                   omega: float, k: int, block_rows: int = 128,
+                   interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K fused Jacobi iterations. Returns (p', last-iteration max error).
+
+    Requires ny % block_rows == 0 and ny >= block_rows + 2k (the caller
+    falls back to the jnp path otherwise).
+    """
+    ny, nx = pp.shape
+    if ny % 8 != 0:
+        raise ValueError(f"ny={ny} must be a multiple of 8")
+    # HBM slices along lanes must be 128-aligned; pad the width (the
+    # logical interior/BC masks still use nx, so padded columns are
+    # inert junk that valid cells never read).
+    nxp = -(-nx // 128) * 128
+    if 2 * ny * nxp * 4 <= 10 * 1024 * 1024:
+        # Whole array fits comfortably in VMEM: single block, no halo,
+        # no redundant compute.
+        bs, halo, nblocks = ny, 0, 1
+    else:
+        halo = _halo8(k)
+        bs = block_rows
+        while ny % bs != 0 or ny < bs + 2 * halo:
+            bs //= 2
+            if bs < 32:
+                raise ValueError(f"no valid block size for ny={ny}, k={k}")
+        nblocks = ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp = jnp.pad(pp, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(
+        _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
+        dx2=dx * dx, dy2=dy * dy, omega=omega)
+    out, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   # one whole-array SMEM block revisited by every
+                   # program; each writes its own row
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs)
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, jnp.max(err)
+
+
+def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+                  omega: float, tol: float, iters: int, k: int = 10,
+                  block_rows: int = 128, early_exit: bool = True,
+                  interpret: bool = False):
+    """Drop-in replacement for ops.poisson.jacobi on the throughput path.
+
+    Runs ceil(iters/k) fused launches; when ``early_exit``, checks the
+    reference's convergence criterion between launches (i.e. at
+    K-iteration granularity -- documented fast-mode semantics).
+    Returns (p', last max error, iterations run).
+    """
+    n_launches = -(-iters // k)
+    step = functools.partial(jacobi_fused_k, rhs=rhs, dx=dx, dy=dy,
+                             omega=omega, k=k, block_rows=block_rows,
+                             interpret=interpret)
+
+    if early_exit and tol > 0.0:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_and(it < n_launches, err >= tol)
+
+        def body(carry):
+            pp, _, it = carry
+            pp, err = step(pp)
+            return pp, err, it + 1
+
+        pp, err, it = lax.while_loop(
+            cond, body,
+            (pp0, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pp, err, it * k
+
+    def body(carry, _):
+        pp, _ = carry
+        pp, err = step(pp)
+        return (pp, err), None
+
+    (pp, err), _ = lax.scan(body, (pp0, jnp.asarray(jnp.inf, jnp.float32)),
+                            None, length=n_launches)
+    return pp, err, jnp.asarray(n_launches * k, jnp.int32)

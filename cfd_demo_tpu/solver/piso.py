@@ -82,10 +82,21 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
 # PISO substep
 # ---------------------------------------------------------------------------
 
+def _pallas_ok(g: Grid) -> bool:
+    """The fused kernel targets the TPU backend and tile-friendly rows."""
+    return jax.default_backend() in ("tpu", "axon") and g.ny % 8 == 0
+
 def _solve_pressure(scene: Scene, pp0, rhs):
     g, opts = scene.grid, scene.opts
     solver = scene.params.pressure_solver
     if solver == PressureSolver.JACOBI:
+        if opts.pressure_impl == "pallas" and _pallas_ok(g):
+            from ..kernels.jacobi_pallas import jacobi_pallas
+            return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
+                                 opts.jacobi_tol, opts.jacobi_iters,
+                                 k=opts.pallas_fuse_k,
+                                 block_rows=opts.pallas_block_rows,
+                                 early_exit=opts.early_exit)
         return jacobi(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                       opts.jacobi_tol, opts.jacobi_iters,
                       early_exit=opts.early_exit)
