@@ -1,0 +1,32 @@
+"""Minimal dependency-free PNG writer (stdlib zlib + struct).
+
+The reference displays frames through egui textures / canvas; the
+headless framework writes PNGs for the demo apps and tests.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """rgb: (h, w, 3) uint8."""
+    img = np.asarray(rgb)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) uint8, got {img.shape} {img.dtype}")
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw, 6))
+               + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(payload)

@@ -1,0 +1,60 @@
+"""Residual records and history (observability).
+
+Mirrors the reference's Residuals struct (model.rs:23-32: step, time,
+dt, p/u/v residuals, wall step time, substep count) plus derived
+throughput metrics, and the JS residual-graph history
+(index.html:1111-1196) as plain arrays a front-end can plot.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Residuals:
+    simulation_step: int
+    simulation_time: float
+    dt: float
+    p: float
+    u: float
+    v: float
+    step_time: float            # seconds of wall clock
+    piso_substeps: int
+
+    @property
+    def steps_per_sec(self) -> float:
+        return 1.0 / self.step_time if self.step_time > 0 else float("inf")
+
+    def format_line(self) -> str:
+        """UI log line (src/app.rs:438-448 formatting intent)."""
+        return (f"step {self.simulation_step:6d}  t={self.simulation_time:9.4f}  "
+                f"dt={self.dt:.3e}  u={self.u:.3e}  v={self.v:.3e}  "
+                f"p={self.p:.3e}  substeps={self.piso_substeps}  "
+                f"wall={self.step_time * 1e3:.2f}ms")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+class ResidualHistory:
+    """Bounded history for plotting (index.html residualHistory*)."""
+
+    def __init__(self, max_len: int = 100_000):
+        self.records: List[Residuals] = []
+        self.max_len = max_len
+
+    def push(self, r: Residuals) -> None:
+        self.records.append(r)
+        if len(self.records) > self.max_len:
+            del self.records[: len(self.records) - self.max_len]
+
+    def series(self, field: str):
+        """(steps, values) for 'u' | 'v' | 'p' | 'dt'."""
+        steps = [r.simulation_step for r in self.records]
+        vals = [getattr(r, field) for r in self.records]
+        return steps, vals
+
+    def last(self) -> Optional[Residuals]:
+        return self.records[-1] if self.records else None

@@ -1,0 +1,151 @@
+"""Driver / checkpoint / render / raster tests."""
+import os
+import tempfile
+import time
+
+import numpy as np
+
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          VelocityScheme, make_scene, make_step,
+                          solver_options_for)
+from cfd_demo_tpu.render.colormap import (VisualizationMode,
+                                          boundary_overlay, colormap_rgb,
+                                          legend_strip, render_field)
+from cfd_demo_tpu.render.png import write_png
+from cfd_demo_tpu.runtime import checkpoint
+from cfd_demo_tpu.runtime.driver import run
+from cfd_demo_tpu.utils.raster import (rasterize_mesh, rasterize_polygon,
+                                       rasterize_quadtree)
+
+
+def scene():
+    return make_scene(
+        Grid(nx=48, ny=24, lx=4.0, ly=1.5,
+             obstacles=(Cylinder(1.0, 0.75, 0.25),)),
+        SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+
+
+def test_driver_lifecycle():
+    sc = scene()
+    h = run(sc)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            h.request_snapshot()
+            snap = h.get_last_available_snapshot()
+            if snap is not None and snap.step >= 5:
+                break
+            time.sleep(0.05)
+        assert snap is not None and snap.step >= 5
+        assert snap.u.shape == (24, 49)
+        assert snap.v.shape == (25, 48)  # reference shape via v_full
+        assert np.isfinite(snap.u).all()
+
+        h.pause()
+        time.sleep(0.2)
+        h.request_snapshot()
+        time.sleep(0.2)
+        s1 = h.get_last_available_snapshot()
+        time.sleep(0.3)
+        h.request_snapshot()
+        time.sleep(0.2)
+        s2 = h.get_last_available_snapshot()
+        assert s1 is not None and s2 is not None
+        assert s2.step == s1.step  # paused: no progress
+        assert s2.paused
+
+        h.set_params(SimulationParams(dt=0.001, viscosity=2e-4))
+        h.resume()
+        time.sleep(0.3)
+        logs = h.get_new_log_messages()
+        assert len(logs) > 0
+        assert logs[-1].piso_substeps >= 1
+    finally:
+        h.stop()
+
+
+def test_driver_scheme_hot_swap():
+    sc = scene()
+    h = run(sc)
+    try:
+        time.sleep(0.3)
+        h.set_params(SimulationParams(
+            dt=0.002, viscosity=1e-4,
+            velocity_scheme=VelocityScheme.SECOND))
+        snap = None
+        deadline = time.time() + 120  # recompile happens on the worker
+        while time.time() < deadline:
+            h.request_snapshot()
+            time.sleep(0.2)
+            got = h.get_last_available_snapshot()
+            if got is not None:
+                snap = got
+                break
+        assert snap is not None and np.isfinite(snap.u).all()
+    finally:
+        h.stop()
+
+
+def test_checkpoint_roundtrip():
+    sc = scene()
+    step = make_step(sc, donate=False)
+    st = sc.init_state()
+    for _ in range(5):
+        st, _ = step(st)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        checkpoint.save(path, st)
+        st2 = checkpoint.load(path, template=sc.init_state())
+    np.testing.assert_array_equal(np.asarray(st.u), np.asarray(st2.u))
+    np.testing.assert_array_equal(np.asarray(st.p_prime),
+                                  np.asarray(st2.p_prime))
+    assert int(st2.step) == int(st.step)
+    # resumed run continues bit-identically
+    a, _ = step(st)
+    b, _ = step(st2)
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+
+def test_render_modes_and_png():
+    sc = scene()
+    step = make_step(sc, donate=False)
+    st = sc.init_state()
+    for _ in range(10):
+        st, _ = step(st)
+    for mode in VisualizationMode:
+        img = np.asarray(render_field(st.u, st.v, st.p, grid=sc.grid,
+                                      mode=mode))
+        assert img.shape == (24, 48, 3) and img.dtype == np.uint8
+    img = boundary_overlay(img)
+    leg = legend_strip()
+    assert leg.shape[2] == 3
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "frame.png")
+        write_png(p, img)
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_colormap_constant_field():
+    img = np.asarray(colormap_rgb(np.zeros((8, 16), np.float32)))
+    assert img.shape == (8, 16, 3)  # no NaNs on degenerate range
+    assert (img[..., 0] == 0).all() and (img[..., 2] == 255).all()
+
+
+def test_rasterizers():
+    import math
+    from cfd_demo_tpu.mesh2d import Polygon, QuadMesh, tesselate
+    poly = Polygon.rect(0, 0, 30, 10)
+    poly.add_hole(Polygon.regular((7.5, 5.0), 1.5, 4, math.pi / 4))
+    img = rasterize_polygon(poly, 300, 100)
+    assert img.shape == (100, 300, 3)
+    # Fill present, hole not filled at its center.
+    assert (img == (173, 216, 230)).all(axis=-1).any()
+    qt = tesselate(poly, 0.5, 2.0)
+    img2 = rasterize_quadtree(qt, 300, 100)
+    assert (img2 == 0).any()
+    mesh = QuadMesh.from_quadtree(qt, poly)
+    img3 = rasterize_mesh(mesh, background=img)
+    # Orange diamonds at hole-boundary intersections.
+    assert (img3 == (255, 165, 0)).all(axis=-1).any()
