@@ -27,9 +27,9 @@ def main():
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
                          "corrector rounds")
-    ap.add_argument("--impl", choices=["pallas", "jnp"], default="pallas",
-                    help="pressure-solve implementation (pallas = fused "
-                         "K-iteration VMEM kernel)")
+    ap.add_argument("--impl", choices=["pallas", "jnp"], default="jnp",
+                    help="pressure-solve implementation; jnp (XLA-fused scan) "
+                         "is fastest on v5e (see docs/PERF.md)")
     args = ap.parse_args()
 
     import jax
