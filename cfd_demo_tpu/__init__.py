@@ -8,7 +8,7 @@ stencils, lax.scan/while_loop iteration, sharding over ICI meshes, and
 Pallas kernels on the hot path.
 """
 
-from .core.config import (Box, Cylinder, Grid, InletProfile, PressureSolver,
+from .core.config import (Box, Cylinder, FlowCase, Grid, InletProfile, PressureSolver,
                           Semantics, SimulationParams, SolverOptions,
                           VelocityScheme, cavity_grid, default_grid,
                           default_js_grid, solver_options_for)

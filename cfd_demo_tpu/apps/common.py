@@ -1,0 +1,84 @@
+"""Shared CLI plumbing for the demo apps."""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..core.config import (FlowCase, InletProfile, PressureSolver,
+                           SimulationParams, VelocityScheme)
+from ..render.colormap import VisualizationMode, boundary_overlay, render_field
+from ..render.png import write_png
+from ..runtime.log import Residuals
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=desc)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="steps fused per device dispatch (lax.scan)")
+    ap.add_argument("--out", default="out", help="output directory")
+    ap.add_argument("--dt", type=float, default=0.005)
+    ap.add_argument("--viscosity", type=float, default=1e-6)
+    ap.add_argument("--inlet", type=float, default=1.0)
+    ap.add_argument("--scheme", choices=[s.value for s in VelocityScheme],
+                    default="first")
+    ap.add_argument("--solver", choices=[s.value for s in PressureSolver],
+                    default="jacobi")
+    ap.add_argument("--profile", choices=[p.value for p in InletProfile],
+                    default="uniform")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write a resume checkpoint (.npz) at the end")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    return ap
+
+
+def params_from_args(args, flow_case=FlowCase.CHANNEL) -> SimulationParams:
+    return SimulationParams(
+        dt=args.dt, viscosity=args.viscosity,
+        target_inlet_velocity=args.inlet,
+        velocity_scheme=VelocityScheme(args.scheme),
+        inlet_profile=InletProfile(args.profile),
+        pressure_solver=PressureSolver(args.solver),
+        flow_case=flow_case)
+
+
+def rollout(scene, state, steps: int, chunk: int, log_every: int = 1):
+    """Scan-fused rollout in chunks; prints residual lines; returns
+    (state, last Residuals)."""
+    from .. import make_run
+    run = None
+    rec = None
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        if run is None or n != chunk:
+            run = make_run(scene, n, donate=False)
+        t0 = time.perf_counter()
+        state, diags = run(state)
+        res_u = float(state.res_u)  # forces completion (axon quirk)
+        wall = time.perf_counter() - t0
+        done += n
+        rec = Residuals(
+            simulation_step=int(state.step), simulation_time=float(state.t),
+            dt=float(state.dt), p=float(state.res_p), u=res_u,
+            v=float(state.res_v), step_time=wall / n,
+            piso_substeps=int(state.substeps))
+        print(rec.format_line(), f" ({n / wall:.1f} steps/s)")
+    return state, rec
+
+
+def save_frames(scene, state, out_dir: str, prefix: str = "frame"):
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for mode in VisualizationMode:
+        img = np.asarray(render_field(state.u, state.v, state.p,
+                                      grid=scene.grid, mode=mode))
+        img = boundary_overlay(img)
+        path = os.path.join(out_dir, f"{prefix}_{mode.value}.png")
+        write_png(path, img)
+        paths.append(path)
+    print("wrote", ", ".join(paths))
+    return paths

@@ -1,0 +1,69 @@
+"""Default demo: channel flow past a cylinder (BASELINE config 1).
+
+The Rust app's default scene (src/app.rs:33-53: 800x264, Lx=30, Ly=10,
+r=0.75 cylinder at (7.5, 5)) with the reference Rust semantics.
+
+    python -m cfd_demo_tpu.apps.demo_cylinder --steps 500 --out out/
+"""
+from __future__ import annotations
+
+import sys
+
+from .. import Semantics, default_grid, make_scene, solver_options_for
+from ..runtime import checkpoint
+from .common import base_parser, params_from_args, rollout, save_frames
+
+
+def main(argv=None):
+    ap = base_parser(__doc__)
+    ap.add_argument("--nx", type=int, default=800)
+    ap.add_argument("--ny", type=int, default=264)
+    ap.add_argument("--tracers", action="store_true",
+                    help="enable tracer particles (JS twin feature)")
+    args = ap.parse_args(argv)
+
+    grid = default_grid()
+    if (args.nx, args.ny) != (800, 264):
+        import dataclasses
+        grid = dataclasses.replace(grid, nx=args.nx, ny=args.ny)
+    scene = make_scene(grid, params_from_args(args),
+                       solver_options_for(Semantics.RUST))
+    state = scene.init_state()
+    if args.resume:
+        state = checkpoint.load(args.resume, template=state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    state, _ = rollout(scene, state, args.steps, args.chunk)
+
+    if args.tracers:
+        import jax
+        import numpy as np
+        from ..ops import tracers as trc
+        from ..render.colormap import VisualizationMode, render_field
+        from ..render.png import write_png
+        from ..ops.tracers import TRACER_INJECTION_INTERVAL
+        ts = trc.init_tracers(grid)
+        advance = jax.jit(lambda ts, u, v, dt, k:
+                          trc.step_tracers(ts, u, v, grid, dt, k))
+        # advect through an extra visualization window
+        for k in range(1, 2 * TRACER_INJECTION_INTERVAL):
+            state_k = state  # frozen field advection for the viz window
+            ts = advance(ts, state_k.u, state_k.v, state_k.dt, k)
+        img = np.asarray(render_field(state.u, state.v, state.p,
+                                      grid=grid,
+                                      mode=VisualizationMode.VELOCITY))
+        img = trc.draw_tracers(img, ts, grid)
+        import os
+        os.makedirs(args.out, exist_ok=True)
+        write_png(os.path.join(args.out, "frame_tracers.png"), img)
+        print("wrote", os.path.join(args.out, "frame_tracers.png"))
+
+    save_frames(scene, state, args.out, prefix="cylinder")
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, state)
+        print("checkpoint:", args.checkpoint)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,6 +72,20 @@ class Semantics(enum.Enum):
     JS = "js"      # index.html semantics
 
 
+class FlowCase(enum.Enum):
+    """Boundary-condition family.
+
+    CHANNEL is the reference's only case (inlet left, outlet right,
+    no-slip walls). CAVITY (lid-driven: moving top lid at
+    target_inlet_velocity, all walls closed, all-Neumann pressure with
+    a pinned corner cell) is a new capability for BASELINE.json
+    config 2.
+    """
+
+    CHANNEL = "channel"
+    CAVITY = "cavity"
+
+
 @dataclasses.dataclass(frozen=True)
 class Cylinder:
     """Circular obstacle (model.rs:135-139)."""
@@ -149,10 +163,11 @@ class SimulationParams:
 
     dt: float = 0.005
     viscosity: float = 1e-6
-    target_inlet_velocity: float = 1.0
+    target_inlet_velocity: float = 1.0  # lid speed in CAVITY flow
     velocity_scheme: VelocityScheme = VelocityScheme.FIRST
     inlet_profile: InletProfile = InletProfile.UNIFORM
     pressure_solver: PressureSolver = PressureSolver.JACOBI
+    flow_case: FlowCase = FlowCase.CHANNEL
 
 
 @dataclasses.dataclass(frozen=True)

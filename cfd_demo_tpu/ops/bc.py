@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import Grid, InletProfile
+from ..core.config import FlowCase, Grid, InletProfile
 from .stencil import col_index, row_index, shifted
 
 
@@ -37,26 +37,38 @@ def inlet_profile_column(grid: Grid, profile: InletProfile,
 
 def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
               profile: InletProfile, inlet_velocity,
-              mask_u_bc: jnp.ndarray, mask_v_bc: jnp.ndarray):
+              mask_u_bc: jnp.ndarray, mask_v_bc: jnp.ndarray,
+              flow_case: FlowCase = FlowCase.CHANNEL):
     """Returns (u, v) with boundary conditions enforced.
 
     All edge writes are mask-selects over iota predicates (no scatters:
-    TPU-friendly and GSPMD-safe under row sharding). Application order
+    TPU-friendly and GSPMD-safe under row sharding). CHANNEL order
     matches the reference: inlet, outlet copy, then no-slip rows
-    overwrite the corners.
+    overwrite the corners. CAVITY: closed box, top lid row of u moves
+    at ``inlet_velocity`` (uniform or the parabolic profile applied
+    along x), all other walls no-slip.
     """
     ny, nx = grid.ny, grid.nx
     cu = col_index(u.shape)
     ru = row_index(u.shape)
-    inlet_col = inlet_profile_column(grid, profile, inlet_velocity,
-                                     u.dtype)[:, None]
-    u = jnp.where(cu == 0, inlet_col, u)
-    u = jnp.where(cu == nx, shifted(u, u.shape, 0, -1), u)  # outlet copy
-    u = jnp.where((ru == 0) | (ru == ny - 1), 0.0, u)       # no-slip rows
-    # v top face row j=ny is implicit zero (Grid.shape_v); only the
-    # bottom face row needs zeroing.
     rv = row_index(v.shape)
-    v = jnp.where(rv == 0, 0.0, v)
+    cv = col_index(v.shape)
+    if flow_case == FlowCase.CHANNEL:
+        inlet_col = inlet_profile_column(grid, profile, inlet_velocity,
+                                         u.dtype)[:, None]
+        u = jnp.where(cu == 0, inlet_col, u)
+        u = jnp.where(cu == nx, shifted(u, u.shape, 0, -1), u)  # outlet copy
+        u = jnp.where((ru == 0) | (ru == ny - 1), 0.0, u)       # no-slip rows
+        # v top face row j=ny is implicit zero (Grid.shape_v); only the
+        # bottom face row needs zeroing.
+        v = jnp.where(rv == 0, 0.0, v)
+    else:  # CAVITY
+        u = jnp.where(ru == ny - 1, inlet_velocity, u)  # moving lid
+        u = jnp.where(ru == 0, 0.0, u)                  # floor (tangential)
+        # No-penetration side walls win at the lid corners.
+        u = jnp.where((cu == 0) | (cu == nx), 0.0, u)
+        v = jnp.where(rv == 0, 0.0, v)                  # floor (normal)
+        v = jnp.where((cv == 0) | (cv == nx - 1), 0.0, v)  # side (tangential)
     u = jnp.where(mask_u_bc > 0, 0.0, u)
     v = jnp.where(mask_v_bc > 0, 0.0, v)
     return u, v

@@ -56,7 +56,8 @@ def _iota_masks(shape):
 
 def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:
     """model.rs:807-815 / index.html:820-827: rows first, then columns
-    (the corner values depend on this order)."""
+    (the corner values depend on this order). Channel flow: Neumann
+    bottom/top/left, Dirichlet 0 at the outlet column."""
     ny, nx = pp.shape
     _, r, c = _iota_masks(pp.shape)
     pp = jnp.where(r == 0, shifted(pp, pp.shape, 1, 0), pp)       # bottom
@@ -66,7 +67,27 @@ def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:
     return pp
 
 
-def _jacobi_sweep(pp, rhs, dx, dy, omega):
+def _apply_pprime_bcs_cavity(pp: jnp.ndarray) -> jnp.ndarray:
+    """All-Neumann pressure correction for closed (cavity) flow; the
+    pure-Neumann Poisson system is singular so the bottom-left cell is
+    pinned to 0 (standard gauge fix; new capability, see FlowCase)."""
+    ny, nx = pp.shape
+    _, r, c = _iota_masks(pp.shape)
+    pp = jnp.where(r == 0, shifted(pp, pp.shape, 1, 0), pp)
+    pp = jnp.where(r == ny - 1, shifted(pp, pp.shape, -1, 0), pp)
+    pp = jnp.where(c == 0, shifted(pp, pp.shape, 0, 1), pp)
+    pp = jnp.where(c == nx - 1, shifted(pp, pp.shape, 0, -1), pp)
+    pp = jnp.where((r == 0) & (c == 0), 0.0, pp)
+    return pp
+
+
+def pprime_bc_fn(flow_case):
+    from ..core.config import FlowCase
+    return (_apply_pprime_bcs if flow_case == FlowCase.CHANNEL
+            else _apply_pprime_bcs_cavity)
+
+
+def _jacobi_sweep(pp, rhs, dx, dy, omega, bc=_apply_pprime_bcs):
     """One damped-Jacobi iteration incl. p' BCs; returns (pp, max_err)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
@@ -79,19 +100,20 @@ def _jacobi_sweep(pp, rhs, dx, dy, omega):
     new_val = omega * update + (1.0 - omega) * pp
     err = jnp.max(jnp.where(interior, jnp.abs(new_val - pp), 0.0))
     pp = jnp.where(interior, new_val, pp)
-    return _apply_pprime_bcs(pp), err
+    return bc(pp), err
 
 
 def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
            omega: float, tol: float, iters: int,
-           early_exit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+           early_exit: bool = True,
+           bc=_apply_pprime_bcs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (p_prime, max_error_of_last_sweep, iterations_run).
 
     Matches the reference's do-while structure: at least one sweep runs,
     and the loop exits after the first sweep whose max interior change
     is below ``tol`` (model.rs:748-819).
     """
-    sweep = partial(_jacobi_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega)
+    sweep = partial(_jacobi_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega, bc=bc)
 
     if early_exit:
         def cond(carry):
@@ -109,20 +131,40 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                          jnp.asarray(0, jnp.int32)))
         return pp, err, it
 
-    def body(carry, _):
-        pp, err, done, n = carry
+    pp, err, n = _masked_while(sweep, pp0, tol, iters)
+    return pp, err, n
+
+
+def _masked_while(sweep, pp0, tol, iters):
+    """Masked-update convergence loop.
+
+    Semantically identical to exact early exit, but the per-element
+    freezing lives in the *body* (where selects on a `done` flag), so
+    under vmap -- where JAX lifts a while_loop condition to any() and
+    re-applies the body to every element -- each batch element still
+    stops updating exactly when its own residual crosses tol, and the
+    whole batch exits once all are done (the 64-scene ensemble relies
+    on this).
+    """
+    def cond(carry):
+        _, _, done, _, it = carry
+        return jnp.logical_or(it == 0,
+                              jnp.logical_and(it < iters,
+                                              jnp.logical_not(done)))
+
+    def body(carry):
+        pp, err, done, n, it = carry
         pp2, err2 = sweep(pp)
         pp = jnp.where(done, pp, pp2)
         err = jnp.where(done, err, err2)
         n = n + jnp.where(done, 0, 1).astype(jnp.int32)
         done = jnp.logical_or(done, err < tol)
-        return (pp, err, done, n), None
+        return pp, err, done, n, it + 1
 
-    (pp, err, _, n), _ = lax.scan(
-        body,
+    pp, err, _, n, _ = lax.while_loop(
+        cond, body,
         (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
-         jnp.asarray(0, jnp.int32)),
-        None, length=iters)
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
     return pp, err, n
 
 
@@ -130,7 +172,8 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 # Red/black SOR
 # ---------------------------------------------------------------------------
 
-def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask):
+def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask,
+               bc=_apply_pprime_bcs):
     """One red/black SOR iteration incl. p' BCs; returns (pp, max_err)."""
     dx2, dy2 = dx * dx, dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
@@ -149,18 +192,19 @@ def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask):
     pp = half(pp, red_mask)
     pp = half(pp, black_mask)
     err = jnp.max(jnp.where(interior, jnp.abs(pp - old), 0.0))
-    return _apply_pprime_bcs(pp), err
+    return bc(pp), err
 
 
 def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         omega: float, tol: float, iters: int,
-        early_exit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        early_exit: bool = True,
+        bc=_apply_pprime_bcs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Red/black SOR (parallel form of index.html:741-774)."""
     _, r, c = _iota_masks(pp0.shape)
     red = (r + c) % 2 == 0
     black = (r + c) % 2 == 1
     sweep = partial(_sor_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega,
-                    red_mask=red, black_mask=black)
+                    red_mask=red, black_mask=black, bc=bc)
 
     if early_exit:
         def cond(carry):
@@ -178,18 +222,7 @@ def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                          jnp.asarray(0, jnp.int32)))
         return pp, err, it
 
-    def body(carry, _):
-        pp, err, done, n = carry
-        pp2, err2 = sweep(pp)
-        pp = jnp.where(done, pp, pp2)
-        err = jnp.where(done, err, err2)
-        n = n + jnp.where(done, 0, 1).astype(jnp.int32)
-        done = jnp.logical_or(done, err < tol)
-        return (pp, err, done, n), None
-
-    (pp, err, _, n), _ = lax.scan(
-        body, (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
-               jnp.asarray(0, jnp.int32)), None, length=iters)
+    pp, err, n = _masked_while(sweep, pp0, tol, iters)
     return pp, err, n
 
 

@@ -26,8 +26,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.config import (Grid, InletProfile, PressureSolver, Semantics,
-                           SimulationParams, SolverOptions, VelocityScheme)
+from ..core.config import (FlowCase, Grid, InletProfile, PressureSolver,
+                           Semantics, SimulationParams, SolverOptions,
+                           VelocityScheme)
 from ..core.masks import build_masks
 
 F = np.float32
@@ -233,12 +234,15 @@ class NumpyModel:
                              + (v_star[j + 1, i] - v_star[j, i]) / dy) / dt_sub
         return rhs
 
-    @staticmethod
-    def _pp_bcs(pp):
+    def _pp_bcs(self, pp):
         pp[0, :] = pp[1, :]
         pp[-1, :] = pp[-2, :]
         pp[:, 0] = pp[:, 1]
-        pp[:, -1] = F(0.0)
+        if self.params.flow_case == FlowCase.CHANNEL:
+            pp[:, -1] = F(0.0)
+        else:  # cavity: all-Neumann + pinned gauge cell
+            pp[:, -1] = pp[:, -2]
+            pp[0, 0] = F(0.0)
 
     def _jacobi(self, pp, rhs):
         g, opts = self.grid, self.opts
@@ -406,6 +410,19 @@ class NumpyModel:
         g = self.grid
         nx, ny = g.nx, g.ny
         dy = F(g.dy)
+        if self.params.flow_case == FlowCase.CAVITY:
+            self.u[ny - 1, :] = self.inlet  # moving lid
+            self.u[0, :] = F(0.0)
+            # No-penetration side walls win at the lid corners.
+            self.u[:, 0] = F(0.0)
+            self.u[:, nx] = F(0.0)
+            self.v[0, :] = F(0.0)
+            self.v[ny, :] = F(0.0)
+            self.v[:, 0] = F(0.0)
+            self.v[:, nx - 1] = F(0.0)
+            self.u[self.mask_u_bc] = F(0.0)
+            self.v[self.mask_v_bc] = F(0.0)
+            return
         profile = self.params.inlet_profile
         for j in range(ny):
             if profile == InletProfile.UNIFORM:

@@ -82,15 +82,21 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
 # PISO substep
 # ---------------------------------------------------------------------------
 
-def _pallas_ok(g: Grid) -> bool:
-    """The fused kernel targets the TPU backend and tile-friendly rows."""
-    return jax.default_backend() in ("tpu", "axon") and g.ny % 8 == 0
+def _pallas_ok(scene: "Scene") -> bool:
+    """The fused kernel targets the TPU backend, tile-friendly rows and
+    (currently) the channel pressure BCs."""
+    from ..core.config import FlowCase
+    return (jax.default_backend() in ("tpu", "axon")
+            and scene.grid.ny % 8 == 0
+            and scene.params.flow_case == FlowCase.CHANNEL)
 
 def _solve_pressure(scene: Scene, pp0, rhs):
     g, opts = scene.grid, scene.opts
     solver = scene.params.pressure_solver
+    from ..ops.poisson import pprime_bc_fn
+    bc = pprime_bc_fn(scene.params.flow_case)
     if solver == PressureSolver.JACOBI:
-        if opts.pressure_impl == "pallas" and _pallas_ok(g):
+        if opts.pressure_impl == "pallas" and _pallas_ok(scene):
             from ..kernels.jacobi_pallas import jacobi_pallas
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                                  opts.jacobi_tol, opts.jacobi_iters,
@@ -99,11 +105,11 @@ def _solve_pressure(scene: Scene, pp0, rhs):
                                  early_exit=opts.early_exit)
         return jacobi(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                       opts.jacobi_tol, opts.jacobi_iters,
-                      early_exit=opts.early_exit)
+                      early_exit=opts.early_exit, bc=bc)
     if solver == PressureSolver.SOR:
         return sor(pp0, rhs, g.dx, g.dy, opts.sor_omega,
                    opts.jacobi_tol, opts.jacobi_iters,
-                   early_exit=opts.early_exit)
+                   early_exit=opts.early_exit, bc=bc)
     if solver == PressureSolver.MULTIGRID:
         return multigrid(pp0, rhs, g.dx, g.dy, opts)
     raise ValueError(solver)
@@ -155,21 +161,29 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
             u, v, p, pp, err, _ = lax.while_loop(
                 cond, body, (u, v, p, pp, err, jnp.asarray(0, jnp.int32)))
         else:
-            def body(carry, _):
-                u, v, p, pp, err, done = carry
-                done = jnp.logical_or(done, err < opts.outer_corrector_tol)
+            # Masked while: per-element freezing in the body keeps vmap
+            # semantics exact while the batch exits when all are done
+            # (see ops.poisson._masked_while).
+            def cond(carry):
+                *_, done, it = carry
+                return jnp.logical_and(it < rounds, jnp.logical_not(done))
+
+            def body(carry):
+                u, v, p, pp, err, done, it = carry
                 u2, v2, p2, pp2, err2 = round_body(u, v, p, pp)
                 sel = lambda a, b: jnp.where(done, a, b)
                 u, v, p = sel(u, u2), sel(v, v2), sel(p, p2)
                 pp, err = sel(pp, pp2), sel(err, err2)
-                return (u, v, p, pp, err, done), None
+                done = jnp.logical_or(done, err < opts.outer_corrector_tol)
+                return u, v, p, pp, err, done, it + 1
 
-            (u, v, p, pp, err, _), _ = lax.scan(
-                body, (u, v, p, pp, err, jnp.asarray(False)),
-                None, length=rounds)
+            u, v, p, pp, err, _, _ = lax.while_loop(
+                cond, body,
+                (u, v, p, pp, err, err < opts.outer_corrector_tol,
+                 jnp.asarray(0, jnp.int32)))
 
     u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
-                     mask_u_bc, mask_v_bc)
+                     mask_u_bc, mask_v_bc, scene.params.flow_case)
     return u, v, p, pp, err
 
 
