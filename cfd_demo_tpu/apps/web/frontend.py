@@ -1,0 +1,154 @@
+"""Embedded single-page front-end (original implementation; mirrors the
+reference's control surface -- src/app.rs panels and the index.html
+controls -- without reusing its code)."""
+
+INDEX_HTML = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>cfd-demo-tpu</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 1rem; background: #111; color: #ddd; }
+  h1 { font-size: 1.2rem; }
+  .tabs button, .controls button { margin-right: .5rem; padding: .4rem .8rem; }
+  .row { display: flex; gap: 1.5rem; align-items: center; flex-wrap: wrap; margin: .5rem 0; }
+  .row label { font-size: .85rem; }
+  canvas, img.frame { border: 1px solid #444; image-rendering: pixelated; }
+  #log { width: 100%; height: 10rem; background: #000; color: #9f9;
+         font-family: monospace; font-size: .75rem; overflow-y: scroll;
+         white-space: pre; padding: .3rem; }
+  select, input[type=number] { background: #222; color: #ddd; }
+  .hidden { display: none; }
+</style>
+</head>
+<body>
+<h1>cfd-demo-tpu &mdash; 2D incompressible Navier&ndash;Stokes on TPU</h1>
+<div class="tabs">
+  <button onclick="showTab('sim')">Simulation</button>
+  <button onclick="showTab('mesh')">Mesh</button>
+</div>
+
+<div id="tab-sim">
+  <div class="row controls">
+    <button onclick="control('start')">Start / Resume</button>
+    <button onclick="control('pause')">Pause</button>
+    <button onclick="control('reset')">Reset</button>
+    <span>view:</span>
+    <button onclick="setMode('pressure')">Pressure</button>
+    <button onclick="setMode('velocity')">Velocity</button>
+    <button onclick="setMode('vorticity')">Vorticity</button>
+    <label><input type="checkbox" id="tracers"> tracers</label>
+  </div>
+  <div class="row">
+    <label>dt <input type="number" id="dt" value="0.005" step="0.001" min="0" max="1"></label>
+    <label>viscosity <input type="number" id="viscosity" value="0.000001" step="0.000001" min="0" max="0.1"></label>
+    <label>inlet <input type="number" id="inlet" value="1.0" step="0.1" min="0" max="5"></label>
+    <label>scheme <select id="scheme">
+      <option value="first">FirstOrder</option>
+      <option value="second">SecondOrder</option>
+      <option value="quick">QUICK</option></select></label>
+    <label>profile <select id="profile">
+      <option value="uniform">Uniform</option>
+      <option value="parabolic">Parabolic</option></select></label>
+    <label>solver <select id="solver">
+      <option value="jacobi">Jacobi</option>
+      <option value="sor">SOR (red/black)</option>
+      <option value="multigrid">Multigrid</option></select></label>
+    <label>case <select id="flow_case">
+      <option value="channel">Channel + cylinder</option>
+      <option value="cavity">Lid-driven cavity</option></select></label>
+    <button onclick="sendParams()">Update</button>
+  </div>
+  <img id="frame" class="frame" src="/api/frame" width="800">
+  <div class="row"><img id="legend" src="/api/legend" width="256" height="20">
+    <span style="font-size:.8rem">min &rarr; max</span></div>
+  <h3>Residuals</h3>
+  <canvas id="resgraph" width="800" height="160"></canvas>
+  <div id="log"></div>
+</div>
+
+<div id="tab-mesh" class="hidden">
+  <div class="row">
+    <label>feature size <input type="range" id="feature" min="0.01" max="0.5"
+      step="0.01" value="0.2"> <span id="featureval">0.2</span></label>
+    <label>max cell size <input type="range" id="max_cell" min="0.1" max="1.0"
+      step="0.05" value="1.0"> <span id="maxval">1.0</span></label>
+    <button onclick="tesselate()">Tesselate</button>
+  </div>
+  <img id="meshimg" class="frame" width="900">
+</div>
+
+<script>
+let mode = 'velocity';
+function showTab(t) {
+  document.getElementById('tab-sim').classList.toggle('hidden', t !== 'sim');
+  document.getElementById('tab-mesh').classList.toggle('hidden', t !== 'mesh');
+}
+function setMode(m) { mode = m; }
+async function control(action) {
+  await fetch('/api/control', {method: 'POST', body: JSON.stringify({action})});
+}
+async function sendParams() {
+  const p = {};
+  for (const k of ['dt', 'viscosity', 'inlet'])
+    p[k] = parseFloat(document.getElementById(k).value);
+  for (const k of ['scheme', 'profile', 'solver', 'flow_case'])
+    p[k] = document.getElementById(k).value;
+  await fetch('/api/params', {method: 'POST', body: JSON.stringify(p)});
+}
+function refreshFrame() {
+  const tr = document.getElementById('tracers').checked ? 1 : 0;
+  document.getElementById('frame').src =
+    `/api/frame?mode=${mode}&tracers=${tr}&t=${Date.now()}`;
+}
+function drawGraph(hist) {
+  const c = document.getElementById('resgraph');
+  const ctx = c.getContext('2d');
+  ctx.fillStyle = '#000'; ctx.fillRect(0, 0, c.width, c.height);
+  const series = [['u', '#f55'], ['v', '#5f5'], ['p', '#59f']];
+  const n = hist.step.length;
+  if (n < 2) return;
+  let maxv = 0.01;
+  for (const [k] of series)
+    for (const v of hist[k]) if (v > maxv) maxv = v;
+  for (const [k, color] of series) {
+    ctx.strokeStyle = color; ctx.beginPath();
+    for (let i = 0; i < n; i++) {
+      const x = i / (n - 1) * (c.width - 10) + 5;
+      const y = c.height - 5 - (hist[k][i] / maxv) * (c.height - 10);
+      if (i === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
+    }
+    ctx.stroke();
+  }
+  ctx.fillStyle = '#ddd';
+  ctx.fillText(`max ${maxv.toExponential(2)}  (red=U green=V blue=P)`, 8, 12);
+}
+async function poll() {
+  try {
+    const r = await fetch('/api/state');
+    const s = await r.json();
+    document.getElementById('log').textContent = s.log.join('\n');
+    const el = document.getElementById('log');
+    el.scrollTop = el.scrollHeight;
+    drawGraph(s.history);
+    if (s.running) refreshFrame();
+  } catch (e) {}
+  setTimeout(poll, 250);
+}
+async function tesselate() {
+  const f = document.getElementById('feature').value;
+  const m = document.getElementById('max_cell').value;
+  document.getElementById('featureval').textContent = f;
+  document.getElementById('maxval').textContent = m;
+  document.getElementById('meshimg').src =
+    `/api/mesh?feature=${f}&max_cell=${m}&t=${Date.now()}`;
+}
+document.getElementById('feature').oninput = e =>
+  document.getElementById('featureval').textContent = e.target.value;
+document.getElementById('max_cell').oninput = e =>
+  document.getElementById('maxval').textContent = e.target.value;
+poll();
+</script>
+</body>
+</html>
+"""

@@ -1,0 +1,265 @@
+"""Interactive web front-end: the framework's equivalent of the
+reference's UI layer (egui desktop app src/app.rs / browser twin
+index.html), written from scratch on the stdlib http.server.
+
+Panels mirrored (SURVEY.md section 2.3):
+  * simulation view: start/pause/resume/reset, sliders (dt, viscosity,
+    inlet), combos (scheme, inlet profile, pressure solver, flow case),
+    visualization mode buttons (pressure / velocity / vorticity /
+    tracers), residual log + live 3-series residual graph, legend
+  * mesh view: feature/max-cell-size sliders, Tesselate button showing
+    the rasterized sketch + quadtree mesh overlay
+
+Frames are rendered on device and shipped as PNG; the browser polls.
+
+    python -m cfd_demo_tpu.apps.web.server --port 8000
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ... import (FlowCase, Grid, InletProfile, PressureSolver, Semantics,
+                 SimulationParams, VelocityScheme, cavity_grid, default_grid,
+                 make_scene, solver_options_for)
+from ...ops.tracers import draw_tracers
+from ...render.colormap import (VisualizationMode, boundary_overlay,
+                                legend_strip, render_field)
+from ...render.png import write_png
+from ...runtime.driver import SimulationHandle
+from .frontend import INDEX_HTML
+
+
+def png_bytes(rgb: np.ndarray) -> bytes:
+    import struct
+    import zlib
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 3))
+            + chunk(b"IEND", b""))
+
+
+class AppState:
+    """Server-side session: one simulation handle + mesh view cache."""
+
+    def __init__(self, nx=400, ny=132):
+        self.lock = threading.Lock()
+        self.nx, self.ny = nx, ny
+        self.params = SimulationParams(dt=0.005, viscosity=1e-6,
+                                       target_inlet_velocity=1.0)
+        self.handle: SimulationHandle | None = None
+        self.log_lines: list[str] = []
+        self.history = {"step": [], "u": [], "v": [], "p": []}
+
+    def grid(self) -> Grid:
+        if self.params.flow_case == FlowCase.CAVITY:
+            return cavity_grid(min(self.nx, self.ny))
+        import dataclasses
+        return dataclasses.replace(default_grid(), nx=self.nx, ny=self.ny)
+
+    def start(self):
+        self.stop()
+        scene = make_scene(self.grid(), self.params,
+                           solver_options_for(Semantics.RUST))
+        self.handle = SimulationHandle(scene, tracers=True).start()
+
+    def stop(self):
+        if self.handle is not None:
+            self.handle.stop()
+            self.handle = None
+
+    def drain_logs(self):
+        if self.handle is None:
+            return
+        for rec in self.handle.get_new_log_messages():
+            self.log_lines.append(rec.format_line())
+            self.history["step"].append(rec.simulation_step)
+            self.history["u"].append(rec.u)
+            self.history["v"].append(rec.v)
+            self.history["p"].append(rec.p)
+        self.log_lines = self.log_lines[-200:]
+        for k in self.history:
+            self.history[k] = self.history[k][-2000:]
+
+
+APP = AppState()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _send(self, code, body, ctype="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        if url.path == "/":
+            self._send(200, INDEX_HTML.encode(), "text/html")
+        elif url.path == "/api/frame":
+            self._frame(q)
+        elif url.path == "/api/state":
+            self._state()
+        elif url.path == "/api/legend":
+            self._send(200, png_bytes(legend_strip(256, 20)), "image/png")
+        elif url.path == "/api/mesh":
+            self._mesh(q)
+        else:
+            self._send(404, b"{}")
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(n) or b"{}")
+        url = urlparse(self.path)
+        with APP.lock:
+            if url.path == "/api/control":
+                self._control(payload)
+            elif url.path == "/api/params":
+                self._params(payload)
+            else:
+                return self._send(404, b"{}")
+        self._send(200, b'{"ok": true}')
+
+    # ----- handlers -----
+
+    def _control(self, p):
+        action = p.get("action")
+        if action == "start":
+            if APP.handle is None:
+                APP.start()
+            else:
+                APP.handle.resume()
+        elif action == "pause" and APP.handle:
+            APP.handle.pause()
+        elif action == "reset":
+            APP.stop()
+            APP.log_lines.clear()
+            for k in APP.history:
+                APP.history[k].clear()
+
+    def _params(self, p):
+        import dataclasses
+        kw = {}
+        if "dt" in p:
+            kw["dt"] = float(p["dt"])
+        if "viscosity" in p:
+            kw["viscosity"] = float(p["viscosity"])
+        if "inlet" in p:
+            kw["target_inlet_velocity"] = float(p["inlet"])
+        if "scheme" in p:
+            kw["velocity_scheme"] = VelocityScheme(p["scheme"])
+        if "profile" in p:
+            kw["inlet_profile"] = InletProfile(p["profile"])
+        if "solver" in p:
+            kw["pressure_solver"] = PressureSolver(p["solver"])
+        if "flow_case" in p:
+            kw["flow_case"] = FlowCase(p["flow_case"])
+        APP.params = dataclasses.replace(APP.params, **kw)
+        if APP.handle is not None:
+            if "flow_case" in p:
+                APP.start()  # different grid/BC family: rebuild
+            else:
+                APP.handle.set_params(APP.params)
+
+    def _frame(self, q):
+        with APP.lock:
+            h = APP.handle
+            if h is None:
+                img = np.full((APP.ny, APP.nx, 3), 24, np.uint8)
+                return self._send(200, png_bytes(img), "image/png")
+            h.request_snapshot()
+            import time
+            snap = None
+            for _ in range(100):
+                snap = h.get_last_available_snapshot()
+                if snap is not None:
+                    break
+                time.sleep(0.01)
+            if snap is None:
+                return self._send(503, b"{}")
+            mode = VisualizationMode(q.get("mode", "velocity"))
+            grid = h._scene.grid
+            img = np.asarray(render_field(
+                np.asarray(snap.u), np.asarray(snap.v[:-1]),
+                np.asarray(snap.p), grid=grid, mode=mode))
+            img = boundary_overlay(img)
+            if q.get("tracers") == "1" and h.tracer_state is not None:
+                img = draw_tracers(img, h.tracer_state, grid)
+            # upscale 2x for display crispness (nearest)
+            img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+            self._send(200, png_bytes(img), "image/png")
+
+    def _state(self):
+        with APP.lock:
+            APP.drain_logs()
+            h = APP.handle
+            body = {
+                "running": h is not None,
+                "log": APP.log_lines[-40:],
+                "history": APP.history,
+                "params": {
+                    "dt": APP.params.dt,
+                    "viscosity": APP.params.viscosity,
+                    "inlet": APP.params.target_inlet_velocity,
+                    "scheme": APP.params.velocity_scheme.value,
+                    "profile": APP.params.inlet_profile.value,
+                    "solver": APP.params.pressure_solver.value,
+                    "flow_case": APP.params.flow_case.value,
+                },
+            }
+        self._send(200, json.dumps(body).encode())
+
+    def _mesh(self, q):
+        from ...mesh2d import Polygon, QuadMesh, tesselate
+        from ...utils.raster import rasterize_mesh, rasterize_polygon
+        feature = float(q.get("feature", 0.2))
+        max_cell = float(q.get("max_cell", 1.0))
+        # Default sketch: 30x10 rect with rotated-square hole
+        # (src/views/mesh_view.rs:140-152).
+        poly = Polygon.rect(0.0, 0.0, 30.0, 10.0)
+        poly.add_hole(Polygon.regular((7.5, 5.0), 1.5, 4, math.pi / 4))
+        qt = tesselate(poly, feature, max_cell)
+        mesh = QuadMesh.from_quadtree(qt, poly)
+        img = rasterize_polygon(poly, 900, 300)
+        img = rasterize_mesh(mesh, background=img,
+                             bounds=((0.0, 0.0), (30.0, 10.0)))
+        self._send(200, png_bytes(img), "image/png")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--nx", type=int, default=400)
+    ap.add_argument("--ny", type=int, default=132)
+    args = ap.parse_args(argv)
+    APP.nx, APP.ny = args.nx, args.ny
+    server = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"cfd-demo-tpu web UI on http://127.0.0.1:{args.port}/")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        APP.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,8 @@ class _Command:
 class SimulationHandle:
     """Control endpoint (model.rs:65-117). Create via ``run()``."""
 
-    def __init__(self, scene: Scene, state: Optional[State] = None):
+    def __init__(self, scene: Scene, state: Optional[State] = None,
+                 tracers: bool = False):
         self._scene = scene
         self._state = state if state is not None else scene.init_state()
         self._step = make_step(scene, donate=False)
@@ -63,6 +64,32 @@ class SimulationHandle:
         self.history = ResidualHistory()
         self._thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
+        self._tracers_enabled = tracers
+        self._tracer_state = None
+        self._tracer_step = None
+        if tracers:
+            self._init_tracers()
+
+    def _init_tracers(self):
+        import jax
+        from ..ops import tracers as trc
+        grid = self._scene.grid
+        self._tracer_state = trc.init_tracers(grid)
+        self._tracer_step = jax.jit(
+            lambda ts, u, v, dt, k: trc.step_tracers(ts, u, v, grid, dt, k))
+
+    def set_tracers(self, enabled: bool):
+        """Enable/disable tracer particles (index.html tracer checkbox)."""
+        self._tracers_enabled = enabled
+        if enabled and self._tracer_state is None:
+            self._init_tracers()
+        if not enabled:
+            self._tracer_state = None
+            self._tracer_step = None
+
+    @property
+    def tracer_state(self):
+        return self._tracer_state
 
     # --- lifecycle (model.rs:1282-1332) ---
 
@@ -101,6 +128,10 @@ class SimulationHandle:
                 continue
             t0 = time.perf_counter()
             self._state, diag = self._step(self._state)
+            if self._tracers_enabled and self._tracer_state is not None:
+                s = self._state
+                self._tracer_state = self._tracer_step(
+                    self._tracer_state, s.u, s.v, s.dt, s.step)
             rec = Residuals(
                 simulation_step=int(diag.step),
                 simulation_time=float(diag.t),
@@ -169,7 +200,8 @@ class SimulationHandle:
                 return out
 
 
-def run(scene: Scene, state: Optional[State] = None) -> SimulationHandle:
+def run(scene: Scene, state: Optional[State] = None,
+        tracers: bool = False) -> SimulationHandle:
     """Model::run equivalent: start stepping on a background thread and
     return the control handle."""
-    return SimulationHandle(scene, state).start()
+    return SimulationHandle(scene, state, tracers=tracers).start()
