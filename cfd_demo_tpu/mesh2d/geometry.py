@@ -183,8 +183,16 @@ class Polygon:
     def contains_points(self, points) -> np.ndarray:
         """Ray-cast containment for an (N, 2) batch; hole-interior
         points count as outside. Matches the reference's half-open edge
-        rule ((a.y > p.y) != (b.y > p.y), strict p.x < x_intersect)."""
+        rule ((a.y > p.y) != (b.y > p.y), strict p.x < x_intersect).
+
+        Large batches go through the native C++ core (mesh2d.native)
+        when the toolchain built it; results are identical."""
         p = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+        if len(p) >= 4096:
+            from . import native
+            got = native.contains_points(self, p)
+            if got is not None:
+                return got
         a = self.ring
         b = np.roll(self.ring, -1, axis=0)
         py = p[:, 1][:, None]

@@ -108,6 +108,13 @@ class QuadMesh:
         ymin = centers[:, 1] - half_h
         ymax = centers[:, 1] + half_h
 
+        from . import native as _native
+        use_native = _native.available()
+
+        def face_neighbors_native(face_id):
+            return _native.face_adjacency(centers, half_w, half_h, face_id,
+                                          EPS_NEIGHBOR)
+
         def face_neighbors(my_face, their_face, lo, hi):
             """Indices j whose ``their_face`` coincides with cell i's
             ``my_face`` and whose (lo, hi) interval strictly overlaps
@@ -126,10 +133,16 @@ class QuadMesh:
                 lists.append(out)
             return _csr(lists)
 
-        east_off, east_idx = face_neighbors(xmax, xmin, ymin, ymax)
-        west_off, west_idx = face_neighbors(xmin, xmax, ymin, ymax)
-        north_off, north_idx = face_neighbors(ymax, ymin, xmin, xmax)
-        south_off, south_idx = face_neighbors(ymin, ymax, xmin, xmax)
+        if use_native:
+            east_off, east_idx = face_neighbors_native(0)
+            west_off, west_idx = face_neighbors_native(1)
+            north_off, north_idx = face_neighbors_native(2)
+            south_off, south_idx = face_neighbors_native(3)
+        else:
+            east_off, east_idx = face_neighbors(xmax, xmin, ymin, ymax)
+            west_off, west_idx = face_neighbors(xmin, xmax, ymin, ymax)
+            north_off, north_idx = face_neighbors(ymax, ymin, xmin, xmax)
+            south_off, south_idx = face_neighbors(ymin, ymax, xmin, xmax)
 
         # Cell-edge x polygon-edge intersections (mesh.rs:172-209).
         all_edges = polygon.edges()
