@@ -1,0 +1,53 @@
+"""Explicit halo exchange over a row-sharded mesh axis.
+
+Tier 2 of the scale-out design (SURVEY.md section 2.7): where tier 1
+lets XLA's SPMD partitioner insert halo transfers for jnp stencils,
+this module hand-writes them with lax.ppermute inside shard_map -- the
+building block for multi-chip Pallas kernels and for the wide-halo
+batched-iteration Jacobi (one exchange per K iterations instead of per
+sweep, trading redundant compute for ICI latency; SURVEY.md section 7
+"Multi-chip Jacobi").
+
+Convention: fields are (local_rows, nx) blocks of a (ny, nx) global
+array, contiguous rows per shard, shard 0 owning the bottom rows.
+Non-periodic: edge shards receive zero halos (ppermute supplies zeros
+for missing pairs), and the domain boundary conditions mask them.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _perm_up(n: int):
+    """shard i -> shard i+1 (data moving toward larger row indices)."""
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def _perm_down(n: int):
+    return [(i + 1, i) for i in range(n - 1)]
+
+
+def exchange_rows(x: jnp.ndarray, axis: str, width: int) -> jnp.ndarray:
+    """Return x extended to (width + local + width) rows with neighbor
+    halos; zero rows at the physical domain edges."""
+    n = lax.axis_size(axis)
+    from_below = lax.ppermute(x[-width:, :], axis, _perm_up(n))
+    from_above = lax.ppermute(x[:width, :], axis, _perm_down(n))
+    return jnp.concatenate([from_below, x, from_above], axis=0)
+
+
+def global_row_index(local_rows: int, axis: str, halo: int = 0):
+    """Global row index of each row of a (halo + local + halo) block."""
+    shard = lax.axis_index(axis)
+    base = shard * local_rows - halo
+    return base + lax.broadcasted_iota(jnp.int32,
+                                       (local_rows + 2 * halo, 1), 0)
+
+
+def pmax(x, axis: str):
+    return lax.pmax(x, axis)

@@ -1,0 +1,56 @@
+"""Explicit shard_map halo-exchange tier vs the single-device solver."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfd_demo_tpu.ops.poisson import jacobi
+from cfd_demo_tpu.shard.halo import exchange_rows
+from cfd_demo_tpu.shard.jacobi_shmap import jacobi_shmap
+from cfd_demo_tpu.shard.mesh import make_mesh
+
+
+def test_exchange_rows():
+    mesh = make_mesh()
+    n = 8 * len(jax.devices())
+    x = jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4)
+    from jax.sharding import PartitionSpec as P
+
+    def f(loc):
+        return exchange_rows(loc, "y", 2)
+
+    out = jax.shard_map(f, mesh=mesh, in_specs=P("y", None),
+                        out_specs=P("y", None))(x)
+    out = np.asarray(out)
+    local = n // len(jax.devices())
+    blk = out.reshape(len(jax.devices()), local + 4, 4)
+    ref = np.asarray(x).reshape(len(jax.devices()), local, 4)
+    for s in range(len(jax.devices())):
+        np.testing.assert_array_equal(blk[s, 2:-2], ref[s])
+        if s > 0:
+            np.testing.assert_array_equal(blk[s, :2], ref[s - 1][-2:])
+        else:
+            np.testing.assert_array_equal(blk[s, :2], 0)
+        if s < len(jax.devices()) - 1:
+            np.testing.assert_array_equal(blk[s, -2:], ref[s + 1][:2])
+        else:
+            np.testing.assert_array_equal(blk[s, -2:], 0)
+
+
+@pytest.mark.parametrize("k", [1, 4, 5])
+def test_jacobi_shmap_matches_single_device(k):
+    rng = np.random.default_rng(0)
+    ny = nx = 64
+    dx = dy = 1.0 / nx
+    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: jacobi(p, r, dx, dy, 0.75, 0.0, 20, early_exit=False)
+    )(pp, rhs)
+    mesh = make_mesh()
+    got, err_got = jax.jit(
+        lambda p, r: jacobi_shmap(p, r, mesh, dx, dy, 0.75, 20, k=k))(pp, rhs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
