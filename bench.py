@@ -27,9 +27,11 @@ def main():
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
                          "corrector rounds")
-    ap.add_argument("--impl", choices=["pallas", "jnp"], default="jnp",
-                    help="pressure-solve implementation; jnp (XLA-fused scan) "
-                         "is fastest on v5e (see docs/PERF.md)")
+    ap.add_argument("--impl", choices=["auto", "pallas", "jnp"],
+                    default="auto",
+                    help="pressure-solve implementation; auto picks the "
+                         "fused-K Pallas kernel above ~6M cells and the "
+                         "XLA-fused scan below (docs/PERF.md)")
     args = ap.parse_args()
 
     import jax

@@ -210,10 +210,11 @@ class SolverOptions:
     # vmap-friendly and has deterministic cost.
     early_exit: bool = True
     # Pressure-solve implementation: "jnp" (exact reference semantics,
-    # per-iteration convergence checks) or "pallas" (fused K-iteration
-    # VMEM kernel; convergence checked every K iterations -- the
-    # throughput path; falls back to jnp on unsupported shapes/backends).
-    pressure_impl: str = "jnp"
+    # per-iteration convergence checks), "pallas" (fused K-iteration
+    # VMEM kernel; convergence checked every K iterations), or "auto"
+    # (default): pallas on TPU above ~6M cells where XLA's fused scan
+    # loses 4-5x effective bandwidth, jnp otherwise (docs/PERF.md).
+    pressure_impl: str = "auto"
     pallas_fuse_k: int = 10
     pallas_block_rows: int = 128
 

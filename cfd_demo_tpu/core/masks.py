@@ -105,3 +105,82 @@ def build_masks(grid: Grid, semantics: Semantics) -> Tuple[np.ndarray, np.ndarra
     # a mask there would only re-zero an already-zero row.
     return (mask_u.astype(f32), mask_v[:ny].astype(f32),
             mask_u_bc.astype(f32), mask_v_bc[:ny].astype(f32))
+
+
+# ---------------------------------------------------------------------------
+# Traced (on-device) mask construction
+# ---------------------------------------------------------------------------
+#
+# Baking mask arrays into the jit program embeds O(ny*nx) constants in
+# the HLO (267 MB at 8192^2 -- it broke remote compilation outright).
+# The TPU-native form computes the same masks analytically from
+# broadcast iota coordinates inside the fused stencil: a few flops per
+# cell, no HBM reads, no constants.
+
+def _inside_traced(obstacle, x, y, inclusive: bool):
+    import jax.numpy as jnp
+    if isinstance(obstacle, Cylinder):
+        d2 = ((x - obstacle.center_x) ** 2 + (y - obstacle.center_y) ** 2)
+        r2 = obstacle.radius ** 2
+        return d2 <= r2 if inclusive else d2 < r2
+    if isinstance(obstacle, Box):
+        ax = jnp.abs(x - obstacle.center_x)
+        ay = jnp.abs(y - obstacle.center_y)
+        if inclusive:
+            return (ax <= obstacle.half_w) & (ay <= obstacle.half_h)
+        return (ax < obstacle.half_w) & (ay < obstacle.half_h)
+    raise TypeError(f"unknown obstacle type: {type(obstacle)}")
+
+
+def _any_inside_traced(grid: Grid, x, y, inclusive: bool):
+    import jax.numpy as jnp
+    acc = None
+    for obs in grid.obstacles:
+        m = _inside_traced(obs, x, y, inclusive)
+        acc = m if acc is None else (acc | m)
+    return acc
+
+
+def masks_traced(grid: Grid, semantics: Semantics, dtype):
+    """(mask_u, mask_v, mask_u_bc, mask_v_bc) as traced bool arrays in
+    the storage shapes ((ny, nx+1), (ny, nx), ...). Returns None
+    tuple when the scene has no obstacles (callers skip the selects)."""
+    import jax.numpy as jnp
+    from jax import lax
+    if not grid.obstacles:
+        return None, None, None, None
+    ny, nx = grid.ny, grid.nx
+    dx, dy = grid.dx, grid.dy
+
+    def coords(shape, x_off, y_off):
+        i = lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
+        j = lax.broadcasted_iota(jnp.int32, shape, 0).astype(dtype)
+        return (i + x_off) * dx, (j + y_off) * dy
+
+    if semantics == Semantics.RUST:
+        # Cell-center test marks both adjacent faces (model.rs:232-261).
+        shp_u = (ny, nx + 1)
+        xcw, ycw = coords(shp_u, -0.5, 0.5)   # cell west of u face f
+        xce, yce = coords(shp_u, 0.5, 0.5)    # cell east of u face f
+        iu = lax.broadcasted_iota(jnp.int32, shp_u, 1)
+        in_w = _any_inside_traced(grid, xcw, ycw, False) & (iu >= 1)
+        in_e = _any_inside_traced(grid, xce, yce, False) & (iu <= nx - 1)
+        mask_u = in_w | (in_e & (iu >= 1))  # cell 0 never marks face 0
+        mask_u_bc = in_e & (iu <= nx - 1)   # west face of each inside cell
+        shp_v = (ny, nx)
+        xcs, ycs = coords(shp_v, 0.5, -0.5)  # cell south of v face r
+        xcn, ycn = coords(shp_v, 0.5, 0.5)   # cell north of v face r
+        jv = lax.broadcasted_iota(jnp.int32, shp_v, 0)
+        in_s = _any_inside_traced(grid, xcs, ycs, False) & (jv >= 1)
+        in_n = _any_inside_traced(grid, xcn, ycn, False)
+        mask_v = in_s | (in_n & (jv >= 1))
+        mask_v_bc = in_n
+    else:
+        # JS: face-position test, inclusive radius
+        # (index.html:377-380, :912-929).
+        xu, yu = coords((ny, nx + 1), 0.0, 0.5)
+        mask_u = _any_inside_traced(grid, xu, yu, True)
+        xv, yv = coords((ny, nx), 0.5, 0.0)
+        mask_v = _any_inside_traced(grid, xv, yv, True)
+        mask_u_bc, mask_v_bc = mask_u, mask_v
+    return mask_u, mask_v, mask_u_bc, mask_v_bc

@@ -150,10 +150,19 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         bs, halo, nblocks = ny, 0, 1
     else:
         halo = _halo8(k)
+        # Scoped VMEM holds 2 windows (p', rhs) + the output block +
+        # iteration temporaries; keep the window budget width-aware so
+        # wide grids (8192+) still fit the 16 MB limit.
+        budget = 7 * 1024 * 1024
+
+        def vmem_est(bs):
+            return (2 * (bs + 2 * halo) + bs) * nxp * 4
+
         bs = block_rows
-        while ny % bs != 0 or ny < bs + 2 * halo:
+        while (ny % bs != 0 or ny < bs + 2 * halo
+               or vmem_est(bs) > budget):
             bs //= 2
-            if bs < 32:
+            if bs < 8:
                 raise ValueError(f"no valid block size for ny={ny}, k={k}")
         nblocks = ny // bs
     w = bs + 2 * halo

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import FlowCase, Grid, InletProfile
-from .stencil import col_index, row_index, shifted
+from .stencil import apply_solid_mask, col_index, row_index, shifted
 
 
 def inlet_profile_column(grid: Grid, profile: InletProfile,
@@ -69,6 +69,6 @@ def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
         u = jnp.where((cu == 0) | (cu == nx), 0.0, u)
         v = jnp.where(rv == 0, 0.0, v)                  # floor (normal)
         v = jnp.where((cv == 0) | (cv == nx - 1), 0.0, v)  # side (tangential)
-    u = jnp.where(mask_u_bc > 0, 0.0, u)
-    v = jnp.where(mask_v_bc > 0, 0.0, v)
+    u = apply_solid_mask(u, mask_u_bc)
+    v = apply_solid_mask(v, mask_v_bc)
     return u, v

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.config import VelocityScheme
 from .schemes import u_faces, v_faces
-from .stencil import Shifts, col_index, row_index
+from .stencil import Shifts, apply_solid_mask, col_index, row_index
 
 
 def predict(u, v, dt_sub, nu, dx, dy, nx: int, ny: int,
@@ -40,7 +40,7 @@ def predict(u, v, dt_sub, nu, dx, dy, nx: int, ny: int,
     u_cand = u + dt_sub * (-conv_u + nu * lap_u)
     iu, ju = col_index(u.shape), row_index(u.shape)
     interior_u = (iu >= 1) & (iu <= nx - 1) & (ju >= 1) & (ju <= ny - 2)
-    u_cand = jnp.where(mask_u > 0, 0.0, u_cand)
+    u_cand = apply_solid_mask(u_cand, mask_u)
     u_star = jnp.where(interior_u, u_cand, u)
 
     # ---- v momentum -------------------------------------------------
@@ -53,6 +53,6 @@ def predict(u, v, dt_sub, nu, dx, dy, nx: int, ny: int,
     v_cand = v + dt_sub * (-conv_v + nu * lap_v)
     iv, jv = col_index(v.shape), row_index(v.shape)
     interior_v = (iv >= 1) & (iv <= nx - 2) & (jv >= 1) & (jv <= ny - 1)
-    v_cand = jnp.where(mask_v > 0, 0.0, v_cand)
+    v_cand = apply_solid_mask(v_cand, mask_v)
     v_star = jnp.where(interior_v, v_cand, v)
     return u_star, v_star

@@ -37,6 +37,15 @@ def row_index(shape) -> jnp.ndarray:
     return lax.broadcasted_iota(jnp.int32, shape, dimension=0)
 
 
+def apply_solid_mask(x, mask):
+    """Zero x where the solid mask is set; mask may be a bool array, a
+    0/1 float array, or None (no obstacles)."""
+    if mask is None:
+        return x
+    m = mask if mask.dtype == jnp.bool_ else (mask > 0)
+    return jnp.where(m, 0.0, x)
+
+
 class Shifts:
     """Bundle of shifted views of one source array on a target grid.
 

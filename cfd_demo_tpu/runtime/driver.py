@@ -64,6 +64,7 @@ class SimulationHandle:
         self.history = ResidualHistory()
         self._thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
+        self.diverged = False
         self._tracers_enabled = tracers
         self._tracer_state = None
         self._tracer_step = None
@@ -132,6 +133,18 @@ class SimulationHandle:
                 s = self._state
                 self._tracer_state = self._tracer_step(
                     self._tracer_state, s.u, s.v, s.dt, s.step)
+            # Failure detection (SURVEY.md section 5): the reference can
+            # and does diverge numerically with nothing noticing; a
+            # non-finite residual here auto-pauses instead of burning
+            # the device on NaNs.
+            import math as _math
+            if not (_math.isfinite(float(diag.res_u))
+                    and _math.isfinite(float(diag.res_p))):
+                self.diverged = True
+                paused = True
+                print("cfd-demo-tpu: non-finite residual at step "
+                      f"{int(diag.step)}; simulation auto-paused "
+                      "(reduce dt or viscosity gradient)")
             rec = Residuals(
                 simulation_step=int(diag.step),
                 simulation_time=float(diag.t),

@@ -96,7 +96,10 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     from ..ops.poisson import pprime_bc_fn
     bc = pprime_bc_fn(scene.params.flow_case)
     if solver == PressureSolver.JACOBI:
-        if opts.pressure_impl == "pallas" and _pallas_ok(scene):
+        impl = opts.pressure_impl
+        if impl == "auto":
+            impl = ("pallas" if g.nx * g.ny > 6_000_000 else "jnp")
+        if impl == "pallas" and _pallas_ok(scene):
             from ..kernels.jacobi_pallas import jacobi_pallas
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                                  opts.jacobi_tol, opts.jacobi_iters,
@@ -123,10 +126,12 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
     g, opts = scene.grid, scene.opts
     nx, ny = g.nx, g.ny
     avg_conv_v = opts.semantics == Semantics.JS
-    mask_u = jnp.asarray(scene.mask_u, u.dtype)
-    mask_v = jnp.asarray(scene.mask_v, v.dtype)
-    mask_u_bc = jnp.asarray(scene.mask_u_bc, u.dtype)
-    mask_v_bc = jnp.asarray(scene.mask_v_bc, v.dtype)
+    # Obstacle masks are computed analytically from iota coordinates so
+    # they fuse into the stencils instead of living as O(ny*nx) HLO
+    # constants (core/masks.py masks_traced).
+    from ..core.masks import masks_traced
+    mask_u, mask_v, mask_u_bc, mask_v_bc = masks_traced(
+        g, opts.semantics, u.dtype)
     scheme = scene.params.velocity_scheme
 
     u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, nx, ny,
