@@ -12,7 +12,7 @@ import sys
 
 import numpy as np
 
-from .. import Box, Grid, Semantics, make_scene, make_run, solver_options_for
+from .. import Box, Grid, Semantics, make_scene, solver_options_for
 from .common import base_parser, params_from_args, save_frames
 
 
@@ -35,7 +35,6 @@ def main(argv=None):
     probe_j = grid.ny // 2
 
     import jax
-    from functools import partial
     from ..solver.piso import step_fn
 
     def step_with_probe(s, _):

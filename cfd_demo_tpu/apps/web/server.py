@@ -32,7 +32,6 @@ from ... import (FlowCase, Grid, InletProfile, PressureSolver, Semantics,
 from ...ops.tracers import draw_tracers
 from ...render.colormap import (VisualizationMode, boundary_overlay,
                                 legend_strip, render_field)
-from ...render.png import write_png
 from ...runtime.driver import SimulationHandle
 from .frontend import INDEX_HTML
 

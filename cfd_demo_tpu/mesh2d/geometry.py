@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .intersect import EPS, segments_intersect
+from .intersect import segments_intersect
 
 
 class PolygonError(ValueError):

@@ -14,8 +14,6 @@ from __future__ import annotations
 import sys
 from typing import List, Optional, Sequence, Tuple
 
-import numpy as np
-
 EPS = sys.float_info.epsilon  # the reference uses f64::EPSILON
 
 Pt = Tuple[float, float]

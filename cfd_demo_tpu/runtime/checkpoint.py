@@ -8,7 +8,6 @@ runs (BASELINE config 3, Re sweep) can resume across processes.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax.numpy as jnp

@@ -15,9 +15,6 @@ for missing pairs), and the domain boundary conditions mask them.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

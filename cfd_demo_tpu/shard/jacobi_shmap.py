@@ -15,12 +15,10 @@ Both produce fields identical to the single-device solver
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stencil import shifted
 from .halo import exchange_rows, global_row_index

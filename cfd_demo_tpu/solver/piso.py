@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.config import (Grid, InletProfile, PressureSolver, Semantics,
-                           SimulationParams, SolverOptions, VelocityScheme)
+from ..core.config import (Grid, PressureSolver, Semantics,
+                           SimulationParams, SolverOptions)
 from ..core.masks import build_masks
 from ..core.state import State, init_state
 from ..ops.bc import apply_bcs
