@@ -212,8 +212,8 @@ class SolverOptions:
     # Pressure-solve implementation: "jnp" (exact reference semantics,
     # per-iteration convergence checks), "pallas" (fused K-iteration
     # VMEM kernel; convergence checked every K iterations), or "auto"
-    # (default): pallas on TPU above ~6M cells where XLA's fused scan
-    # loses 4-5x effective bandwidth, jnp otherwise (docs/PERF.md).
+    # (default): pallas on TPU at >=2M cells (ties XLA at 2048^2 and
+    # wins 4-10x above), jnp below (docs/PERF.md).
     pressure_impl: str = "auto"
     pallas_fuse_k: int = 10
     pallas_block_rows: int = 128

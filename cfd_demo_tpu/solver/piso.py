@@ -98,7 +98,7 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     if solver == PressureSolver.JACOBI:
         impl = opts.pressure_impl
         if impl == "auto":
-            impl = ("pallas" if g.nx * g.ny > 6_000_000 else "jnp")
+            impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
         if impl == "pallas" and _pallas_ok(scene):
             from ..kernels.jacobi_pallas import jacobi_pallas
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
@@ -231,9 +231,15 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
         max_res_p = jnp.maximum(max_res_p, err) if js else err
         return u, v, p, pp, max_res_p
 
-    u, v, p, pp, res_p = lax.fori_loop(
-        0, substeps, sub_body,
-        (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
+    if not opts.substeps_adaptive and opts.substeps_init == 1:
+        # Statically one substep (Rust semantics): skip the dynamic
+        # fori_loop wrapper so XLA fuses across the substep boundary.
+        u, v, p, pp, res_p = sub_body(
+            0, (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
+    else:
+        u, v, p, pp, res_p = lax.fori_loop(
+            0, substeps, sub_body,
+            (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
 
     res_u = jnp.max(jnp.abs(u - u_old))
     res_v = jnp.max(jnp.abs(v - v_old))
