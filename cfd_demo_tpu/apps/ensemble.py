@@ -50,7 +50,13 @@ def main(argv=None):
         return jax.lax.scan(body, s, None, length=args.chunk)[0]
 
     run = jax.jit(chunk_fn)
-    done = 0
+    # First chunk compiles (60-180s on the axon remote compiler);
+    # excluded from throughput.
+    t0 = time.perf_counter()
+    batched = run(batched)
+    _ = float(batched.res_u[0])
+    print(f"compile + first chunk: {time.perf_counter() - t0:.1f}s")
+    done = args.chunk
     t_total = 0.0
     while done < args.steps:
         t0 = time.perf_counter()
@@ -58,14 +64,16 @@ def main(argv=None):
         _ = float(batched.res_u[0])
         t_total += time.perf_counter() - t0
         done += args.chunk
-        print(f"step {done}: {B * args.chunk / t_total:.1f} scene-steps/s "
-              f"cumulative")
+        print(f"step {done}: {B * args.chunk / (t_total / max(1, (done - args.chunk) // args.chunk)):.1f} "
+              f"scene-steps/s")
 
     u = np.asarray(batched.u)
     assert np.isfinite(u).all()
-    cu = B * done * grid.nx * grid.ny / t_total
-    print(f"ensemble of {B} scenes x {done} steps: "
-          f"{cu:.3e} cell-updates/s aggregate")
+    timed_steps = done - args.chunk
+    if timed_steps > 0 and t_total > 0:
+        cu = B * timed_steps * grid.nx * grid.ny / t_total
+        print(f"ensemble of {B} scenes x {timed_steps} timed steps: "
+              f"{cu:.3e} cell-updates/s aggregate")
     # Spread across the sweep confirms per-element independence.
     print("max|u| per nu decile:",
           np.round([abs(u[k]).max() for k in range(0, B, max(B // 8, 1))], 3))

@@ -260,45 +260,54 @@ def _mg_residual(p, rhs, dx, dy):
 
 def _mg_restrict(fine: jnp.ndarray, nx_c: int, ny_c: int) -> jnp.ndarray:
     """Full-weighting on the interior, injection on the boundary
-    (index.html:1372-1395)."""
+    (index.html:1372-1395).
+
+    Formulated with shifted views, stride-2 slices and iota selects --
+    no gathers or .at[] scatters -- so it partitions correctly under
+    row sharding (like everything else in this module).
+    """
     ny_f, nx_f = fine.shape
-    c = jnp.zeros((ny_c, nx_c), fine.dtype)
-    fi = 2 * np.arange(1, nx_c - 1)
-    fj = 2 * np.arange(1, ny_c - 1)
-    FJ, FI = np.meshgrid(fj, fi, indexing="ij")
-    s = (fine[FJ, FI]
-         + 0.5 * (fine[FJ, FI - 1] + fine[FJ, FI + 1]
-                  + fine[FJ - 1, FI] + fine[FJ + 1, FI])
-         + 0.25 * (fine[FJ - 1, FI - 1] + fine[FJ + 1, FI - 1]
-                   + fine[FJ - 1, FI + 1] + fine[FJ + 1, FI + 1]))
-    c = c.at[1:ny_c - 1, 1:nx_c - 1].set(s / 4.0)
+    sh = lambda dj, di: shifted(fine, fine.shape, dj, di)
+    w9 = (fine
+          + 0.5 * (sh(0, 1) + sh(0, -1) + sh(1, 0) + sh(-1, 0))
+          + 0.25 * (sh(1, 1) + sh(1, -1) + sh(-1, 1) + sh(-1, -1))) / 4.0
+    core = w9[::2, ::2][:ny_c, :nx_c]
     # Boundary injection (flat-index quirks of the JS resolved to the
-    # same-row/col samples; see docs/SPEC.md). NOTE: these .at[] row
-    # writes are not GSPMD-safe under row sharding; the multigrid
-    # solver currently runs replicated/single-shard (the sharded tier
-    # covers Jacobi/SOR).
-    xi = np.minimum(2 * np.arange(nx_c), nx_f - 1)
-    yj = np.minimum(2 * np.arange(ny_c), ny_f - 1)
-    c = c.at[0, :].set(fine[0, xi])
-    c = c.at[ny_c - 1, :].set(fine[ny_f - 1, xi])
-    c = c.at[:, 0].set(fine[yj, 0])
-    c = c.at[:, nx_c - 1].set(fine[yj, nx_f - 1])
-    return c
+    # same-row/col samples; see docs/SPEC.md). 2*(n_c-1) <= n_f-1
+    # always, so the stride-2 subsamples need no clamping.
+    bot_row = fine[0:1, ::2][:, :nx_c]
+    top_row = lax.slice(fine, (ny_f - 1, 0), (ny_f, nx_f))[:, ::2][:, :nx_c]
+    left_col = fine[::2, 0:1][:ny_c, :]
+    right_col = lax.slice(fine, (0, nx_f - 1), (ny_f, nx_f))[::2, :][:ny_c, :]
+    _, r, c = _iota_masks((ny_c, nx_c))
+    out = core
+    out = jnp.where(r == 0, bot_row, out)
+    out = jnp.where(r == ny_c - 1, top_row, out)
+    out = jnp.where(c == 0, left_col, out)       # columns last: corners
+    out = jnp.where(c == nx_c - 1, right_col, out)  # take column values
+    return out
 
 
 def _mg_prolong(coarse: jnp.ndarray, nx_f: int, ny_f: int) -> jnp.ndarray:
-    """Bilinear prolongation (index.html:1398-1421)."""
+    """Bilinear prolongation (index.html:1398-1421), via repeats and
+    clamped shifts (gather-free, shard-safe)."""
     ny_c, nx_c = coarse.shape
-    i0 = np.arange(nx_f) // 2
-    i1 = np.minimum(i0 + 1, nx_c - 1)
-    a = (np.arange(nx_f) % 2) * 0.5
-    j0 = np.arange(ny_f) // 2
-    j1 = np.minimum(j0 + 1, ny_c - 1)
-    b = (np.arange(ny_f) % 2) * 0.5
-    a = jnp.asarray(a, coarse.dtype)[None, :]
-    b = jnp.asarray(b, coarse.dtype)[:, None]
-    row = coarse[:, i0] * (1 - a) + coarse[:, i1] * a        # (ny_c, nx_f)
-    return row[j0, :] * (1 - b) + row[j1, :] * b             # (ny_f, nx_f)
+    # x: fine col i interpolates coarse cols i//2 and min(i//2+1, last).
+    right = shifted(coarse, coarse.shape, 0, 1)
+    right = jnp.where(col_index(coarse.shape) == nx_c - 1, coarse, right)
+    rep = jnp.repeat(coarse, 2, axis=1)[:, :nx_f]
+    rep_r = jnp.repeat(right, 2, axis=1)[:, :nx_f]
+    a = (lax.broadcasted_iota(jnp.int32, (ny_c, nx_f), 1) % 2
+         ).astype(coarse.dtype) * 0.5
+    row = rep * (1 - a) + rep_r * a
+    # y: same along rows.
+    down = shifted(row, row.shape, 1, 0)
+    down = jnp.where(row_index(row.shape) == ny_c - 1, row, down)
+    rep_y = jnp.repeat(row, 2, axis=0)[:ny_f, :]
+    rep_d = jnp.repeat(down, 2, axis=0)[:ny_f, :]
+    b = (lax.broadcasted_iota(jnp.int32, (ny_f, nx_f), 0) % 2
+         ).astype(coarse.dtype) * 0.5
+    return rep_y * (1 - b) + rep_d * b
 
 
 def _mg_vcycle(p, rhs, dx, dy, opts):

@@ -64,6 +64,30 @@ def test_sharded_second_order_quick():
                                    rtol=0, atol=1e-6)
 
 
+def test_sharded_multigrid_step():
+    """The multigrid solver (restrict/prolong now gather-free) must
+    also match single-device under GSPMD row sharding."""
+    from cfd_demo_tpu import PressureSolver
+    grid = Grid(nx=48, ny=64, lx=4.0, ly=4.0)
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MULTIGRID)
+    opts = solver_options_for(Semantics.JS, ramp_up_steps=5,
+                              substeps_adaptive=False, substeps_init=1)
+    scene = make_scene(grid, params, opts)
+    s1 = scene.init_state()
+    step1 = make_step(scene, donate=False)
+    mesh = make_mesh()
+    sN = shard_state(scene.init_state(), mesh)
+    stepN = make_sharded_step(scene, mesh)
+    for _ in range(3):
+        s1, _ = step1(s1)
+        sN, _ = stepN(sN)
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(sN.u),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.p), np.asarray(sN.p),
+                               rtol=0, atol=1e-5)
+
+
 def test_vmap_ensemble():
     """BASELINE config 5: vmap over a batch of scenes (different
     viscosities/inlets) -- the step must be batchable."""
