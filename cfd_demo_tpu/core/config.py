@@ -216,7 +216,7 @@ class SolverOptions:
     # wins 4-10x above), jnp below (docs/PERF.md).
     pressure_impl: str = "auto"
     pallas_fuse_k: int = 10
-    pallas_block_rows: int = 128
+    pallas_block_rows: int = 256
 
 
 def solver_options_for(semantics: Semantics, **overrides) -> SolverOptions:

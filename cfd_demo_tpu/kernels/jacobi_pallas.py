@@ -130,7 +130,7 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
 
 
 def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
-                   omega: float, k: int, block_rows: int = 128,
+                   omega: float, k: int, block_rows: int = 256,
                    interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K fused Jacobi iterations. Returns (p', last-iteration max error).
 
@@ -200,7 +200,7 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 
 def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                   omega: float, tol: float, iters: int, k: int = 10,
-                  block_rows: int = 128, early_exit: bool = True,
+                  block_rows: int = 256, early_exit: bool = True,
                   interpret: bool = False):
     """Drop-in replacement for ops.poisson.jacobi on the throughput path.
 
