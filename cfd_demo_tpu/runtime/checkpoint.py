@@ -29,6 +29,28 @@ def save(path: str, state: State) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def save_orbax(path: str, state: State) -> None:
+    """Async-capable checkpoint via orbax (sharded-array aware: on a
+    multi-chip mesh each host writes its shards). For production runs;
+    the .npz path stays dependency-light."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, dataclasses_to_dict(state), force=True)
+        ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, template: State) -> State:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, dataclasses_to_dict(template))
+    return State(**{f: restored.get(f) for f in _FIELDS})
+
+
+def dataclasses_to_dict(state: State):
+    return {name: getattr(state, name) for name in _FIELDS
+            if getattr(state, name) is not None}
+
+
 def load(path: str, template: Optional[State] = None) -> State:
     """Restore a State. When ``template`` is given, dtypes/optional
     fields follow it (e.g. u_prev present only in JS semantics)."""

@@ -1,0 +1,156 @@
+"""Smoke tests for the demo apps and web UI (tiny configs, CPU)."""
+import json
+import os
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def test_demo_cylinder_app():
+    from cfd_demo_tpu.apps import demo_cylinder
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "ck.npz")
+        assert demo_cylinder.main([
+            "--nx", "48", "--ny", "24", "--steps", "4", "--chunk", "2",
+            "--out", d, "--tracers", "--checkpoint", ck]) == 0
+        assert os.path.exists(os.path.join(d, "cylinder_velocity.png"))
+        assert os.path.exists(os.path.join(d, "frame_tracers.png"))
+        assert os.path.exists(ck)
+        # resume path
+        assert demo_cylinder.main([
+            "--nx", "48", "--ny", "24", "--steps", "2", "--chunk", "2",
+            "--out", d, "--resume", ck]) == 0
+
+
+def test_cavity_app():
+    from cfd_demo_tpu.apps import cavity
+    with tempfile.TemporaryDirectory() as d:
+        assert cavity.main(["--n", "16", "--steps", "4", "--chunk", "2",
+                            "--out", d]) == 0
+
+
+def test_re_sweep_app():
+    from cfd_demo_tpu.apps import re_sweep
+    assert re_sweep.main(["--re", "100", "--steps", "4", "--chunk", "2",
+                          "--nx", "32", "--ny", "16"]) == 0
+
+
+def test_square_obstacle_app():
+    from cfd_demo_tpu.apps import square_obstacle
+    with tempfile.TemporaryDirectory() as d:
+        assert square_obstacle.main(["--nx", "48", "--ny", "24",
+                                     "--steps", "8", "--out", d]) == 0
+
+
+def test_ensemble_app():
+    from cfd_demo_tpu.apps import ensemble
+    assert ensemble.main(["--batch", "2", "--nx", "32", "--ny", "16",
+                          "--steps", "4", "--chunk", "2"]) == 0
+
+
+def test_web_server_endpoints():
+    from http.server import ThreadingHTTPServer
+    from cfd_demo_tpu.apps.web import server as websrv
+
+    websrv.APP.nx, websrv.APP.ny = 48, 24
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), websrv.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(p):
+        with urllib.request.urlopen(base + p, timeout=120) as r:
+            return r.read()
+
+    def post(p, body):
+        req = urllib.request.Request(base + p,
+                                     data=json.dumps(body).encode(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read()
+
+    try:
+        assert b"cfd-demo-tpu" in get("/")
+        post("/api/control", {"action": "start"})
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = json.loads(get("/api/state"))
+            if st["running"] and st["history"]["step"]:
+                break
+            time.sleep(0.25)
+        assert st["running"] and st["history"]["step"]
+        frame = get("/api/frame?mode=velocity&tracers=1")
+        assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+        post("/api/params", {"dt": 0.003})
+        mesh = get("/api/mesh?feature=0.4&max_cell=2.0")
+        assert mesh[:8] == b"\x89PNG\r\n\x1a\n"
+        post("/api/control", {"action": "pause"})
+        post("/api/control", {"action": "reset"})
+    finally:
+        websrv.APP.stop()
+        srv.shutdown()
+
+
+def test_orbax_checkpoint_roundtrip():
+    from cfd_demo_tpu import (Grid, Semantics, SimulationParams, make_scene,
+                              make_step, solver_options_for)
+    from cfd_demo_tpu.runtime import checkpoint
+    scene = make_scene(Grid(nx=32, ny=16, lx=2, ly=1),
+                       SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=4))
+    step = make_step(scene, donate=False)
+    st = scene.init_state()
+    for _ in range(3):
+        st, _ = step(st)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck")
+        checkpoint.save_orbax(p, st)
+        st2 = checkpoint.load_orbax(p, scene.init_state())
+    np.testing.assert_array_equal(np.asarray(st.u), np.asarray(st2.u))
+    assert int(st2.step) == int(st.step)
+
+
+def test_driver_nan_guard():
+    """Failure detection: a blow-up must auto-pause, not spin on NaNs.
+
+    (The CFL controller rescues even absurd dt/nu configs, so the NaN
+    is injected directly into the running state.)"""
+    import dataclasses
+    import jax.numpy as jnp
+    from cfd_demo_tpu import (Grid, Semantics, SimulationParams, make_scene,
+                              solver_options_for)
+    from cfd_demo_tpu.runtime.driver import run
+    scene = make_scene(Grid(nx=32, ny=16, lx=1.0, ly=0.5),
+                       SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=2))
+    h = run(scene)
+    time.sleep(0.3)
+    h.pause()
+    time.sleep(0.3)  # let the in-flight step finish (avoids the race
+    #                  between the injection and the worker's write-back)
+    h._state = dataclasses.replace(
+        h._state, u=h._state.u.at[5, 5].set(jnp.nan))
+    h.resume()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not h.diverged:
+            time.sleep(0.1)
+        assert h.diverged
+        step_at_pause = None
+        h.request_snapshot()
+        time.sleep(0.5)
+        snap = h.get_last_available_snapshot()
+        assert snap is not None
+        step_at_pause = snap.step
+        time.sleep(0.5)
+        h.request_snapshot()
+        time.sleep(0.5)
+        snap2 = h.get_last_available_snapshot()
+        assert snap2.step == step_at_pause  # paused, not spinning
+    finally:
+        h.stop()
