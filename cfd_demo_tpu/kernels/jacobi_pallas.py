@@ -129,6 +129,108 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i, 0] = err
 
 
+COL_HALO = 128  # lane-tile-aligned column halo for the 2-D tiling
+
+
+def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
+              *, ny, nx, nxp, bs, bsx, halo, k, ncb, dx2, dy2, omega):
+    """2-D (row x column) tile variant for wide grids where full-width
+    row blocks would not fit VMEM. Same numerics as _kernel; column
+    windows carry a fixed 128-lane halo (>= K, so validity shrinkage
+    never reaches the owned tile)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * COL_HALO
+    row0 = i * bs
+    col0 = j * bsx
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - COL_HALO, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cp1 = pltpu.make_async_copy(
+        pp_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], pp_win, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], rhs_win, sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gc = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = (interior & (gr >= row0) & (gr < row0 + bs)
+             & (gc >= col0) & (gc < col0 + bsx))
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    rhs = ar * rhs_win[:]
+
+    def iterate(want_err):
+        pp = pp_win[:]
+        new = (ax * (pltpu.roll(pp, cw - 1, 1) + pltpu.roll(pp, 1, 1))
+               + ay * (pltpu.roll(pp, w - 1, 0) + pltpu.roll(pp, 1, 0))
+               + ac * pp - rhs)
+        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp = jnp.where(interior, new, pp)
+        pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+        pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+        pp = jnp.where(is_left, pltpu.roll(pp, cw - 1, 1), pp)
+        pp = jnp.where(is_right, 0.0, pp)
+        pp_win[:] = pp
+        return err
+
+    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    err = iterate(True)
+    out_cp = pltpu.make_async_copy(
+        pp_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
+        sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i * ncb + j, 0] = err
+
+
+def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret):
+    """Launch the 2-D tile kernel (pp/rhs already width-padded; nx is
+    the logical width for the BC/interior masks)."""
+    ny, nxp = pp.shape
+    halo = _halo8(k)
+    nrb, ncb = ny // bs, nxp // bsx
+    w = bs + 2 * halo
+    cw = bsx + 2 * COL_HALO
+    kern = functools.partial(
+        _kernel2d, ny=ny, nx=nx, nxp=nxp, bs=bs, bsx=bsx,
+        halo=halo, k=k, ncb=ncb, dx2=dx * dx, dy2=dy * dy, omega=omega)
+    nblocks = nrb * ncb
+    return pl.pallas_call(
+        kern,
+        grid=(nrb, ncb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nblocks, 1), lambda i, j: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, cw), pp.dtype),
+            pltpu.VMEM((w, cw), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs)
+
+
 def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                    omega: float, k: int, block_rows: int = 256,
                    interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -144,32 +246,51 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     # logical interior/BC masks still use nx, so padded columns are
     # inert junk that valid cells never read).
     nxp = -(-nx // 128) * 128
+    use_2d = False
     if 2 * ny * nxp * 4 <= 10 * 1024 * 1024:
         # Whole array fits comfortably in VMEM: single block, no halo,
         # no redundant compute.
         bs, halo, nblocks = ny, 0, 1
     else:
         halo = _halo8(k)
-        # Scoped VMEM holds 2 windows (p', rhs) + the output block +
-        # iteration temporaries; keep the window budget width-aware so
-        # wide grids (8192+) still fit the 16 MB limit.
+        # Window budget calibrated for the *in-program* compile context
+        # (scans/while loops -- the production shape; a bare standalone
+        # pallas_call of the largest configs can exceed the stricter
+        # standalone scoped limit, see docs/PERF.md).
         budget = 7 * 1024 * 1024
 
-        def vmem_est(bs):
-            return (2 * (bs + 2 * halo) + bs) * nxp * 4
+        def vmem_model(bs, bsx, ch):
+            return (2 * (bs + 2 * halo) * (bsx + 2 * ch)
+                    + bs * bsx) * 4
 
         bs = block_rows
         while (ny % bs != 0 or ny < bs + 2 * halo
-               or vmem_est(bs) > budget):
+               or vmem_model(bs, nxp, 0) > budget):
             bs //= 2
             if bs < 8:
                 raise ValueError(f"no valid block size for ny={ny}, k={k}")
         nblocks = ny // bs
+        # Wide grids force tiny row blocks (heavy redundant halo
+        # compute); split columns instead, keeping 128-row blocks
+        # (see _kernel2d).
+        if bs < 128 and nxp >= 4096 and ny % 128 == 0 and ny >= 128 + 2 * halo:
+            bsx = nxp // 2
+            while (vmem_model(128, bsx, COL_HALO) > budget and bsx > 256):
+                bsx //= 2
+            if bsx >= 256:
+                bs = 128
+                use_2d = True
     w = bs + 2 * halo
     if nxp != nx:
         pad = ((0, 0), (0, nxp - nx))
         pp = jnp.pad(pp, pad)
         rhs = jnp.pad(rhs, pad)
+    if use_2d:
+        out, err = _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx,
+                               interpret)
+        if nxp != nx:
+            out = out[:, :nx]
+        return out, jnp.max(err)
     kern = functools.partial(
         _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
         dx2=dx * dx, dy2=dy * dy, omega=omega)
