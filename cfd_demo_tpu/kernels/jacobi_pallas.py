@@ -325,20 +325,23 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                   interpret: bool = False):
     """Drop-in replacement for ops.poisson.jacobi on the throughput path.
 
-    Runs ceil(iters/k) fused launches; when ``early_exit``, checks the
-    reference's convergence criterion between launches (i.e. at
-    K-iteration granularity -- documented fast-mode semantics).
+    Runs iters//k fused launches plus one iters%k remainder launch, so
+    exactly ``iters`` iterations execute; when ``early_exit``, the
+    reference's convergence criterion is checked between launches (i.e.
+    at K-iteration granularity -- documented fast-mode semantics; the
+    remainder launch runs unconditionally last).
     Returns (p', last max error, iterations run).
     """
-    n_launches = -(-iters // k)
+    n_full = iters // k
+    rem = iters % k
     step = functools.partial(jacobi_fused_k, rhs=rhs, dx=dx, dy=dy,
                              omega=omega, k=k, block_rows=block_rows,
                              interpret=interpret)
 
-    if early_exit and tol > 0.0:
+    if early_exit and tol > 0.0 and n_full > 0:
         def cond(carry):
             _, err, it = carry
-            return jnp.logical_and(it < n_launches, err >= tol)
+            return jnp.logical_and(it < n_full, err >= tol)
 
         def body(carry):
             pp, _, it = carry
@@ -349,13 +352,23 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
             cond, body,
             (pp0, jnp.asarray(jnp.inf, jnp.float32),
              jnp.asarray(0, jnp.int32)))
-        return pp, err, it * k
+        n_run = it * k
+    elif n_full > 0:
+        def body(carry, _):
+            pp, _ = carry
+            pp, err = step(pp)
+            return (pp, err), None
 
-    def body(carry, _):
-        pp, _ = carry
-        pp, err = step(pp)
-        return (pp, err), None
+        (pp, err), _ = lax.scan(
+            body, (pp0, jnp.asarray(jnp.inf, jnp.float32)),
+            None, length=n_full)
+        n_run = jnp.asarray(n_full * k, jnp.int32)
+    else:
+        pp, err = pp0, jnp.asarray(jnp.inf, jnp.float32)
+        n_run = jnp.asarray(0, jnp.int32)
 
-    (pp, err), _ = lax.scan(body, (pp0, jnp.asarray(jnp.inf, jnp.float32)),
-                            None, length=n_launches)
-    return pp, err, jnp.asarray(n_launches * k, jnp.int32)
+    if rem:
+        pp, err = jacobi_fused_k(pp, rhs, dx, dy, omega, rem,
+                                 block_rows=block_rows, interpret=interpret)
+        n_run = n_run + rem
+    return pp, err, n_run

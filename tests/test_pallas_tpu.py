@@ -1,0 +1,71 @@
+"""Pallas kernel vs jnp equivalence -- runs only on real TPU hardware.
+
+The CI suite forces CPU (conftest), where the fused kernel has no
+lowering; run explicitly on the chip with:
+
+    JAX_PLATFORMS= python -m pytest tests/test_pallas_tpu.py --no-header
+    (from an environment where jax.default_backend() is tpu/axon)
+
+These also run implicitly through bench.py; this file makes the check a
+one-command affair on device.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="requires TPU hardware")
+
+
+@pytest.mark.parametrize("shape,k", [((264, 800), 8), ((512, 512), 10),
+                                     ((2048, 2048), 10)])
+def test_fused_matches_jnp(shape, k):
+    import jax.numpy as jnp
+    from jax import lax
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k
+    from cfd_demo_tpu.ops.poisson import jacobi
+
+    ny, nx = shape
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(0)
+    pp = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: jacobi(p, r, dx, dy, 0.75, 0.0, k, early_exit=False)
+    )(pp, rhs)
+    # In-scan: the production compile context (docs/PERF.md).
+    got = jax.jit(lambda p, r: lax.scan(
+        lambda c, _: (jacobi_fused_k(c, r, dx, dy, 0.75, k)[0], None),
+        p, None, length=2)[0])(pp, rhs)
+    ref2 = jax.jit(lambda p, r: lax.scan(
+        lambda c, _: (jacobi(c, r, dx, dy, 0.75, 0.0, k,
+                             early_exit=False)[0], None),
+        p, None, length=2)[0])(pp, rhs)
+    np.testing.assert_allclose(np.asarray(ref2), np.asarray(got),
+                               rtol=0, atol=1e-6)
+
+
+def test_remainder_launch_iteration_count():
+    """iters % k != 0 must run exactly `iters` iterations."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_pallas
+    from cfd_demo_tpu.ops.poisson import jacobi
+
+    ny = nx = 512
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(1)
+    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    iters = 23  # 2 full k=10 launches + remainder 3
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: jacobi(p, r, dx, dy, 0.75, 0.0, iters,
+                            early_exit=False))(pp, rhs)
+    got, err_got, n_got = jax.jit(
+        lambda p, r: jacobi_pallas(p, r, dx, dy, 0.75, 0.0, iters, k=10,
+                                   early_exit=False))(pp, rhs)
+    assert int(n_got) == iters == int(n_ref)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4)
