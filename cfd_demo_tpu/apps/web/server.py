@@ -36,20 +36,7 @@ from ...runtime.driver import SimulationHandle
 from .frontend import INDEX_HTML
 
 
-def png_bytes(rgb: np.ndarray) -> bytes:
-    import struct
-    import zlib
-    h, w, _ = rgb.shape
-    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
-
-    def chunk(tag, data):
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
-
-    return (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(raw, 3))
-            + chunk(b"IEND", b""))
+from ...render.png import png_bytes
 
 
 class AppState:
@@ -228,16 +215,17 @@ class Handler(BaseHTTPRequestHandler):
         self._send(200, json.dumps(body).encode())
 
     def _mesh(self, q):
-        from ...mesh2d import Polygon, QuadMesh, tesselate
+        from ...mesh2d import Polygon, QuadMesh
         from ...utils.raster import rasterize_mesh, rasterize_polygon
-        feature = float(q.get("feature", 0.2))
-        max_cell = float(q.get("max_cell", 1.0))
+        # Clamp to the UI slider ranges: feature_size <= 0 would refine
+        # boundary-crossing cells without bound (request-level DoS).
+        feature = min(max(float(q.get("feature", 0.2)), 0.01), 0.5)
+        max_cell = min(max(float(q.get("max_cell", 1.0)), 0.1), 10.0)
         # Default sketch: 30x10 rect with rotated-square hole
         # (src/views/mesh_view.rs:140-152).
         poly = Polygon.rect(0.0, 0.0, 30.0, 10.0)
         poly.add_hole(Polygon.regular((7.5, 5.0), 1.5, 4, math.pi / 4))
-        qt = tesselate(poly, feature, max_cell)
-        mesh = QuadMesh.from_quadtree(qt, poly)
+        mesh = QuadMesh.from_polygon(poly, feature, max_cell)
         img = rasterize_polygon(poly, 900, 300)
         img = rasterize_mesh(mesh, background=img,
                              bounds=((0.0, 0.0), (30.0, 10.0)))

@@ -272,12 +272,18 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         nblocks = ny // bs
         # Wide grids force tiny row blocks (heavy redundant halo
         # compute); split columns instead, keeping 128-row blocks
-        # (see _kernel2d).
-        if bs < 128 and nxp >= 4096 and ny % 128 == 0 and ny >= 128 + 2 * halo:
+        # (see _kernel2d). Column tiles must evenly divide nxp AND be
+        # 128-aligned (the DMA column starts assert multiple-of-128),
+        # and the fixed 128-lane column halo must cover k iterations
+        # of validity shrinkage.
+        if (bs < 128 and nxp >= 4096 and ny % 128 == 0
+                and ny >= 128 + 2 * halo and k <= COL_HALO):
             bsx = nxp // 2
-            while (vmem_model(128, bsx, COL_HALO) > budget and bsx > 256):
+            while (bsx >= 256 and
+                   (bsx % 128 != 0 or nxp % bsx != 0
+                    or vmem_model(128, bsx, COL_HALO) > budget)):
                 bsx //= 2
-            if bsx >= 256:
+            if bsx >= 256 and bsx % 128 == 0 and nxp % bsx == 0:
                 bs = 128
                 use_2d = True
     w = bs + 2 * halo

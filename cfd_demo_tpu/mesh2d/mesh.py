@@ -78,6 +78,23 @@ class QuadMesh:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def from_polygon(polygon: Polygon, feature_size: float,
+                     max_cell_size: float) -> "QuadMesh":
+        """Tesselate + build in one step, using the native C++
+        tesselator when available (no Python QuadTree materialized);
+        falls back to tesselate() + from_quadtree()."""
+        from . import native
+        leaves = native.tesselate_leaves(polygon, feature_size,
+                                         max_cell_size)
+        if leaves is None:
+            from .quadtree import tesselate
+            return QuadMesh.from_quadtree(
+                tesselate(polygon, feature_size, max_cell_size), polygon)
+        return QuadMesh._from_leaf_arrays(
+            leaves[:, 0:2].copy(), leaves[:, 2].copy(),
+            leaves[:, 3].copy(), polygon)
+
+    @staticmethod
     def from_quadtree(root: QuadTree, polygon: Polygon) -> "QuadMesh":
         leaves = root.leaves()
         if not leaves:
@@ -87,7 +104,12 @@ class QuadMesh:
         centers = np.array([[l.boundary.cx, l.boundary.cy] for l in leaves])
         half_w = np.array([l.boundary.half_width for l in leaves])
         half_h = np.array([l.boundary.half_height for l in leaves])
+        return QuadMesh._from_leaf_arrays(centers, half_w, half_h, polygon)
 
+    @staticmethod
+    def _from_leaf_arrays(centers: np.ndarray, half_w: np.ndarray,
+                          half_h: np.ndarray,
+                          polygon: Polygon) -> "QuadMesh":
         # Inside filter: center or any corner inside (mesh.rs:56-76).
         corners = np.stack([
             centers + np.stack([-half_w, -half_h], axis=1),

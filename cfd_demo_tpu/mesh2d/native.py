@@ -74,7 +74,12 @@ def available() -> bool:
     return load() is not None
 
 
-def _rings(polygon) -> Tuple[np.ndarray, np.ndarray]:
+def _rings(polygon) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Flattened outer + hole rings, or None when the polygon has
+    nested holes (islands) that the flat C ABI cannot express -- the
+    caller then falls back to the recursive Python path."""
+    if any(h.holes for h in polygon.holes):
+        return None
     rings = [polygon.ring] + [h.ring for h in polygon.holes]
     offsets = np.zeros(len(rings) + 1, np.int64)
     np.cumsum([len(r) for r in rings], out=offsets[1:])
@@ -94,7 +99,10 @@ def contains_points(polygon, pts: np.ndarray) -> Optional[np.ndarray]:
     lib = load()
     if lib is None:
         return None
-    xy, off = _rings(polygon)
+    rings = _rings(polygon)
+    if rings is None:
+        return None
+    xy, off = rings
     p = np.ascontiguousarray(pts, np.float64).reshape(-1, 2)
     out = np.zeros(len(p), np.uint8)
     lib.geom_contains_points(
@@ -109,7 +117,10 @@ def tesselate_leaves(polygon, feature: float,
     lib = load()
     if lib is None:
         return None
-    xy, off = _rings(polygon)
+    rings = _rings(polygon)
+    if rings is None:
+        return None
+    xy, off = rings
     sq = polygon.bounding_square()
     n = ctypes.c_int64(0)
     ptr = lib.geom_tesselate(_pd(xy), _pi(off), len(off) - 1,

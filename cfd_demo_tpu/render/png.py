@@ -11,8 +11,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """rgb: (h, w, 3) uint8."""
+def png_bytes(rgb: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as PNG bytes."""
     img = np.asarray(rgb)
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) uint8, got {img.shape} {img.dtype}")
@@ -24,9 +24,13 @@ def write_png(path: str, rgb: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    payload = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw, 6))
-               + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """rgb: (h, w, 3) uint8."""
     with open(path, "wb") as f:
-        f.write(payload)
+        f.write(png_bytes(rgb))

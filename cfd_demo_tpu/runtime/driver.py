@@ -162,7 +162,8 @@ class SimulationHandle:
         enums_changed = (
             params.velocity_scheme != self._scene.params.velocity_scheme
             or params.pressure_solver != self._scene.params.pressure_solver
-            or params.inlet_profile != self._scene.params.inlet_profile)
+            or params.inlet_profile != self._scene.params.inlet_profile
+            or params.flow_case != self._scene.params.flow_case)
         self._state = set_params(self._state, params)
         if enums_changed:
             self._scene = make_scene(self._scene.grid, params,

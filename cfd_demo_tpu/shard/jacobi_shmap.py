@@ -61,11 +61,12 @@ def jacobi_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
     def shard_fn(pp_loc, rhs_loc):
         gc = lax.broadcasted_iota(jnp.int32, (local + 2 * k, nx), 1)
         gr = global_row_index(local, axis, halo=k)
+        # rhs never changes across launches: one halo exchange total.
+        rhsx = exchange_rows(rhs_loc, axis, k)
 
         def launch(carry, _):
             pp_loc, _ = carry
             ppx = exchange_rows(pp_loc, axis, k)
-            rhsx = exchange_rows(rhs_loc, axis, k)
 
             def body(i, c):
                 ppx, _ = c

@@ -18,6 +18,7 @@ host round trip (SURVEY.md section 7 "CFL dt control").
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -51,31 +52,48 @@ class StepDiagnostics(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class Scene:
-    """A compiled simulation setup: grid + static numerics + masks.
+    """A compiled simulation setup: grid + static numerics.
 
     Build with :func:`make_scene`. The returned ``step`` closure is the
     single-device jit target; runtime scalars flow through ``State``.
+    The device path computes obstacle masks analytically from iota
+    (core.masks.masks_traced); the materialized NumPy masks below are
+    lazy, for host-side diagnostics only (runtime.trace) -- at 8192^2
+    they would cost hundreds of MB of host RAM per scene otherwise.
     """
 
     grid: Grid
     params: SimulationParams
     opts: SolverOptions
-    mask_u: np.ndarray
-    mask_v: np.ndarray
-    mask_u_bc: np.ndarray
-    mask_v_bc: np.ndarray
 
     def init_state(self, dtype=jnp.float32) -> State:
         return init_state(self.grid, self.params, self.opts, dtype)
 
+    @functools.cached_property
+    def _masks(self):
+        return build_masks(self.grid, self.opts.semantics)
+
+    @property
+    def mask_u(self) -> np.ndarray:
+        return self._masks[0]
+
+    @property
+    def mask_v(self) -> np.ndarray:
+        return self._masks[1]
+
+    @property
+    def mask_u_bc(self) -> np.ndarray:
+        return self._masks[2]
+
+    @property
+    def mask_v_bc(self) -> np.ndarray:
+        return self._masks[3]
+
 
 def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
                opts: Optional[SolverOptions] = None) -> Scene:
-    params = params or SimulationParams()
-    opts = opts or SolverOptions()
-    mu, mv, mub, mvb = build_masks(grid, opts.semantics)
-    return Scene(grid=grid, params=params, opts=opts,
-                 mask_u=mu, mask_v=mv, mask_u_bc=mub, mask_v_bc=mvb)
+    return Scene(grid=grid, params=params or SimulationParams(),
+                 opts=opts or SolverOptions())
 
 
 # ---------------------------------------------------------------------------

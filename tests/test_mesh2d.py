@@ -257,3 +257,35 @@ class TestQuadMesh:
         sq = poly.bounding_square()
         assert bb.half_width <= sq.half_width + 1e-9
         assert bb.half_height <= sq.half_height + 1e-9
+
+
+class TestFromPolygon:
+    def test_from_polygon_matches_from_quadtree(self):
+        import math
+        from cfd_demo_tpu.mesh2d import tesselate
+        poly = Polygon.rect(0.0, 0.0, 30.0, 10.0)
+        poly.add_hole(Polygon.regular((7.5, 5.0), 1.5, 4, math.pi / 4))
+        fast = QuadMesh.from_polygon(poly, 0.5, 2.0)
+        slow = QuadMesh.from_quadtree(tesselate(poly, 0.5, 2.0), poly)
+        assert fast.num_cells == slow.num_cells
+        np.testing.assert_allclose(np.sort(fast.centers, axis=0),
+                                   np.sort(slow.centers, axis=0))
+
+    def test_nested_holes_fall_back_to_python(self):
+        """Native path cannot express holes-of-holes (islands); the
+        dispatcher must agree with the pure-Python semantics."""
+        outer = Polygon.rect(0.0, 0.0, 20.0, 20.0)
+        hole = Polygon.rect(5.0, 5.0, 10.0, 10.0)
+        island = Polygon.rect(8.0, 8.0, 4.0, 4.0)
+        hole.add_hole(island)
+        outer.add_hole(hole)
+        # island interior counts as inside the outer polygon again
+        pts = np.array([[10.0, 10.0],   # inside island -> inside
+                        [6.0, 6.0],     # inside hole, outside island -> out
+                        [2.0, 2.0],     # plain outer -> inside
+                        [25.0, 25.0]])  # outside
+        # batch large enough to trigger the native path if it wrongly
+        # accepted nested holes
+        big = np.tile(pts, (2000, 1))
+        got = outer.contains_points(big)[:4]
+        assert got.tolist() == [True, False, True, False]
