@@ -73,3 +73,45 @@ def test_long_rollout_stable():
     assert np.all(np.isfinite(np.asarray(state.u)))
     assert np.all(np.isfinite(np.asarray(state.p)))
     assert float(state.dt) > 0
+
+
+def test_float64_pipeline():
+    """State dtype is a parameter; the whole step runs in f64 too."""
+    import jax
+    import jax.numpy as jnp
+    from cfd_demo_tpu import (Cylinder, Grid, SimulationParams, Semantics,
+                              make_scene, make_step, solver_options_for)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        scene = make_scene(
+            Grid(nx=32, ny=16, lx=2, ly=1,
+                 obstacles=(Cylinder(0.5, 0.5, 0.2),)),
+            SimulationParams(dt=0.002, viscosity=1e-4),
+            solver_options_for(Semantics.RUST, ramp_up_steps=4))
+        st = scene.init_state(dtype=jnp.float64)
+        step = make_step(scene, donate=False)
+        for _ in range(3):
+            st, _ = step(st)
+        u = np.asarray(st.u)
+        assert u.dtype == np.float64 and np.isfinite(u).all()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_multiple_obstacles():
+    from cfd_demo_tpu import (Box, Cylinder, Grid, SimulationParams,
+                              Semantics, make_scene, make_step,
+                              solver_options_for)
+    scene = make_scene(
+        Grid(nx=64, ny=32, lx=4, ly=2,
+             obstacles=(Cylinder(1.0, 1.0, 0.3), Box(2.5, 1.0, 0.2, 0.3))),
+        SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=4))
+    st = scene.init_state()
+    step = make_step(scene, donate=False)
+    for _ in range(5):
+        st, _ = step(st)
+    u = np.asarray(st.u)
+    assert np.isfinite(u).all()
+    assert u[16, 16] == 0.0  # cylinder center face
+    assert u[16, 40] == 0.0  # box center face
