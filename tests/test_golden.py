@@ -152,3 +152,25 @@ def test_masked_mode_matches_early_exit():
         np.testing.assert_allclose(np.asarray(getattr(se, fname)),
                                    np.asarray(getattr(sm, fname)),
                                    rtol=0, atol=1e-7)
+
+
+def test_js_residual_dt_scaling_matches_oracle():
+    """index.html:338-350 dt scaling by pressure residual."""
+    grid = small_grid()
+    params = SimulationParams(dt=0.004, viscosity=1e-4)
+    opts = solver_options_for(Semantics.JS, ramp_up_steps=4,
+                              residual_dt_scaling=True,
+                              substeps_adaptive=False, substeps_init=2,
+                              jacobi_tol=0.0, jacobi_iters=10)
+    scene = make_scene(grid, params, opts)
+    step = make_step(scene, donate=False)
+    oracle = NumpyModel(grid, params, opts)
+    state = scene.init_state()
+    for k in range(4):
+        oracle.update()
+        state, _ = step(state)
+        assert np.isclose(float(state.dt), float(oracle.dt),
+                          rtol=1e-5, atol=1e-9), (
+            f"step {k}: dt {float(state.dt)} vs {float(oracle.dt)}")
+        err = l2(np.asarray(state.u), oracle_field(oracle, "u"))
+        assert err <= 1e-5
