@@ -48,7 +48,7 @@ def _halo8(k: int) -> int:
 
 
 def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
-            *, ny, nx, nxp, bs, halo, k, dx2, dy2, omega):
+            *, ny, nx, nxp, bs, halo, k, dx2, dy2, omega, cavity):
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
@@ -110,11 +110,18 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
         pp = jnp.where(interior, new, pp)
-        # p' BCs, rows then columns (corner order matters).
+        # p' BCs, rows then columns (corner order matters). Channel:
+        # Neumann bottom/top/left + Dirichlet-0 outlet; cavity:
+        # all-Neumann with the (0,0) gauge cell pinned
+        # (ops.poisson._apply_pprime_bcs / _apply_pprime_bcs_cavity).
         pp = jnp.where(is_bot, north(pp), pp)
         pp = jnp.where(is_top, south(pp), pp)
         pp = jnp.where(is_left, east(pp), pp)
-        pp = jnp.where(is_right, 0.0, pp)
+        if cavity:
+            pp = jnp.where(is_right, west(pp), pp)
+            pp = jnp.where(is_bot & is_left, 0.0, pp)
+        else:
+            pp = jnp.where(is_right, 0.0, pp)
         pp_win[:] = pp
         return err
 
@@ -133,7 +140,8 @@ COL_HALO = 128  # lane-tile-aligned column halo for the 2-D tiling
 
 
 def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
-              *, ny, nx, nxp, bs, bsx, halo, k, ncb, dx2, dy2, omega):
+              *, ny, nx, nxp, bs, bsx, halo, k, ncb, dx2, dy2, omega,
+              cavity):
     """2-D (row x column) tile variant for wide grids where full-width
     row blocks would not fit VMEM. Same numerics as _kernel; column
     windows carry a fixed 128-lane halo (>= K, so validity shrinkage
@@ -185,7 +193,11 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
         pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
         pp = jnp.where(is_left, pltpu.roll(pp, cw - 1, 1), pp)
-        pp = jnp.where(is_right, 0.0, pp)
+        if cavity:
+            pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+            pp = jnp.where(is_bot & is_left, 0.0, pp)
+        else:
+            pp = jnp.where(is_right, 0.0, pp)
         pp_win[:] = pp
         return err
 
@@ -199,7 +211,8 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i * ncb + j, 0] = err
 
 
-def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret):
+def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
+                cavity=False):
     """Launch the 2-D tile kernel (pp/rhs already width-padded; nx is
     the logical width for the BC/interior masks)."""
     ny, nxp = pp.shape
@@ -209,7 +222,8 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret):
     cw = bsx + 2 * COL_HALO
     kern = functools.partial(
         _kernel2d, ny=ny, nx=nx, nxp=nxp, bs=bs, bsx=bsx,
-        halo=halo, k=k, ncb=ncb, dx2=dx * dx, dy2=dy * dy, omega=omega)
+        halo=halo, k=k, ncb=ncb, dx2=dx * dx, dy2=dy * dy, omega=omega,
+        cavity=cavity)
     nblocks = nrb * ncb
     return pl.pallas_call(
         kern,
@@ -233,7 +247,8 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret):
 
 def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                    omega: float, k: int, block_rows: int = 256,
-                   interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   interpret: bool = False,
+                   cavity: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K fused Jacobi iterations. Returns (p', last-iteration max error).
 
     Requires ny % block_rows == 0 and ny >= block_rows + 2k (the caller
@@ -293,13 +308,13 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         rhs = jnp.pad(rhs, pad)
     if use_2d:
         out, err = _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx,
-                               interpret)
+                               interpret, cavity=cavity)
         if nxp != nx:
             out = out[:, :nx]
         return out, jnp.max(err)
     kern = functools.partial(
         _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
-        dx2=dx * dx, dy2=dy * dy, omega=omega)
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
     out, err = pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -328,7 +343,7 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                   omega: float, tol: float, iters: int, k: int = 10,
                   block_rows: int = 256, early_exit: bool = True,
-                  interpret: bool = False):
+                  interpret: bool = False, cavity: bool = False):
     """Drop-in replacement for ops.poisson.jacobi on the throughput path.
 
     Runs iters//k fused launches plus one iters%k remainder launch, so
@@ -342,7 +357,7 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     rem = iters % k
     step = functools.partial(jacobi_fused_k, rhs=rhs, dx=dx, dy=dy,
                              omega=omega, k=k, block_rows=block_rows,
-                             interpret=interpret)
+                             interpret=interpret, cavity=cavity)
 
     if early_exit and tol > 0.0 and n_full > 0:
         def cond(carry):
@@ -375,6 +390,7 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 
     if rem:
         pp, err = jacobi_fused_k(pp, rhs, dx, dy, omega, rem,
-                                 block_rows=block_rows, interpret=interpret)
+                                 block_rows=block_rows, interpret=interpret,
+                                 cavity=cavity)
         n_run = n_run + rem
     return pp, err, n_run

@@ -101,12 +101,10 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
 # ---------------------------------------------------------------------------
 
 def _pallas_ok(scene: "Scene") -> bool:
-    """The fused kernel targets the TPU backend, tile-friendly rows and
-    (currently) the channel pressure BCs."""
-    from ..core.config import FlowCase
+    """The fused kernel targets the TPU backend and tile-friendly rows;
+    it implements both the channel and cavity pressure BC families."""
     return (jax.default_backend() in ("tpu", "axon")
-            and scene.grid.ny % 8 == 0
-            and scene.params.flow_case == FlowCase.CHANNEL)
+            and scene.grid.ny % 8 == 0)
 
 def _solve_pressure(scene: Scene, pp0, rhs):
     g, opts = scene.grid, scene.opts
@@ -119,11 +117,14 @@ def _solve_pressure(scene: Scene, pp0, rhs):
             impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
         if impl == "pallas" and _pallas_ok(scene):
             from ..kernels.jacobi_pallas import jacobi_pallas
+            from ..core.config import FlowCase
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                                  opts.jacobi_tol, opts.jacobi_iters,
                                  k=opts.pallas_fuse_k,
                                  block_rows=opts.pallas_block_rows,
-                                 early_exit=opts.early_exit)
+                                 early_exit=opts.early_exit,
+                                 cavity=(scene.params.flow_case
+                                         == FlowCase.CAVITY))
         return jacobi(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                       opts.jacobi_tol, opts.jacobi_iters,
                       early_exit=opts.early_exit, bc=bc)
