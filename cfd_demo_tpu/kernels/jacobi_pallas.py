@@ -228,8 +228,8 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
     return pl.pallas_call(
         kern,
         grid=(nrb, ncb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((nblocks, 1), lambda i, j: (0, 0),
@@ -318,8 +318,8 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     out, err = pl.pallas_call(
         kern,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
                    # one whole-array SMEM block revisited by every
@@ -394,3 +394,138 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                                  cavity=cavity)
         n_run = n_run + rem
     return pp, err, n_run
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) variant: the same fused kernel operating on a
+# halo-extended local block, with a traced global-row offset so the
+# domain BC masks land on the right global rows. Used by
+# shard.jacobi_shmap.jacobi_pallas_shmap inside shard_map; the ppermute
+# halo exchange happens outside, between launches.
+# ---------------------------------------------------------------------------
+
+def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
+                  pp_win, rhs_win, sem,
+                  *, gny, nx, nxp, ext_ny, bs, halo, k, own_lo, own_hi,
+                  dx2, dy2, omega, cavity):
+    """Like _kernel, but rows are a window of the *global* array:
+    global row = off_ref[0] + local row. ``own_lo:own_hi`` are the
+    local rows the shard actually owns (its exchanged halos are stale
+    by the last fused iteration and are discarded by the caller)."""
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    start = pl.multiple_of(
+        jnp.clip(((row0 - k) // 8) * 8, 0, ext_ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    lr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)  # local row
+    gr = off_ref[0] + lr                                       # global row
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= gny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = (interior & (lr >= row0) & (lr < row0 + bs)
+             & (lr >= own_lo) & (lr < own_hi))
+    is_bot = gr == 0
+    is_top = gr == gny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    rhs = ar * rhs_win[:]
+
+    def iterate(want_err):
+        pp = pp_win[:]
+        new = (ax * (pltpu.roll(pp, nxp - 1, 1) + pltpu.roll(pp, 1, 1))
+               + ay * (pltpu.roll(pp, w - 1, 0) + pltpu.roll(pp, 1, 0))
+               + ac * pp - rhs)
+        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp = jnp.where(interior, new, pp)
+        pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+        pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+        pp = jnp.where(is_left, pltpu.roll(pp, nxp - 1, 1), pp)
+        if cavity:
+            pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+            pp = jnp.where(is_bot & is_left, 0.0, pp)
+        else:
+            pp = jnp.where(is_right, 0.0, pp)
+        pp_win[:] = pp
+        return err
+
+    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    err = iterate(True)
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i, 0] = err
+
+
+def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
+                         row_offset: jnp.ndarray, gny: int,
+                         dx: float, dy: float, omega: float, k: int,
+                         own_lo: int, own_hi: int,
+                         block_rows: int = 256, interpret: bool = False,
+                         cavity: bool = False):
+    """K fused iterations on a halo-extended (ext_ny, nx) local block
+    whose row 0 is global row ``row_offset`` (traced scalar). Returns
+    (updated ext block, max |delta| over owned rows)."""
+    ext_ny, nx = pp_ext.shape
+    if ext_ny % 8 != 0:
+        raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
+    nxp = -(-nx // 128) * 128
+    if 2 * ext_ny * nxp * 4 <= 10 * 1024 * 1024:
+        bs, halo = ext_ny, 0
+    else:
+        halo = _halo8(k)
+        budget = 7 * 1024 * 1024
+        bs = block_rows
+        while (ext_ny % bs != 0 or ext_ny < bs + 2 * halo
+               or (2 * (bs + 2 * halo) + bs) * nxp * 4 > budget):
+            bs //= 2
+            if bs < 8:
+                raise ValueError(f"no tile for ext_ny={ext_ny}, k={k}")
+    nblocks = ext_ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp_ext = jnp.pad(pp_ext, pad)
+        rhs_ext = jnp.pad(rhs_ext, pad)
+    kern = functools.partial(
+        _kernel_shard, gny=gny, nx=nx, nxp=nxp, ext_ny=ext_ny, bs=bs,
+        halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    out, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ext_ny, nxp), pp_ext.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp_ext.dtype),
+            pltpu.VMEM((w, nxp), rhs_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(row_offset, jnp.int32).reshape(1), pp_ext, rhs_ext)
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, jnp.max(err)

@@ -95,3 +95,52 @@ def jacobi_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
                        in_specs=(P(axis, None), P(axis, None)),
                        out_specs=(P(axis, None), P()))
     return fn(pp, rhs)
+
+
+def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
+                        dx: float, dy: float, omega: float, iters: int,
+                        k: int = 10, axis: str = "y",
+                        interpret: bool = False, cavity: bool = False):
+    """Multi-chip fused Jacobi: ppermute halo exchange between launches,
+    the fused-K Pallas kernel (kernels.jacobi_pallas._kernel_shard) on
+    each shard's halo-extended block. One ICI exchange per K iterations
+    (the wide-halo batching of SURVEY.md section 7 "Multi-chip Jacobi").
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter so the
+    whole path is testable on the virtual CPU mesh. Requires
+    iters % k == 0 and local rows divisible by 8.
+    """
+    from ..kernels.jacobi_pallas import _halo8, jacobi_fused_k_shard
+
+    ny, nx = pp.shape
+    n_shards = mesh.shape[axis]
+    local = ny // n_shards
+    halo = _halo8(k)
+    assert iters % k == 0 and local % 8 == 0 and local >= halo
+
+    def shard_fn(pp_loc, rhs_loc):
+        # rhs is launch-invariant: exchange once.
+        rhs_ext = exchange_rows(rhs_loc, axis, halo)
+        row_off = lax.axis_index(axis) * local - halo
+
+        def launch(carry, _):
+            pp_loc, _ = carry
+            ppx = exchange_rows(pp_loc, axis, halo)
+            out_ext, err = jacobi_fused_k_shard(
+                ppx, rhs_ext, row_off, ny, dx, dy, omega, k,
+                own_lo=halo, own_hi=halo + local,
+                interpret=interpret, cavity=cavity)
+            return (out_ext[halo:halo + local, :], err), None
+
+        err0 = jax.lax.pvary(jnp.float32(jnp.inf), (axis,))
+        (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
+                                    length=iters // k)
+        return pp_loc, lax.pmax(err, axis)
+
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation.
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(axis, None), P(axis, None)),
+                       out_specs=(P(axis, None), P()),
+                       check_vma=False)
+    return fn(pp, rhs)

@@ -54,3 +54,26 @@ def test_jacobi_shmap_matches_single_device(k):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=1e-6)
     assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_jacobi_pallas_shmap_matches_single_device(k):
+    """Multi-chip fused-Pallas Jacobi (interpret mode on the CPU mesh)
+    must match the single-device solver."""
+    from cfd_demo_tpu.shard.jacobi_shmap import jacobi_pallas_shmap
+    rng = np.random.default_rng(0)
+    ny = nx = 64
+    dx = dy = 1.0 / nx
+    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    iters = 16
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: jacobi(p, r, dx, dy, 0.75, 0.0, iters,
+                            early_exit=False))(pp, rhs)
+    mesh = make_mesh()
+    got, err_got = jax.jit(
+        lambda p, r: jacobi_pallas_shmap(p, r, mesh, dx, dy, 0.75, iters,
+                                         k=k, interpret=True))(pp, rhs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
