@@ -20,8 +20,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    # The axon tunnel has a ~20 ms fixed cost per jit CALL (dispatch +
+    # readback), independent of the scan length inside; 100-step scans
+    # amortize it so the metric reflects device work (docs/PERF.md
+    # "Measurement traps").
     ap.add_argument("--n", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--mode", choices=["fast", "reference"], default="fast",
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "

@@ -217,6 +217,13 @@ class SolverOptions:
     pressure_impl: str = "auto"
     pallas_fuse_k: int = 10
     pallas_block_rows: int = 256
+    # Fused predictor+divergence / corrector+BC+reduction Pallas passes
+    # (kernels.substep_pallas): "auto" enables them on TPU for f32
+    # scenes at >= 2M cells (single-chip jit only -- GSPMD-sharded runs
+    # must use "jnp"); "pallas"/"jnp" force. The fused passes share the
+    # stencil expressions with the XLA path (ops.stencil.StencilCtx),
+    # so the fields match to ~1 ulp.
+    substep_impl: str = "auto"
 
 
 def solver_options_for(semantics: Semantics, **overrides) -> SolverOptions:

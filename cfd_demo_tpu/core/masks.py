@@ -141,36 +141,46 @@ def _any_inside_traced(grid: Grid, x, y, inclusive: bool):
     return acc
 
 
-def masks_traced(grid: Grid, semantics: Semantics, dtype):
+def masks_traced(grid: Grid, semantics: Semantics, dtype,
+                 ctx=None, shp_u=None, shp_v=None):
     """(mask_u, mask_v, mask_u_bc, mask_v_bc) as traced bool arrays in
     the storage shapes ((ny, nx+1), (ny, nx), ...). Returns None
-    tuple when the scene has no obstacles (callers skip the selects)."""
+    tuple when the scene has no obstacles (callers skip the selects).
+
+    ``ctx`` (ops.stencil.StencilCtx) supplies the index arrays; the
+    Pallas substep kernels pass a window provider whose row_index is
+    the *global* row so the same mask formulas apply per-block, with
+    ``shp_u``/``shp_v`` both the common padded window shape."""
     import jax.numpy as jnp
-    from jax import lax
+    if ctx is None:
+        from ..ops.stencil import DEFAULT_CTX
+        ctx = DEFAULT_CTX
     if not grid.obstacles:
         return None, None, None, None
     ny, nx = grid.ny, grid.nx
     dx, dy = grid.dx, grid.dy
+    if shp_u is None:
+        shp_u = (ny, nx + 1)
+    if shp_v is None:
+        shp_v = (ny, nx)
 
     def coords(shape, x_off, y_off):
-        i = lax.broadcasted_iota(jnp.int32, shape, 1).astype(dtype)
-        j = lax.broadcasted_iota(jnp.int32, shape, 0).astype(dtype)
+        i = ctx.col_index(shape).astype(dtype)
+        j = ctx.row_index(shape).astype(dtype)
         return (i + x_off) * dx, (j + y_off) * dy
 
     if semantics == Semantics.RUST:
         # Cell-center test marks both adjacent faces (model.rs:232-261).
-        shp_u = (ny, nx + 1)
         xcw, ycw = coords(shp_u, -0.5, 0.5)   # cell west of u face f
         xce, yce = coords(shp_u, 0.5, 0.5)    # cell east of u face f
-        iu = lax.broadcasted_iota(jnp.int32, shp_u, 1)
+        iu = ctx.col_index(shp_u)
         in_w = _any_inside_traced(grid, xcw, ycw, False) & (iu >= 1)
         in_e = _any_inside_traced(grid, xce, yce, False) & (iu <= nx - 1)
         mask_u = in_w | (in_e & (iu >= 1))  # cell 0 never marks face 0
         mask_u_bc = in_e & (iu <= nx - 1)   # west face of each inside cell
-        shp_v = (ny, nx)
         xcs, ycs = coords(shp_v, 0.5, -0.5)  # cell south of v face r
         xcn, ycn = coords(shp_v, 0.5, 0.5)   # cell north of v face r
-        jv = lax.broadcasted_iota(jnp.int32, shp_v, 0)
+        jv = ctx.row_index(shp_v)
         in_s = _any_inside_traced(grid, xcs, ycs, False) & (jv >= 1)
         in_n = _any_inside_traced(grid, xcn, ycn, False)
         mask_v = in_s | (in_n & (jv >= 1))
@@ -178,9 +188,9 @@ def masks_traced(grid: Grid, semantics: Semantics, dtype):
     else:
         # JS: face-position test, inclusive radius
         # (index.html:377-380, :912-929).
-        xu, yu = coords((ny, nx + 1), 0.0, 0.5)
+        xu, yu = coords(shp_u, 0.0, 0.5)
         mask_u = _any_inside_traced(grid, xu, yu, True)
-        xv, yv = coords((ny, nx), 0.5, 0.0)
+        xv, yv = coords(shp_v, 0.5, 0.0)
         mask_v = _any_inside_traced(grid, xv, yv, True)
         mask_u_bc, mask_v_bc = mask_u, mask_v
     return mask_u, mask_v, mask_u_bc, mask_v_bc

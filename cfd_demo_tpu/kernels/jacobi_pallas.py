@@ -262,7 +262,10 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     # inert junk that valid cells never read).
     nxp = -(-nx // 128) * 128
     use_2d = False
-    if 2 * ny * nxp * 4 <= 10 * 1024 * 1024:
+    # Single-block criterion models the ~6 live window temporaries of
+    # the iterate body too: Mosaic's scoped-VMEM limit counts them, and
+    # 2 buffers alone under-estimates (1024^2 compiled to >16M scoped).
+    if 8 * ny * nxp * 4 <= 14 * 1024 * 1024:
         # Whole array fits comfortably in VMEM: single block, no halo,
         # no redundant compute.
         bs, halo, nblocks = ny, 0, 1
@@ -486,7 +489,7 @@ def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
     if ext_ny % 8 != 0:
         raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
-    if 2 * ext_ny * nxp * 4 <= 10 * 1024 * 1024:
+    if 8 * ext_ny * nxp * 4 <= 14 * 1024 * 1024:
         bs, halo = ext_ny, 0
     else:
         halo = _halo8(k)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import FlowCase, Grid, InletProfile
-from .stencil import apply_solid_mask, col_index, row_index, shifted
+from .stencil import (DEFAULT_CTX, StencilCtx, apply_solid_mask,
+                      col_index, row_index, shifted)
 
 
 def inlet_profile_column(grid: Grid, profile: InletProfile,
@@ -35,10 +36,28 @@ def inlet_profile_column(grid: Grid, profile: InletProfile,
     return jnp.maximum(inlet_velocity * shape_fn, 0.0)
 
 
+def inlet_profile_traced(grid: Grid, profile: InletProfile,
+                         inlet_velocity, j_rows, dtype):
+    """Inlet u as a function of traced row indices (for the Pallas
+    window ctx, where a host-precomputed (ny,) column cannot be
+    indexed per-block). Same formula as :func:`inlet_profile_column`;
+    the PARABOLIC shape is evaluated in the field dtype rather than
+    float64, which can differ by ~1 ulp (tests use tolerances)."""
+    y = (j_rows.astype(dtype) + jnp.asarray(0.5, dtype)) * jnp.asarray(
+        grid.dy, dtype)
+    if profile == InletProfile.UNIFORM:
+        return jnp.broadcast_to(jnp.asarray(inlet_velocity, dtype), y.shape)
+    center = jnp.asarray(grid.ly / 2.0, dtype)
+    radius = jnp.asarray(grid.ly / 2.0, dtype)
+    shape_fn = 1.0 - ((y - center) / radius) ** 2
+    return jnp.maximum(inlet_velocity * shape_fn, 0.0)
+
+
 def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
               profile: InletProfile, inlet_velocity,
               mask_u_bc: jnp.ndarray, mask_v_bc: jnp.ndarray,
-              flow_case: FlowCase = FlowCase.CHANNEL):
+              flow_case: FlowCase = FlowCase.CHANNEL,
+              ctx: StencilCtx = DEFAULT_CTX):
     """Returns (u, v) with boundary conditions enforced.
 
     All edge writes are mask-selects over iota predicates (no scatters:
@@ -49,15 +68,19 @@ def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
     along x), all other walls no-slip.
     """
     ny, nx = grid.ny, grid.nx
-    cu = col_index(u.shape)
-    ru = row_index(u.shape)
-    rv = row_index(v.shape)
-    cv = col_index(v.shape)
+    cu = ctx.col_index(u.shape)
+    ru = ctx.row_index(u.shape)
+    rv = ctx.row_index(v.shape)
+    cv = ctx.col_index(v.shape)
     if flow_case == FlowCase.CHANNEL:
-        inlet_col = inlet_profile_column(grid, profile, inlet_velocity,
-                                         u.dtype)[:, None]
-        u = jnp.where(cu == 0, inlet_col, u)
-        u = jnp.where(cu == nx, shifted(u, u.shape, 0, -1), u)  # outlet copy
+        if ctx is DEFAULT_CTX:
+            inlet_vals = inlet_profile_column(grid, profile, inlet_velocity,
+                                              u.dtype)[:, None]
+        else:
+            inlet_vals = inlet_profile_traced(grid, profile, inlet_velocity,
+                                              ru, u.dtype)
+        u = jnp.where(cu == 0, inlet_vals, u)
+        u = jnp.where(cu == nx, ctx.shifts(u, u.shape)(0, -1), u)  # outlet
         u = jnp.where((ru == 0) | (ru == ny - 1), 0.0, u)       # no-slip rows
         # v top face row j=ny is implicit zero (Grid.shape_v); only the
         # bottom face row needs zeroing.

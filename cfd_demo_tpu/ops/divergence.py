@@ -11,13 +11,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .stencil import shifted
+from .stencil import DEFAULT_CTX, StencilCtx, shifted
 
 
 def divergence_rhs(u_star: jnp.ndarray, v_star: jnp.ndarray,
-                   dt_sub, dx: float, dy: float) -> jnp.ndarray:
-    du = (u_star[:, 1:] - u_star[:, :-1]) / dx
-    dv = (shifted(v_star, v_star.shape, 1, 0) - v_star) / dy
+                   dt_sub, dx: float, dy: float,
+                   ctx: StencilCtx = DEFAULT_CTX,
+                   out_shape=None) -> jnp.ndarray:
+    """``out_shape`` defaults to the pressure-cell shape (ny, nx); the
+    Pallas window ctx passes the common padded window shape."""
+    out_shape = tuple(out_shape or v_star.shape)
+    su = ctx.shifts(u_star, out_shape)
+    sv = ctx.shifts(v_star, out_shape)
+    du = (su(0, 1) - su(0, 0)) / dx
+    dv = (sv(1, 0) - sv(0, 0)) / dy
     return (du + dv) / dt_sub
 
 

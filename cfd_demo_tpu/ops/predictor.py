@@ -23,35 +23,35 @@ import jax.numpy as jnp
 
 from ..core.config import VelocityScheme
 from .schemes import u_faces, v_faces
-from .stencil import Shifts, apply_solid_mask, col_index, row_index
+from .stencil import DEFAULT_CTX, StencilCtx, apply_solid_mask
 
 
 def predict(u, v, dt_sub, nu, dx, dy, nx: int, ny: int,
             scheme: VelocityScheme, avg_conv_v: bool,
-            mask_u, mask_v):
+            mask_u, mask_v, ctx: StencilCtx = DEFAULT_CTX):
     """Returns (u_star, v_star)."""
     # ---- u momentum -------------------------------------------------
-    fu = u_faces(u, v, nx, ny, scheme, avg_conv_v)
+    fu = u_faces(u, v, nx, ny, scheme, avg_conv_v, ctx=ctx)
     conv_u = ((fu.e * fu.e - fu.w * fu.w) / dx
               + (fu.v_n * fu.n - fu.v_s * fu.s) / dy)
-    su = Shifts(u, u.shape)
+    su = ctx.shifts(u, u.shape)
     lap_u = ((su(0, 1) - 2.0 * u + su(0, -1)) / (dx * dx)
              + (su(1, 0) - 2.0 * u + su(-1, 0)) / (dy * dy))
     u_cand = u + dt_sub * (-conv_u + nu * lap_u)
-    iu, ju = col_index(u.shape), row_index(u.shape)
+    iu, ju = ctx.col_index(u.shape), ctx.row_index(u.shape)
     interior_u = (iu >= 1) & (iu <= nx - 1) & (ju >= 1) & (ju <= ny - 2)
     u_cand = apply_solid_mask(u_cand, mask_u)
     u_star = jnp.where(interior_u, u_cand, u)
 
     # ---- v momentum -------------------------------------------------
-    fv = v_faces(u, v, nx, ny, scheme)
+    fv = v_faces(u, v, nx, ny, scheme, ctx=ctx)
     conv_v = ((fv.u_e * fv.e - fv.u_w * fv.w) / dx
               + (fv.n * fv.n - fv.s * fv.s) / dy)
-    sv = Shifts(v, v.shape)
+    sv = ctx.shifts(v, v.shape)
     lap_v = ((sv(0, 1) - 2.0 * v + sv(0, -1)) / (dx * dx)
              + (sv(1, 0) - 2.0 * v + sv(-1, 0)) / (dy * dy))
     v_cand = v + dt_sub * (-conv_v + nu * lap_v)
-    iv, jv = col_index(v.shape), row_index(v.shape)
+    iv, jv = ctx.col_index(v.shape), ctx.row_index(v.shape)
     interior_v = (iv >= 1) & (iv <= nx - 2) & (jv >= 1) & (jv <= ny - 1)
     v_cand = apply_solid_mask(v_cand, mask_v)
     v_star = jnp.where(interior_v, v_cand, v)

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..core.config import VelocityScheme
-from .stencil import Shifts, col_index, row_index
+from .stencil import DEFAULT_CTX, StencilCtx
 
 
 class UFaces(NamedTuple):
@@ -50,15 +50,16 @@ class VFaces(NamedTuple):
 
 
 def u_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
-            scheme: VelocityScheme, avg_conv_v: bool) -> UFaces:
+            scheme: VelocityScheme, avg_conv_v: bool,
+            ctx: StencilCtx = DEFAULT_CTX) -> UFaces:
     """Face values for the u-momentum cell around u face (i, j).
 
     u face (i, j) sits at (i*dx, (j+0.5)*dy); the adjacent v faces are
     v[j, i-1], v[j, i] (south) and v[j+1, i-1], v[j+1, i] (north).
     """
     shape = u.shape
-    su = Shifts(u, shape)
-    sv = Shifts(v, shape)
+    su = ctx.shifts(u, shape)
+    sv = ctx.shifts(v, shape)
     uC, uE, uW = su(0, 0), su(0, 1), su(0, -1)
     uN, uS = su(1, 0), su(-1, 0)
     uEE, uWW = su(0, 2), su(0, -2)
@@ -73,8 +74,8 @@ def u_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
     else:
         v_n_mult, v_s_mult = vNE, vSE  # model.rs:1056-1069
 
-    i = col_index(shape)
-    j = row_index(shape)
+    i = ctx.col_index(shape)
+    j = ctx.row_index(shape)
 
     if scheme == VelocityScheme.FIRST:
         # model.rs:893-908 (e), :929-941 (w), :966-981 (n), :1011-1026 (s)
@@ -129,7 +130,8 @@ def u_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
 
 
 def v_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
-            scheme: VelocityScheme) -> VFaces:
+            scheme: VelocityScheme,
+            ctx: StencilCtx = DEFAULT_CTX) -> VFaces:
     """Face values for the v-momentum cell around v face (i, j).
 
     v face (i, j) sits at ((i+0.5)*dx, j*dy); the convecting u values
@@ -137,8 +139,8 @@ def v_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
     both references (model.rs:600-601, index.html:568/573).
     """
     shape = v.shape
-    sv = Shifts(v, shape)
-    su = Shifts(u, shape)
+    sv = ctx.shifts(v, shape)
+    su = ctx.shifts(u, shape)
     vC, vE, vW = sv(0, 0), sv(0, 1), sv(0, -1)
     vN, vS = sv(1, 0), sv(-1, 0)
     vEE, vWW = sv(0, 2), sv(0, -2)
@@ -149,8 +151,8 @@ def v_faces(u: jnp.ndarray, v: jnp.ndarray, nx: int, ny: int,
     v_n_avg = 0.5 * (vC + vN)
     v_s_avg = 0.5 * (vS + vC)
 
-    i = col_index(shape)
-    j = row_index(shape)
+    i = ctx.col_index(shape)
+    j = ctx.row_index(shape)
 
     if scheme == VelocityScheme.FIRST:
         # model.rs:1085-1095 (e), :1128-1142 (w), :1176-1185 (n), :1220-1229 (s)

@@ -62,3 +62,28 @@ class Shifts:
         if key not in self._cache:
             self._cache[key] = shifted(self._src, self._shape, dj, di)
         return self._cache[key]
+
+
+class StencilCtx:
+    """Shift/index provider behind the stencil ops.
+
+    The schemes/predictor/divergence/corrector expressions are written
+    once against this interface; the default instance is the XLA path
+    (zero-padded shifted views + broadcast iota). The Pallas substep
+    kernels substitute a VMEM-window provider (kernels.substep_pallas
+    RollCtx: pltpu.roll with zero-fill at window edges + global-row
+    iota) so the fused kernels share the exact arithmetic by
+    construction instead of by re-derivation.
+    """
+
+    def shifts(self, src: jnp.ndarray, out_shape) -> Shifts:
+        return Shifts(src, out_shape)
+
+    def col_index(self, shape) -> jnp.ndarray:
+        return col_index(shape)
+
+    def row_index(self, shape) -> jnp.ndarray:
+        return row_index(shape)
+
+
+DEFAULT_CTX = StencilCtx()

@@ -106,6 +106,31 @@ def _pallas_ok(scene: "Scene") -> bool:
     return (jax.default_backend() in ("tpu", "axon")
             and scene.grid.ny % 8 == 0)
 
+
+def _use_fused_substep(scene: "Scene", dtype) -> bool:
+    """Fused predictor+divergence / corrector+BC Pallas passes
+    (kernels.substep_pallas). Single-chip TPU, f32 only; "auto"
+    enables them at >= 2M cells where the HBM round trips between the
+    XLA fusions dominate the non-pressure step cost (docs/PERF.md)."""
+    impl = scene.opts.substep_impl
+    if impl == "auto":
+        ok = scene.grid.nx * scene.grid.ny >= 2_000_000
+        if ok:
+            # The row tiling must stay efficient: below 32-row blocks
+            # the (bs+16)/bs window DMA redundancy eats the fusion win
+            # (8192^2 would tile at bs=8 -> 3x reads; jnp is faster).
+            from ..kernels.substep_pallas import _round_up, _tile_rows
+            try:
+                bs, _ = _tile_rows(scene.grid.ny,
+                                   _round_up(scene.grid.nx + 1, 128),
+                                   4, 5, 8, scene.opts.pallas_block_rows)
+            except ValueError:
+                bs = 0
+            ok = bs >= 32
+        impl = "pallas" if ok else "jnp"
+    return (impl == "pallas" and _pallas_ok(scene)
+            and dtype == jnp.float32)
+
 def _solve_pressure(scene: Scene, pp0, rhs):
     g, opts = scene.grid, scene.opts
     solver = scene.params.pressure_solver
@@ -137,27 +162,74 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     raise ValueError(solver)
 
 
-def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
+def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
+                 entry=None):
     """One PISO substep (model.rs:529-730 / index.html:366-867).
 
-    Returns (u, v, p, p_prime, p_residual).
+    Returns (u, v, p, p_prime, p_residual, extras) where extras is
+    None, or -- on the fully fused Pallas path, when ``entry`` carries
+    the step-entry (u, v) -- the in-kernel (res_u, res_v, max_vel)
+    reductions so step_fn skips its own passes over the fields.
     """
     g, opts = scene.grid, scene.opts
     nx, ny = g.nx, g.ny
     avg_conv_v = opts.semantics == Semantics.JS
-    # Obstacle masks are computed analytically from iota coordinates so
-    # they fuse into the stencils instead of living as O(ny*nx) HLO
-    # constants (core/masks.py masks_traced).
-    from ..core.masks import masks_traced
-    mask_u, mask_v, mask_u_bc, mask_v_bc = masks_traced(
-        g, opts.semantics, u.dtype)
     scheme = scene.params.velocity_scheme
+    rounds = opts.outer_corrector_rounds
+    fused = _use_fused_substep(scene, u.dtype)
 
-    u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, nx, ny,
-                             scheme, avg_conv_v, mask_u, mask_v)
-    rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
+    aligned = nx % 128 == 0
+    if fused:
+        from ..kernels.substep_pallas import _round_up, predict_div_pallas
+        if aligned:
+            # Lane-aligned fast path: u flows padded through the whole
+            # substep (one pad here, one slice in the corrector kernel)
+            # and every other array keeps its exact shape -- no other
+            # pad/slice copies.
+            nxp = _round_up(nx + 1, 128)
+            up = jnp.pad(u, ((0, 0), (0, nxp - (nx + 1))))
+            u_star, v_star, rhs = predict_div_pallas(
+                up, v, dt_sub, nu, g, scheme, opts.semantics,
+                block_rows=opts.pallas_block_rows, pad_io=False)
+        else:
+            u_star, v_star, rhs = predict_div_pallas(
+                u, v, dt_sub, nu, g, scheme, opts.semantics,
+                block_rows=opts.pallas_block_rows)
+    else:
+        # Obstacle masks are computed analytically from iota coordinates
+        # so they fuse into the stencils instead of living as O(ny*nx)
+        # HLO constants (core/masks.py masks_traced).
+        from ..core.masks import masks_traced
+        mask_u, mask_v, _, _ = masks_traced(g, opts.semantics, u.dtype)
+        u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, nx, ny,
+                                 scheme, avg_conv_v, mask_u, mask_v)
+        rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
     pp0 = p_prime if opts.semantics == Semantics.RUST else jnp.zeros_like(p_prime)
     pp, err, _ = _solve_pressure(scene, pp0, rhs)
+
+    if fused and rounds == 0 and entry is not None:
+        from ..kernels.substep_pallas import correct_bc_pallas
+        if aligned:
+            # u_star is already padded; pad the entry field (in Rust
+            # semantics entry[0] IS this substep's u, so XLA CSEs this
+            # with the predictor's pad).
+            ue = jnp.pad(entry[0], ((0, 0), (0, nxp - (nx + 1))))
+            u, v, p, res_u, res_v, max_vel = correct_bc_pallas(
+                u_star, v_star, p, pp, ue, entry[1], dt_sub, inlet,
+                g, scene.params.inlet_profile, scene.params.flow_case,
+                opts.semantics, block_rows=opts.pallas_block_rows,
+                pad_io=False)
+        else:
+            u, v, p, res_u, res_v, max_vel = correct_bc_pallas(
+                u_star, v_star, p, pp, entry[0], entry[1], dt_sub, inlet,
+                g, scene.params.inlet_profile, scene.params.flow_case,
+                opts.semantics, block_rows=opts.pallas_block_rows)
+        return u, v, p, pp, err, (res_u, res_v, max_vel)
+
+    if fused and aligned:
+        u_star = u_star[:, :nx + 1]  # back to storage shape for the jnp path
+    from ..core.masks import masks_traced
+    _, _, mask_u_bc, mask_v_bc = masks_traced(g, opts.semantics, u.dtype)
     u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
 
     # Rust-only outer corrector rounds (model.rs:696-724): repeat
@@ -208,7 +280,7 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
 
     u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
                      mask_u_bc, mask_v_bc, scene.params.flow_case)
-    return u, v, p, pp, err
+    return u, v, p, pp, err, None
 
 
 # ---------------------------------------------------------------------------
@@ -241,27 +313,39 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
     substeps = state.substeps
     dt_sub = state.dt / substeps.astype(f32)
 
+    # On the fully fused Pallas path the corrector kernel also computes
+    # the residual/CFL reductions in-pass (vs the step-entry fields),
+    # saving the separate whole-field passes below.
+    fused_red = (_use_fused_substep(scene, f32)
+                 and opts.outer_corrector_rounds == 0)
+    entry = (u_old, v_old) if fused_red else None
+
     def sub_body(i, carry):
-        u, v, p, pp, max_res_p = carry
-        u, v, p, pp, err = piso_substep(scene, u, v, p, pp, dt_sub,
-                                        state.nu, inlet)
+        u, v, p, pp, max_res_p, red = carry
+        u, v, p, pp, err, extras = piso_substep(scene, u, v, p, pp, dt_sub,
+                                                state.nu, inlet, entry=entry)
         # JS tracks the max residual across substeps (index.html:288-293);
         # Rust reports the last substep's residual (model.rs:326).
         max_res_p = jnp.maximum(max_res_p, err) if js else err
-        return u, v, p, pp, max_res_p
+        red = extras if extras is not None else red
+        return u, v, p, pp, max_res_p, red
 
+    zero = jnp.asarray(0.0, f32)
+    red0 = (zero, zero, zero) if fused_red else None
+    carry0 = (u, v, state.p, state.p_prime, zero, red0)
     if not opts.substeps_adaptive and opts.substeps_init == 1:
         # Statically one substep (Rust semantics): skip the dynamic
         # fori_loop wrapper so XLA fuses across the substep boundary.
-        u, v, p, pp, res_p = sub_body(
-            0, (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
+        u, v, p, pp, res_p, red = sub_body(0, carry0)
     else:
-        u, v, p, pp, res_p = lax.fori_loop(
-            0, substeps, sub_body,
-            (u, v, state.p, state.p_prime, jnp.asarray(0.0, f32)))
+        u, v, p, pp, res_p, red = lax.fori_loop(
+            0, substeps, sub_body, carry0)
 
-    res_u = jnp.max(jnp.abs(u - u_old))
-    res_v = jnp.max(jnp.abs(v - v_old))
+    if fused_red:
+        res_u, res_v, fused_max_vel = red
+    else:
+        res_u = jnp.max(jnp.abs(u - u_old))
+        res_v = jnp.max(jnp.abs(v - v_old))
     new_step = state.step + 1
     new_t = state.t + state.dt
 
@@ -280,7 +364,8 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
                       shrunk, substeps))
 
     # CFL dt control (model.rs:877-889 / index.html:1326-1341).
-    max_vel = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
+    max_vel = (fused_max_vel if fused_red
+               else jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))))
     cap = state.dt_user if js else state.dt
     dt_cfl = jnp.where(max_vel == 0.0, cap,
                        jnp.minimum(opts.cfl * min(g.dx, g.dy) / max_vel, cap))

@@ -69,3 +69,35 @@ def test_remainder_launch_iteration_count():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=1e-6)
     assert np.isclose(float(err_ref), float(err_got), rtol=1e-4)
+
+
+def test_fused_substep_step_matches_jnp():
+    """Full PISO steps with the fused predictor/corrector Pallas passes
+    (kernels.substep_pallas) vs the XLA path, on the real chip."""
+    import numpy as np
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+
+    grid = Grid(nx=512, ny=512, lx=30.0, ly=30.0,
+                obstacles=(Cylinder(7.5, 15.0, 0.75),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    states = {}
+    for impl in ("jnp", "pallas"):
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=10, jacobi_tol=0.0,
+            jacobi_iters=50, outer_corrector_rounds=0, early_exit=False,
+            pressure_impl="jnp", substep_impl=impl)
+        scene = cfd.make_scene(grid, params, opts)
+        run = cfd.make_run(scene, 5, donate=False)
+        state, _ = run(scene.init_state())
+        float(state.res_u)
+        states[impl] = state
+    a, b = states["jnp"], states["pallas"]
+    for f in ("u", "v", "p"):
+        ref = np.asarray(getattr(a, f))
+        got = np.asarray(getattr(b, f))
+        np.testing.assert_allclose(ref, got, rtol=0, atol=1e-5)
+    for f in ("res_u", "res_v", "res_p", "dt"):
+        assert np.isclose(float(getattr(a, f)), float(getattr(b, f)),
+                          rtol=1e-4, atol=1e-7), f
