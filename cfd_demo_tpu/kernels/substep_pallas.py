@@ -147,12 +147,12 @@ def _window_start(row0, halo: int, ny: int, w: int):
 
 def _kernel_pre(scal_ref, u_hbm, v_hbm, us_out, vs_out, rhs_out,
                 u_win, v_win, rhs_win, sem,
-                *, grid, scheme, avg_conv_v, semantics, ny, nx, nxp,
-                wv, bs, halo):
+                *, grid, scheme, avg_conv_v, semantics, ny_arr, gny, nx,
+                nxp, wv, bs, halo):
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
-    start, out_lo = _window_start(row0, halo, ny, w)
+    start, out_lo = _window_start(row0, halo, ny_arr, w)
 
     # u arrives lane-padded to nxp (its logical width nx+1 is never
     # 128-aligned); v is DMA-ed at its own width wv -- the buffer lanes
@@ -169,13 +169,16 @@ def _kernel_pre(scal_ref, u_hbm, v_hbm, us_out, vs_out, rhs_out,
 
     dt_sub = scal_ref[0]
     nu = scal_ref[1]
-    ctx = RollCtx(start, w, nxp)
+    # Global row of local row 0 (sharded blocks; f32-encoded scalar is
+    # exact for any realistic grid height). 0 on a single chip.
+    off = scal_ref[2].astype(jnp.int32)
+    ctx = RollCtx(off + start, w, nxp)
     mask_u, mask_v, _, _ = masks_traced(grid, semantics, jnp.float32,
                                         ctx=ctx, shp_u=(w, nxp),
                                         shp_v=(w, nxp))
     u = u_win[:]
     v = v_win[:]
-    u_star, v_star = predict(u, v, dt_sub, nu, grid.dx, grid.dy, nx, ny,
+    u_star, v_star = predict(u, v, dt_sub, nu, grid.dx, grid.dy, nx, gny,
                              scheme, avg_conv_v, mask_u, mask_v, ctx=ctx)
     rhs = divergence_rhs(u_star, v_star, dt_sub, grid.dx, grid.dy,
                          ctx=ctx, out_shape=(w, nxp))
@@ -194,7 +197,8 @@ def _kernel_pre(scal_ref, u_hbm, v_hbm, us_out, vs_out, rhs_out,
 def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
                        grid: Grid, scheme: VelocityScheme,
                        semantics: Semantics, block_rows: int = 256,
-                       interpret: bool = False, pad_io: bool = True):
+                       interpret: bool = False, pad_io: bool = True,
+                       row_offset=None):
     """Fused predictor + divergence.
 
     ``pad_io=True`` (tests / generic widths): takes and returns the
@@ -203,8 +207,18 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
     ``u`` arrives already lane-padded to (ny, nxp) and ``u_star`` is
     returned padded, so the whole substep flows without pad/slice
     copies; v and rhs are always exact (ny, nx).
+
+    ``row_offset`` (traced scalar; multi-chip shard_map path): the
+    inputs are a halo-extended *local* row block of a grid.ny-row
+    global array whose row 0 is global row ``row_offset``; outputs
+    cover the same local rows (the caller discards the halo rows).
     """
-    ny, nx = grid.ny, grid.nx
+    nx = grid.nx
+    ny = u.shape[0]       # local rows (== grid.ny on a single chip)
+    gny = grid.ny
+    if row_offset is None:
+        assert ny == gny
+        row_offset = 0
     nxp = _round_up(nx + 1, 128)
     bs, halo = _tile_rows(ny, nxp, 3, 3, 12, block_rows)
     w = bs + 2 * halo
@@ -219,11 +233,12 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
     else:
         vp, wv, wo = jnp.pad(v, ((0, 0), (0, nxp - nx))), nxp, nxp
     scal = jnp.stack([jnp.asarray(dt_sub, jnp.float32),
-                      jnp.asarray(nu, jnp.float32)])
+                      jnp.asarray(nu, jnp.float32),
+                      jnp.asarray(row_offset, jnp.float32)])
     kern = functools.partial(
         _kernel_pre, grid=grid, scheme=scheme,
         avg_conv_v=(semantics == Semantics.JS), semantics=semantics,
-        ny=ny, nx=nx, nxp=nxp, wv=wv, bs=bs, halo=halo)
+        ny_arr=ny, gny=gny, nx=nx, nxp=nxp, wv=wv, bs=bs, halo=halo)
     us, vs, rhs = pl.pallas_call(
         kern,
         grid=(ny // bs,),
@@ -257,12 +272,12 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
 def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
                  u_out, v_out, p_out, red_ref,
                  us_win, vs_win, p_win, pp_win, sem,
-                 *, grid, profile, flow_case, semantics, ny, nx, nxp,
-                 wp, bs, halo):
+                 *, grid, profile, flow_case, semantics, ny_arr, gny, nx,
+                 nxp, wp, bs, halo, own_lo, own_hi):
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
-    start, out_lo = _window_start(row0, halo, ny, w)
+    start, out_lo = _window_start(row0, halo, ny_arr, w)
 
     # u* arrives lane-padded to nxp; v*, p, p' are DMA-ed at width wp
     # (exact when nx is lane-aligned) -- garbage lanes beyond wp are
@@ -279,7 +294,8 @@ def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
 
     dt_sub = scal_ref[0]
     inlet = scal_ref[1]
-    ctx = RollCtx(start, w, nxp)
+    off = scal_ref[2].astype(jnp.int32)
+    ctx = RollCtx(off + start, w, nxp)
     u, v, p_new = correct(us_win[:], vs_win[:], p_win[:], pp_win[:],
                           dt_sub, grid.dx, grid.dy, ctx=ctx, nx=nx)
     _, _, mask_u_bc, mask_v_bc = masks_traced(grid, semantics, jnp.float32,
@@ -298,18 +314,22 @@ def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
         cp.wait()
 
     # Residual / CFL reductions on the owned block (model.rs:333-348,
-    # :877-889), masking the lane padding beyond each field's width.
+    # :877-889), masking the lane padding beyond each field's width and
+    # -- in shard mode -- the exchanged halo rows outside
+    # [own_lo, own_hi), which the caller discards.
+    lr = row0 + lax.broadcasted_iota(jnp.int32, (bs, nxp), 0)
+    lrv = row0 + lax.broadcasted_iota(jnp.int32, (bs, wp), 0)
     lc = lax.broadcasted_iota(jnp.int32, (bs, nxp), 1)
     lcv = lax.broadcasted_iota(jnp.int32, (bs, wp), 1)
-    u_cols = lc <= nx       # u has nx+1 columns
-    v_cols = lcv <= nx - 1  # v has nx
+    u_own = (lc <= nx) & (lr >= own_lo) & (lr < own_hi)   # u: nx+1 cols
+    v_own = (lcv <= nx - 1) & (lrv >= own_lo) & (lrv < own_hi)
     u_fin = u_out[:]
     v_fin = v_out[:]
-    red_ref[i, 0] = jnp.max(jnp.where(u_cols, jnp.abs(u_fin - ue_ref[:]), 0.0))
-    red_ref[i, 1] = jnp.max(jnp.where(v_cols, jnp.abs(v_fin - ve_ref[:]), 0.0))
+    red_ref[i, 0] = jnp.max(jnp.where(u_own, jnp.abs(u_fin - ue_ref[:]), 0.0))
+    red_ref[i, 1] = jnp.max(jnp.where(v_own, jnp.abs(v_fin - ve_ref[:]), 0.0))
     red_ref[i, 2] = jnp.maximum(
-        jnp.max(jnp.where(u_cols, jnp.abs(u_fin), 0.0)),
-        jnp.max(jnp.where(v_cols, jnp.abs(v_fin), 0.0)))
+        jnp.max(jnp.where(u_own, jnp.abs(u_fin), 0.0)),
+        jnp.max(jnp.where(v_own, jnp.abs(v_fin), 0.0)))
 
 
 def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
@@ -318,7 +338,8 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
                       dt_sub, inlet, grid: Grid, profile: InletProfile,
                       flow_case: FlowCase, semantics: Semantics,
                       block_rows: int = 256, interpret: bool = False,
-                      pad_io: bool = True):
+                      pad_io: bool = True, row_offset=None,
+                      own_rows=None):
     """Fused corrector + BCs + step reductions. Returns
     (u, v, p, res_u, res_v, max_vel) where res_* = max|field - entry|
     (the model.rs:333-348 residuals) and max_vel feeds the CFL dt
@@ -328,8 +349,19 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     ``u_entry`` arrive lane-padded to (ny, nxp) -- straight from
     :func:`predict_div_pallas` and the step-entry pad -- while v*, p,
     p' stay exact-shaped; the returned u is sliced back to (ny, nx+1).
+
+    ``row_offset``/``own_rows`` (multi-chip shard_map path): inputs are
+    halo-extended local row blocks whose row 0 is global row
+    ``row_offset``; the residual/CFL reductions only count local rows
+    in ``own_rows`` = (lo, hi).
     """
-    ny, nx = grid.ny, grid.nx
+    nx = grid.nx
+    ny = u_star.shape[0]   # local rows (== grid.ny on a single chip)
+    gny = grid.ny
+    if row_offset is None:
+        assert ny == gny
+        row_offset = 0
+    own_lo, own_hi = own_rows if own_rows is not None else (0, ny)
     nxp = _round_up(nx + 1, 128)
     bs, halo = _tile_rows(ny, nxp, 4, 5, 8, block_rows)
     w = bs + 2 * halo
@@ -352,12 +384,13 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         ppa = jnp.pad(p_prime, pad_p)
         vep = jnp.pad(v_entry, pad_p)
     scal = jnp.stack([jnp.asarray(dt_sub, jnp.float32),
-                      jnp.asarray(inlet, jnp.float32)])
+                      jnp.asarray(inlet, jnp.float32),
+                      jnp.asarray(row_offset, jnp.float32)])
     nblocks = ny // bs
     kern = functools.partial(
         _kernel_post, grid=grid, profile=profile, flow_case=flow_case,
-        semantics=semantics, ny=ny, nx=nx, nxp=nxp, wp=wp, bs=bs,
-        halo=halo)
+        semantics=semantics, ny_arr=ny, gny=gny, nx=nx, nxp=nxp, wp=wp,
+        bs=bs, halo=halo, own_lo=own_lo, own_hi=own_hi)
     u, v, p_new, red = pl.pallas_call(
         kern,
         grid=(nblocks,),

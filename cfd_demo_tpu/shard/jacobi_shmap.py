@@ -97,6 +97,42 @@ def jacobi_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
     return fn(pp, rhs)
 
 
+def jacobi_pallas_shard_body(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
+                             gny: int, axis: str, dx: float, dy: float,
+                             omega: float, iters: int, k: int = 10,
+                             interpret: bool = False,
+                             cavity: bool = False):
+    """Shard-local body of the fused multi-chip Jacobi: must be called
+    INSIDE shard_map over a row-sharded (gny, nx) p'. Exchanges a
+    k-iteration-wide halo via ppermute once per fused-K Pallas launch
+    (kernels.jacobi_pallas._kernel_shard). Returns
+    (local p', global last-launch max error). Requires iters % k == 0
+    and local rows % 8 == 0."""
+    from ..kernels.jacobi_pallas import _halo8, jacobi_fused_k_shard
+
+    local = pp_loc.shape[0]
+    halo = _halo8(k)
+    assert iters % k == 0 and local % 8 == 0 and local >= halo
+
+    # rhs is launch-invariant: exchange once.
+    rhs_ext = exchange_rows(rhs_loc, axis, halo)
+    row_off = lax.axis_index(axis) * local - halo
+
+    def launch(carry, _):
+        pp_loc, _ = carry
+        ppx = exchange_rows(pp_loc, axis, halo)
+        out_ext, err = jacobi_fused_k_shard(
+            ppx, rhs_ext, row_off, gny, dx, dy, omega, k,
+            own_lo=halo, own_hi=halo + local,
+            interpret=interpret, cavity=cavity)
+        return (out_ext[halo:halo + local, :], err), None
+
+    err0 = jax.lax.pvary(jnp.float32(jnp.inf), (axis,))
+    (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
+                                length=iters // k)
+    return pp_loc, lax.pmax(err, axis)
+
+
 def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
                         dx: float, dy: float, omega: float, iters: int,
                         k: int = 10, axis: str = "y",
@@ -110,32 +146,11 @@ def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
     whole path is testable on the virtual CPU mesh. Requires
     iters % k == 0 and local rows divisible by 8.
     """
-    from ..kernels.jacobi_pallas import _halo8, jacobi_fused_k_shard
-
     ny, nx = pp.shape
-    n_shards = mesh.shape[axis]
-    local = ny // n_shards
-    halo = _halo8(k)
-    assert iters % k == 0 and local % 8 == 0 and local >= halo
 
     def shard_fn(pp_loc, rhs_loc):
-        # rhs is launch-invariant: exchange once.
-        rhs_ext = exchange_rows(rhs_loc, axis, halo)
-        row_off = lax.axis_index(axis) * local - halo
-
-        def launch(carry, _):
-            pp_loc, _ = carry
-            ppx = exchange_rows(pp_loc, axis, halo)
-            out_ext, err = jacobi_fused_k_shard(
-                ppx, rhs_ext, row_off, ny, dx, dy, omega, k,
-                own_lo=halo, own_hi=halo + local,
-                interpret=interpret, cavity=cavity)
-            return (out_ext[halo:halo + local, :], err), None
-
-        err0 = jax.lax.pvary(jnp.float32(jnp.inf), (axis,))
-        (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
-                                    length=iters // k)
-        return pp_loc, lax.pmax(err, axis)
+        return jacobi_pallas_shard_body(pp_loc, rhs_loc, ny, axis, dx, dy,
+                                        omega, iters, k, interpret, cavity)
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
     # varying-mesh-axes annotation.

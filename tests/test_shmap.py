@@ -77,3 +77,69 @@ def test_jacobi_pallas_shmap_matches_single_device(k):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=1e-6)
     assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
+
+
+def test_step_shmap_matches_single_device():
+    """The fully explicit multi-chip step (shard_map + fused Pallas
+    kernels in interpret mode + ppermute halos) must reproduce the
+    single-device step: fields bitwise-close, scalars equal."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=0, early_exit=False, pressure_impl="jnp",
+        substep_impl="jnp", pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+
+    ref_state, ref_diags = cfd.make_run(scene, 5, donate=False)(
+        scene.init_state())
+
+    mesh = make_mesh()
+    run = make_run_shmap(scene, mesh, 5, interpret=True)
+    got_state, got_diags = run(scene.init_state())
+
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=1e-6,
+            err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-5, atol=1e-8), f
+    np.testing.assert_allclose(np.asarray(ref_diags.res_p),
+                               np.asarray(got_diags.res_p),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_step_shmap_cavity():
+    """Cavity flow case through the explicit multi-chip step."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (FlowCase, Semantics, SimulationParams,
+                              cavity_grid, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = cavity_grid(128)
+    params = SimulationParams(dt=0.002, viscosity=1e-3,
+                              flow_case=FlowCase.CAVITY)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=0, early_exit=False, pressure_impl="jnp",
+        substep_impl="jnp", pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+
+    ref_state, _ = cfd.make_run(scene, 5, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 5, interpret=True)(
+        scene.init_state())
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=1e-6,
+            err_msg=f)
