@@ -101,32 +101,56 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     def west(a):
         return pltpu.roll(a, 1, 1)
 
+    # Boundary-read folding: interior cells adjacent to a Neumann
+    # boundary read their own value there (the per-iteration BC would
+    # have copied it), and the Dirichlet outlet reads 0 -- so boundary
+    # cells are never READ during the sweeps and their refresh runs
+    # once per launch instead of once per iteration (saves ~4 lane/
+    # sublane rolls per iteration; bitwise-identical for BC-consistent
+    # p' input, which the solver always supplies -- p' is either zero
+    # or the previous solve's post-BC output).
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+
     def iterate(want_err):
         pp = pp_win[:]
-        new = (ax * (east(pp) + west(pp)) + ay * (north(pp) + south(pp))
-               + ac * pp - rhs)
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
         # Only the final iteration's max |delta| is reported
-        # (model.rs:821-823 reports the error of the exiting sweep).
+        # (model.rs:821-823 reports the error of the exiting sweep);
+        # it counts interior cells only, so the garbage the unmasked
+        # store leaves in (never-read) boundary cells is inert.
         err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
-        pp = jnp.where(interior, new, pp)
-        # p' BCs, rows then columns (corner order matters). Channel:
-        # Neumann bottom/top/left + Dirichlet-0 outlet; cavity:
-        # all-Neumann with the (0,0) gauge cell pinned
-        # (ops.poisson._apply_pprime_bcs / _apply_pprime_bcs_cavity).
-        pp = jnp.where(is_bot, north(pp), pp)
-        pp = jnp.where(is_top, south(pp), pp)
-        pp = jnp.where(is_left, east(pp), pp)
-        if cavity:
-            pp = jnp.where(is_right, west(pp), pp)
-            pp = jnp.where(is_bot & is_left, 0.0, pp)
-        else:
-            pp = jnp.where(is_right, 0.0, pp)
-        pp_win[:] = pp
+        pp_win[:] = new
         return err
 
     lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
     err = iterate(True)
+    # p' BCs once per launch, rows then columns (corner order matters).
+    # Channel: Neumann bottom/top/left + Dirichlet-0 outlet; cavity:
+    # all-Neumann with the (0,0) gauge cell pinned
+    # (ops.poisson._apply_pprime_bcs / _apply_pprime_bcs_cavity).
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
     # Dynamic-start vector loads from VMEM are not lowerable; a local
     # DMA handles the dynamic sublane offset.
     out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
@@ -182,27 +206,48 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     ac = jnp.float32(1.0 - omega)
     rhs = ar * rhs_win[:]
 
+    # Boundary-read folding: interior cells adjacent to a Neumann
+    # boundary read their own value there (the per-iteration BC would
+    # have copied it), and the Dirichlet outlet reads 0 -- so boundary
+    # cells are never READ during the sweeps and their refresh runs
+    # once per launch instead of once per iteration (saves ~4 lane/
+    # sublane rolls per iteration; bitwise-identical for BC-consistent
+    # p' input, which the solver always supplies -- p' is either zero
+    # or the previous solve's post-BC output).
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+
     def iterate(want_err):
         pp = pp_win[:]
-        new = (ax * (pltpu.roll(pp, cw - 1, 1) + pltpu.roll(pp, 1, 1))
-               + ay * (pltpu.roll(pp, w - 1, 0) + pltpu.roll(pp, 1, 0))
-               + ac * pp - rhs)
+        E = pltpu.roll(pp, cw - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
         err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
-        pp = jnp.where(interior, new, pp)
-        pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
-        pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
-        pp = jnp.where(is_left, pltpu.roll(pp, cw - 1, 1), pp)
-        if cavity:
-            pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
-            pp = jnp.where(is_bot & is_left, 0.0, pp)
-        else:
-            pp = jnp.where(is_right, 0.0, pp)
-        pp_win[:] = pp
+        pp_win[:] = new
         return err
 
     lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
     err = iterate(True)
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+    pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+    pp = jnp.where(is_left, pltpu.roll(pp, cw - 1, 1), pp)
+    if cavity:
+        pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
     out_cp = pltpu.make_async_copy(
         pp_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
         sem.at[0])
@@ -448,27 +493,48 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
     ac = jnp.float32(1.0 - omega)
     rhs = ar * rhs_win[:]
 
+    # Boundary-read folding: interior cells adjacent to a Neumann
+    # boundary read their own value there (the per-iteration BC would
+    # have copied it), and the Dirichlet outlet reads 0 -- so boundary
+    # cells are never READ during the sweeps and their refresh runs
+    # once per launch instead of once per iteration (saves ~4 lane/
+    # sublane rolls per iteration; bitwise-identical for BC-consistent
+    # p' input, which the solver always supplies -- p' is either zero
+    # or the previous solve's post-BC output).
+    adj_bot = gr == 1
+    adj_top = gr == gny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+
     def iterate(want_err):
         pp = pp_win[:]
-        new = (ax * (pltpu.roll(pp, nxp - 1, 1) + pltpu.roll(pp, 1, 1))
-               + ay * (pltpu.roll(pp, w - 1, 0) + pltpu.roll(pp, 1, 0))
-               + ac * pp - rhs)
+        E = pltpu.roll(pp, nxp - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
         err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
-        pp = jnp.where(interior, new, pp)
-        pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
-        pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
-        pp = jnp.where(is_left, pltpu.roll(pp, nxp - 1, 1), pp)
-        if cavity:
-            pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
-            pp = jnp.where(is_bot & is_left, 0.0, pp)
-        else:
-            pp = jnp.where(is_right, 0.0, pp)
-        pp_win[:] = pp
+        pp_win[:] = new
         return err
 
     lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
     err = iterate(True)
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+    pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+    pp = jnp.where(is_left, pltpu.roll(pp, nxp - 1, 1), pp)
+    if cavity:
+        pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
     out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
                                    out_ref, sem.at[0])
     out_cp.start()

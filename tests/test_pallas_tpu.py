@@ -27,10 +27,13 @@ def test_fused_matches_jnp(shape, k):
     from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k
     from cfd_demo_tpu.ops.poisson import jacobi
 
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs
     ny, nx = shape
     dx = dy = 1.0 / nx
     rng = np.random.default_rng(0)
-    pp = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32)
+    # BC-consistent p' (the fused kernels fold the boundary reads).
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32))
     rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     ref, err_ref, _ = jax.jit(
         lambda p, r: jacobi(p, r, dx, dy, 0.75, 0.0, k, early_exit=False)
@@ -53,10 +56,12 @@ def test_remainder_launch_iteration_count():
     from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_pallas
     from cfd_demo_tpu.ops.poisson import jacobi
 
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs
     ny = nx = 512
     dx = dy = 1.0 / nx
     rng = np.random.default_rng(1)
-    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32))
     rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
     iters = 23  # 2 full k=10 launches + remainder 3
     ref, err_ref, n_ref = jax.jit(

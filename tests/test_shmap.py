@@ -61,10 +61,14 @@ def test_jacobi_pallas_shmap_matches_single_device(k):
     """Multi-chip fused-Pallas Jacobi (interpret mode on the CPU mesh)
     must match the single-device solver."""
     from cfd_demo_tpu.shard.jacobi_shmap import jacobi_pallas_shmap
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs
     rng = np.random.default_rng(0)
     ny = nx = 64
     dx = dy = 1.0 / nx
-    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    # The fused kernels fold the boundary reads (documented
+    # BC-consistent-input precondition, always true in the solver).
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32))
     rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
     iters = 16
     ref, err_ref, _ = jax.jit(
