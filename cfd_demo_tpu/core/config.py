@@ -215,7 +215,10 @@ class SolverOptions:
     # (default): pallas on TPU at >=2M cells (ties XLA at 2048^2 and
     # wins 4-10x above), jnp below (docs/PERF.md).
     pressure_impl: str = "auto"
-    pallas_fuse_k: int = 10
+    # Iterations fused per Pallas Jacobi launch; 0 = auto (10, or 25 on
+    # >= 8192^2 grids where halving the launch count beats the wider
+    # halo's redundant compute -- docs/PERF.md).
+    pallas_fuse_k: int = 0
     pallas_block_rows: int = 256
     # Fused predictor+divergence / corrector+BC+reduction Pallas passes
     # (kernels.substep_pallas): "auto" enables them on TPU for f32

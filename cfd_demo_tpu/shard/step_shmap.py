@@ -55,16 +55,18 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
         raise ValueError("step_shmap: 1 static substep, no extrapolation")
     if scene.params.pressure_solver != PressureSolver.JACOBI:
         raise ValueError("step_shmap: Jacobi pressure only")
-    if opts.jacobi_iters % opts.pallas_fuse_k != 0:
+    from ..solver.piso import resolve_fuse_k
+    if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
         raise ValueError("step_shmap: jacobi_iters must be a multiple of "
-                         "pallas_fuse_k")
+                         "the (resolved) pallas_fuse_k")
     from ..kernels.jacobi_pallas import _halo8
-    min_loc = max(_HALO, _halo8(opts.pallas_fuse_k))
+    from ..solver.piso import resolve_fuse_k
+    min_loc = max(_HALO, _halo8(resolve_fuse_k(opts, g)))
     if g.ny % S != 0 or (g.ny // S) % 8 != 0 or g.ny // S < min_loc:
         raise ValueError(f"step_shmap: ny={g.ny} must split into "
                          f"{S} shards of >= {min_loc} rows (multiples "
-                         f"of 8); the Jacobi halo spans pallas_fuse_k="
-                         f"{opts.pallas_fuse_k} iterations")
+                         f"of 8); the Jacobi halo spans the resolved "
+                         f"pallas_fuse_k iterations")
 
 
 def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
@@ -92,10 +94,11 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
         rhs = rhs_e[_HALO:_HALO + loc, :]
         # 3: warm-started fused-K Jacobi (Rust warm start, model.rs:682).
         pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
+        from ..solver.piso import resolve_fuse_k
         pp_new, err = jacobi_pallas_shard_body(
             pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
-            opts.jacobi_iters, k=opts.pallas_fuse_k, interpret=interpret,
-            cavity=cavity)
+            opts.jacobi_iters, k=resolve_fuse_k(opts, g),
+            interpret=interpret, cavity=cavity)
         # 4: corrector + BCs + reductions. p' needs real neighbor halos
         # (the v correction reads p'[j-1]); u*, v* come halo-extended
         # from the predictor kernel; p and the entry fields only matter

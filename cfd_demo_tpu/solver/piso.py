@@ -131,6 +131,13 @@ def _use_fused_substep(scene: "Scene", dtype) -> bool:
     return (impl == "pallas" and _pallas_ok(scene)
             and dtype == jnp.float32)
 
+def resolve_fuse_k(opts: SolverOptions, grid: Grid) -> int:
+    """pallas_fuse_k == 0 means size-tuned auto (docs/PERF.md)."""
+    if opts.pallas_fuse_k:
+        return opts.pallas_fuse_k
+    return 25 if grid.nx * grid.ny >= 48_000_000 else 10
+
+
 def _solve_pressure(scene: Scene, pp0, rhs):
     g, opts = scene.grid, scene.opts
     solver = scene.params.pressure_solver
@@ -145,7 +152,7 @@ def _solve_pressure(scene: Scene, pp0, rhs):
             from ..core.config import FlowCase
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
                                  opts.jacobi_tol, opts.jacobi_iters,
-                                 k=opts.pallas_fuse_k,
+                                 k=resolve_fuse_k(opts, g),
                                  block_rows=opts.pallas_block_rows,
                                  early_exit=opts.early_exit,
                                  cavity=(scene.params.flow_case
