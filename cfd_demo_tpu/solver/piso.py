@@ -100,14 +100,23 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
 # PISO substep
 # ---------------------------------------------------------------------------
 
-def _pallas_ok(scene: "Scene") -> bool:
+def _is_batched(x) -> bool:
+    """True when ``x`` is a vmap tracer: the Pallas kernels' manual-DMA
+    block specs do not auto-batch, so vmapped steps (the 64-scene
+    ensemble, SURVEY.md section 2.7) take the XLA path, which vmaps for
+    free."""
+    return type(x).__name__ == "BatchTracer"
+
+
+def _pallas_ok(scene: "Scene", example=None) -> bool:
     """The fused kernel targets the TPU backend and tile-friendly rows;
     it implements both the channel and cavity pressure BC families."""
     return (jax.default_backend() in ("tpu", "axon")
-            and scene.grid.ny % 8 == 0)
+            and scene.grid.ny % 8 == 0
+            and not _is_batched(example))
 
 
-def _use_fused_substep(scene: "Scene", dtype) -> bool:
+def _use_fused_substep(scene: "Scene", dtype, example=None) -> bool:
     """Fused predictor+divergence / corrector+BC Pallas passes
     (kernels.substep_pallas). Single-chip TPU, f32 only; "auto"
     enables them at >= 2M cells where the HBM round trips between the
@@ -128,7 +137,7 @@ def _use_fused_substep(scene: "Scene", dtype) -> bool:
                 bs = 0
             ok = bs >= 32
         impl = "pallas" if ok else "jnp"
-    return (impl == "pallas" and _pallas_ok(scene)
+    return (impl == "pallas" and _pallas_ok(scene, example)
             and dtype == jnp.float32)
 
 def resolve_fuse_k(opts: SolverOptions, grid: Grid) -> int:
@@ -147,7 +156,7 @@ def _solve_pressure(scene: Scene, pp0, rhs):
         impl = opts.pressure_impl
         if impl == "auto":
             impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
-        if impl == "pallas" and _pallas_ok(scene):
+        if impl == "pallas" and _pallas_ok(scene, rhs):
             from ..kernels.jacobi_pallas import jacobi_pallas
             from ..core.config import FlowCase
             return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
@@ -183,7 +192,7 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
     avg_conv_v = opts.semantics == Semantics.JS
     scheme = scene.params.velocity_scheme
     rounds = opts.outer_corrector_rounds
-    fused = _use_fused_substep(scene, u.dtype)
+    fused = _use_fused_substep(scene, u.dtype, u)
 
     aligned = nx % 128 == 0
     if fused:
@@ -323,7 +332,7 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
     # On the fully fused Pallas path the corrector kernel also computes
     # the residual/CFL reductions in-pass (vs the step-entry fields),
     # saving the separate whole-field passes below.
-    fused_red = (_use_fused_substep(scene, f32)
+    fused_red = (_use_fused_substep(scene, f32, state.u)
                  and opts.outer_corrector_rounds == 0)
     entry = (u_old, v_old) if fused_red else None
 
