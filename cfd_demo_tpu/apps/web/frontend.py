@@ -75,6 +75,17 @@ INDEX_HTML = r"""<!DOCTYPE html>
       step="0.05" value="1.0"> <span id="maxval">1.0</span></label>
     <button onclick="tesselate()">Tesselate</button>
   </div>
+  <div class="row">
+    <span>sketch:</span>
+    <button onclick="sketchMode('outer')">Draw outline</button>
+    <button onclick="sketchMode('hole')">Draw hole</button>
+    <button onclick="closeRing()">Close ring</button>
+    <button onclick="clearSketch()">Clear</button>
+    <button onclick="defaultSketch()">Default sketch</button>
+    <span id="sketchmsg" style="font-size:.8rem;color:#fa5"></span>
+  </div>
+  <canvas id="sketch" width="900" height="300"
+          style="border:1px solid #444;background:#181818;cursor:crosshair"></canvas>
   <img id="meshimg" class="frame" width="900">
 </div>
 
@@ -135,14 +146,68 @@ async function poll() {
   } catch (e) {}
   setTimeout(poll, 250);
 }
+// ----- sketch editor (world: 30x10, y up; canvas 900x300) -----
+const W = 30, H = 10, CW = 900, CH = 300;
+let sketch = {outer: [], holes: [], current: [], mode: 'outer'};
+function defaultSketch() {
+  sketch.outer = [[0,0],[30,0],[30,10],[0,10]];
+  const c = [7.5, 5], r = 1.5;  // rotated square hole (mesh_view.rs:140)
+  sketch.holes = [[[c[0]+r,c[1]],[c[0],c[1]+r],[c[0]-r,c[1]],[c[0],c[1]-r]]];
+  sketch.current = []; drawSketch(); msg('');
+}
+function sketchMode(m) { sketch.mode = m; sketch.current = []; drawSketch(); }
+function clearSketch() { sketch = {outer: [], holes: [], current: [], mode: 'outer'}; drawSketch(); msg(''); }
+function closeRing() {
+  if (sketch.current.length < 3) { msg('need at least 3 vertices'); return; }
+  if (sketch.mode === 'outer') sketch.outer = sketch.current;
+  else sketch.holes.push(sketch.current);
+  sketch.current = []; drawSketch(); msg('');
+}
+function msg(t) { document.getElementById('sketchmsg').textContent = t; }
+function toPx(p) { return [p[0]/W*(CW-1), (1 - p[1]/H)*(CH-1)]; }
+function drawSketch() {
+  const c = document.getElementById('sketch'), ctx = c.getContext('2d');
+  ctx.fillStyle = '#181818'; ctx.fillRect(0, 0, CW, CH);
+  const rings = [[sketch.outer, '#7af'], ...sketch.holes.map(h => [h, '#f77']),
+                 [sketch.current, sketch.mode === 'outer' ? '#7af' : '#f77']];
+  for (const [ring, color] of rings) {
+    if (!ring.length) continue;
+    ctx.strokeStyle = color; ctx.fillStyle = color;
+    ctx.beginPath();
+    ring.forEach((p, i) => {
+      const [x, y] = toPx(p);
+      if (i === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
+      ctx.fillRect(x - 2, y - 2, 4, 4);
+    });
+    if (ring !== sketch.current) ctx.closePath();
+    ctx.stroke();
+  }
+}
+document.getElementById('sketch').onclick = e => {
+  const r = e.target.getBoundingClientRect();
+  const x = (e.clientX - r.left) / r.width * W;
+  const y = (1 - (e.clientY - r.top) / r.height) * H;
+  sketch.current.push([Math.round(x * 100) / 100, Math.round(y * 100) / 100]);
+  drawSketch();
+};
 async function tesselate() {
   const f = document.getElementById('feature').value;
   const m = document.getElementById('max_cell').value;
   document.getElementById('featureval').textContent = f;
   document.getElementById('maxval').textContent = m;
-  document.getElementById('meshimg').src =
-    `/api/mesh?feature=${f}&max_cell=${m}&t=${Date.now()}`;
+  if (sketch.outer.length >= 3) {
+    const r = await fetch('/api/mesh', {method: 'POST', body: JSON.stringify(
+      {feature: parseFloat(f), max_cell: parseFloat(m),
+       outer: sketch.outer, holes: sketch.holes})});
+    if (!r.ok) { try { msg((await r.json()).error); } catch (e) { msg('invalid polygon'); } return; }
+    msg('');
+    document.getElementById('meshimg').src = URL.createObjectURL(await r.blob());
+  } else {
+    document.getElementById('meshimg').src =
+      `/api/mesh?feature=${f}&max_cell=${m}&t=${Date.now()}`;
+  }
 }
+defaultSketch();
 document.getElementById('feature').oninput = e =>
   document.getElementById('featureval').textContent = e.target.value;
 document.getElementById('max_cell').oninput = e =>

@@ -116,6 +116,10 @@ class Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(n) or b"{}")
         url = urlparse(self.path)
+        if url.path == "/api/mesh":
+            # Custom sketch tesselation (beyond the reference's fixed
+            # sketch): validation errors come back as 400 + message.
+            return self._mesh_custom(payload)
         with APP.lock:
             if url.path == "/api/control":
                 self._control(payload)
@@ -215,8 +219,7 @@ class Handler(BaseHTTPRequestHandler):
         self._send(200, json.dumps(body).encode())
 
     def _mesh(self, q):
-        from ...mesh2d import Polygon, QuadMesh
-        from ...utils.raster import rasterize_mesh, rasterize_polygon
+        from ...mesh2d import Polygon
         # Clamp to the UI slider ranges: feature_size <= 0 would refine
         # boundary-crossing cells without bound (request-level DoS).
         feature = min(max(float(q.get("feature", 0.2)), 0.01), 0.5)
@@ -225,11 +228,45 @@ class Handler(BaseHTTPRequestHandler):
         # (src/views/mesh_view.rs:140-152).
         poly = Polygon.rect(0.0, 0.0, 30.0, 10.0)
         poly.add_hole(Polygon.regular((7.5, 5.0), 1.5, 4, math.pi / 4))
+        self._send(200, png_bytes(self._mesh_image(poly, feature, max_cell)),
+                   "image/png")
+
+    def _mesh_custom(self, p):
+        """Tesselate a user-sketched polygon (+holes). The Polygon
+        constructor enforces the reference's validity rules (>=3
+        vertices, no self-intersection, holes strictly inside,
+        polygon.rs:21-78); violations come back as 400 + message."""
+        from ...mesh2d import Polygon
+        feature = min(max(float(p.get("feature", 0.2)), 0.01), 0.5)
+        max_cell = min(max(float(p.get("max_cell", 1.0)), 0.1), 10.0)
+        try:
+            outer = [(float(x), float(y)) for x, y in p.get("outer", [])]
+            if len(outer) > 64:
+                raise ValueError("too many vertices (max 64)")
+            poly = Polygon(outer)
+            for ring in p.get("holes", [])[:8]:
+                poly.add_hole(Polygon([(float(x), float(y))
+                                       for x, y in ring]))
+        except (ValueError, TypeError) as e:
+            return self._send(400, json.dumps({"error": str(e)}).encode())
+        self._send(200, png_bytes(self._mesh_image(poly, feature, max_cell)),
+                   "image/png")
+
+    @staticmethod
+    def _mesh_image(poly, feature, max_cell):
+        from ...mesh2d import QuadMesh
+        from ...utils.raster import rasterize_mesh, rasterize_polygon
         mesh = QuadMesh.from_polygon(poly, feature, max_cell)
-        img = rasterize_polygon(poly, 900, 300)
-        img = rasterize_mesh(mesh, background=img,
-                             bounds=((0.0, 0.0), (30.0, 10.0)))
-        self._send(200, png_bytes(img), "image/png")
+        # rasterize_polygon draws in the polygon's tight bounding box;
+        # pass the same bounds to the mesh overlay so they align.
+        bb = poly.bounding_box()
+        bounds = ((bb.cx - bb.half_width, bb.cy - bb.half_height),
+                  (bb.cx + bb.half_width, bb.cy + bb.half_height))
+        wid = 900
+        hei = max(60, min(900, int(round(
+            wid * max(bb.half_height, 1e-9) / max(bb.half_width, 1e-9)))))
+        img = rasterize_polygon(poly, wid, hei)
+        return rasterize_mesh(mesh, background=img, bounds=bounds)
 
 
 def main(argv=None):

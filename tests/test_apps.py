@@ -4,6 +4,7 @@ import os
 import tempfile
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -89,6 +90,19 @@ def test_web_server_endpoints():
         post("/api/params", {"dt": 0.003})
         mesh = get("/api/mesh?feature=0.4&max_cell=2.0")
         assert mesh[:8] == b"\x89PNG\r\n\x1a\n"
+        # Custom sketch tesselation (POST): L-shape with a square hole.
+        custom = post("/api/mesh", {
+            "feature": 0.3, "max_cell": 2.0,
+            "outer": [[0, 0], [12, 0], [12, 4], [6, 4], [6, 10], [0, 10]],
+            "holes": [[[2, 2], [4, 2], [4, 3.5], [2, 3.5]]]})
+        assert custom[:8] == b"\x89PNG\r\n\x1a\n"
+        # Invalid (self-intersecting bowtie) -> 400 with a message.
+        try:
+            post("/api/mesh", {"outer": [[0, 0], [4, 4], [4, 0], [0, 4]]})
+            raise AssertionError("bowtie accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "intersect" in json.loads(e.read())["error"]
         post("/api/control", {"action": "pause"})
         post("/api/control", {"action": "reset"})
     finally:
