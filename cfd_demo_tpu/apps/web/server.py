@@ -179,7 +179,10 @@ class Handler(BaseHTTPRequestHandler):
             h.request_snapshot()
             import time
             snap = None
-            for _ in range(100):
+            # The axon tunnel's device_get can take seconds right after
+            # a (re)start while the step is still compiling; poll long
+            # enough that the first frame succeeds rather than 503ing.
+            for _ in range(800):
                 snap = h.get_last_available_snapshot()
                 if snap is not None:
                     break
