@@ -115,3 +115,50 @@ def test_multiple_obstacles():
     assert np.isfinite(u).all()
     assert u[16, 16] == 0.0  # cylinder center face
     assert u[16, 40] == 0.0  # box center face
+
+
+# Ghia, Ghia & Shin (1982), Table I/II: lid-driven cavity at Re=100,
+# u along the vertical centerline and v along the horizontal one.
+# Public-domain benchmark values (their 129x129 stream-function solve).
+GHIA_RE100_Y = np.array([0.0547, 0.1016, 0.1719, 0.2813, 0.4531, 0.5,
+                         0.6172, 0.7344, 0.8516, 0.9531, 0.9766])
+GHIA_RE100_U = np.array([-0.03717, -0.06434, -0.10150, -0.15662, -0.21090,
+                         -0.20581, -0.13641, 0.00332, 0.23151, 0.68717,
+                         0.84123])
+GHIA_RE100_X = np.array([0.0625, 0.0938, 0.1563, 0.2344, 0.5,
+                         0.8047, 0.8594, 0.9063, 0.9531, 0.9688])
+GHIA_RE100_V = np.array([0.09233, 0.12317, 0.16077, 0.17527, 0.05454,
+                         -0.24533, -0.22445, -0.16914, -0.08864, -0.05906])
+
+
+def test_cavity_ghia_re100():
+    """Steady lid-driven cavity at Re=100 vs the Ghia et al. (1982)
+    benchmark profiles: 64^2, first-order upwind, 8000 fast-mode steps
+    to steady state (residual ~3e-6). Max deviation ~0.04 at this
+    resolution (0.02 at 128^2, docs/VALIDATION.md); tolerance 0.06."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (FlowCase, Semantics, SimulationParams,
+                              cavity_grid, solver_options_for)
+
+    n = 64
+    grid = cavity_grid(n)
+    params = SimulationParams(dt=3e-3, viscosity=0.01,
+                              target_inlet_velocity=1.0,
+                              flow_case=FlowCase.CAVITY)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=100, jacobi_tol=0.0,
+        jacobi_iters=50, outer_corrector_rounds=0, early_exit=False)
+    scene = cfd.make_scene(grid, params, opts)
+    state = scene.init_state()
+    run = cfd.make_run(scene, 2000, donate=False)
+    for _ in range(4):
+        state, _ = run(state)
+    assert float(state.res_u) < 1e-4, "not at steady state"
+    u = np.asarray(state.u)
+    v = np.asarray(state.v)
+    yc = (np.arange(n) + 0.5) / n
+    ui = np.interp(GHIA_RE100_Y, yc, u[:, n // 2])
+    assert np.abs(ui - GHIA_RE100_U).max() < 0.06
+    xc = (np.arange(n) + 0.5) / n
+    vi = np.interp(GHIA_RE100_X, xc, v[n // 2, :])
+    assert np.abs(vi - GHIA_RE100_V).max() < 0.06
