@@ -1,0 +1,239 @@
+"""Fused multi-iteration red/black SOR sweep as a Pallas TPU kernel.
+
+Same wide-halo window design as kernels.jacobi_pallas (manual DMA of
+overlapping row windows, K iterations per launch in VMEM), for the
+red/black SOR pressure solver (ops.poisson.sor -- the parallel form of
+the JS twin's lexicographic SOR, index.html:741-774). Each iteration is
+two color half-sweeps, and the black half reads the red half's updated
+values, so the valid region shrinks TWO rings per iteration: the halo
+spans 2K rows.
+
+Boundary-read folding carries over from the Jacobi kernel: a boundary
+cell always mirrors the very neighbor that reads it, and that neighbor
+cannot have changed between the (end-of-iteration) BC application and
+the read -- in either half -- so interior cells adjacent to a Neumann
+boundary read themselves, the Dirichlet outlet reads 0, and the BC
+refresh runs once per launch. Requires BC-consistent p' input, which
+the solver always supplies.
+
+Update arithmetic uses reciprocal multipliers (omega/(dx2*denom), ...)
+rather than the jnp path's literal divides; XLA compiles the divides to
+the same form under --xla_allow_excess_precision, and the equivalence
+tests bound the difference at ~1 ulp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .jacobi_pallas import _halo8
+
+
+def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
+            *, ny, nx, nxp, bs, halo, k, dx2, dy2, omega, cavity):
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    # 2k halo rows below row0 (two rings of validity per iteration).
+    start = pl.multiple_of(
+        jnp.clip(((row0 - 2 * k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = interior & (gr >= row0) & (gr < row0 + bs)
+    red = interior & (((gr + gc) % 2) == 0)
+    black = interior & (((gr + gc) % 2) == 1)
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    om = jnp.float32(omega)
+    rhs = br * rhs_win[:]
+
+    def half(pp, mask):
+        E = pltpu.roll(pp, nxp - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        update = bx * (E + W) + by * (N + S) - rhs
+        new = (1.0 - om) * pp + om * update
+        return jnp.where(mask, new, pp)
+
+    def iterate(want_err):
+        old = pp_win[:]
+        pp = half(old, red)
+        pp = half(pp, black)
+        err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp_win[:] = pp
+        return err
+
+    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    err = iterate(True)
+    # BCs once per launch (ops.poisson._apply_pprime_bcs[_cavity]).
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+    pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+    pp = jnp.where(is_left, pltpu.roll(pp, nxp - 1, 1), pp)
+    if cavity:
+        pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i, 0] = err
+
+
+def _tile(ny: int, nxp: int, k: int, block_rows: int):
+    """(bs, halo) or None when no VMEM-feasible row tiling exists.
+    Models ~7 window-sized live temporaries (the two color half-sweeps
+    keep more values alive than the Jacobi body) against the 16 MB
+    scoped-VMEM limit."""
+    n_temps = 7
+    limit = 14 * 1024 * 1024
+
+    def fits(bs, halo):
+        w = bs + 2 * halo
+        return ((2 + n_temps) * w + bs) * nxp * 4 <= limit
+
+    if ny % 8 == 0 and fits(ny, 0):
+        return ny, 0
+    halo = _halo8(2 * k)
+    bs = block_rows
+    while bs >= 8:
+        if ny % bs == 0 and ny >= bs + 2 * halo and fits(bs, halo):
+            return bs, halo
+        bs //= 2
+    return None
+
+
+def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
+                interpret=False, cavity=False):
+    """K fused red/black SOR iterations. Returns (p', last max err)."""
+    ny, nx = pp.shape
+    if ny % 8 != 0:
+        raise ValueError(f"ny={ny} must be a multiple of 8")
+    nxp = -(-nx // 128) * 128
+    tile = _tile(ny, nxp, k, block_rows)
+    if tile is None:
+        raise ValueError(f"no SOR tiling for ny={ny}, k={k}")
+    bs, halo = tile
+    nblocks = ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp = jnp.pad(pp, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(
+        _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    out, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs)
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, jnp.max(err)
+
+
+def sor_pallas_ok(ny: int, nx: int, k: int, block_rows: int = 256) -> bool:
+    if ny % 8 != 0:
+        return False
+    nxp = -(-nx // 128) * 128
+    return _tile(ny, nxp, k, block_rows) is not None
+
+
+def sor_pallas(pp0, rhs, dx, dy, omega, tol, iters, k=5,
+               block_rows=256, early_exit=True, interpret=False,
+               cavity=False):
+    """Drop-in replacement for ops.poisson.sor on the throughput path:
+    iters//k fused launches (+ remainder), convergence checked between
+    launches like jacobi_pallas. Returns (p', last err, iterations)."""
+    n_full = iters // k
+    rem = iters % k
+    step = functools.partial(sor_fused_k, rhs=rhs, dx=dx, dy=dy,
+                             omega=omega, k=k, block_rows=block_rows,
+                             interpret=interpret, cavity=cavity)
+
+    if early_exit and tol > 0.0 and n_full > 0:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_and(it < n_full, err >= tol)
+
+        def body(carry):
+            pp, _, it = carry
+            pp, err = step(pp)
+            return pp, err, it + 1
+
+        pp, err, it = lax.while_loop(
+            cond, body,
+            (pp0, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        n_run = it * k
+    elif n_full > 0:
+        def body(carry, _):
+            pp, _ = carry
+            pp, err = step(pp)
+            return (pp, err), None
+
+        (pp, err), _ = lax.scan(
+            body, (pp0, jnp.asarray(jnp.inf, jnp.float32)),
+            None, length=n_full)
+        n_run = jnp.asarray(n_full * k, jnp.int32)
+    else:
+        pp, err = pp0, jnp.asarray(jnp.inf, jnp.float32)
+        n_run = jnp.asarray(0, jnp.int32)
+
+    if rem:
+        pp, err = sor_fused_k(pp, rhs, dx, dy, omega, rem,
+                              block_rows=block_rows, interpret=interpret,
+                              cavity=cavity)
+        n_run = n_run + rem
+    return pp, err, n_run

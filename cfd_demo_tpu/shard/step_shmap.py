@@ -28,7 +28,6 @@ whole composition is testable on the virtual CPU mesh
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,12 +54,11 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
         raise ValueError("step_shmap: 1 static substep, no extrapolation")
     if scene.params.pressure_solver != PressureSolver.JACOBI:
         raise ValueError("step_shmap: Jacobi pressure only")
+    from ..kernels.jacobi_pallas import _halo8
     from ..solver.piso import resolve_fuse_k
     if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
         raise ValueError("step_shmap: jacobi_iters must be a multiple of "
                          "the (resolved) pallas_fuse_k")
-    from ..kernels.jacobi_pallas import _halo8
-    from ..solver.piso import resolve_fuse_k
     min_loc = max(_HALO, _halo8(resolve_fuse_k(opts, g)))
     if g.ny % S != 0 or (g.ny // S) % 8 != 0 or g.ny // S < min_loc:
         raise ValueError(f"step_shmap: ny={g.ny} must split into "

@@ -170,6 +170,20 @@ def _solve_pressure(scene: Scene, pp0, rhs):
                       opts.jacobi_tol, opts.jacobi_iters,
                       early_exit=opts.early_exit, bc=bc)
     if solver == PressureSolver.SOR:
+        impl = opts.pressure_impl
+        if impl == "auto":
+            impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
+        if impl == "pallas" and _pallas_ok(scene, rhs):
+            from ..core.config import FlowCase
+            from ..kernels.sor_pallas import sor_pallas, sor_pallas_ok
+            k = max(resolve_fuse_k(opts, g) // 2, 1)  # halo spans 2k rows
+            if sor_pallas_ok(g.ny, g.nx, k, opts.pallas_block_rows):
+                return sor_pallas(pp0, rhs, g.dx, g.dy, opts.sor_omega,
+                                  opts.jacobi_tol, opts.jacobi_iters, k=k,
+                                  block_rows=opts.pallas_block_rows,
+                                  early_exit=opts.early_exit,
+                                  cavity=(scene.params.flow_case
+                                          == FlowCase.CAVITY))
         return sor(pp0, rhs, g.dx, g.dy, opts.sor_omega,
                    opts.jacobi_tol, opts.jacobi_iters,
                    early_exit=opts.early_exit, bc=bc)

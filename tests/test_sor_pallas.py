@@ -1,0 +1,63 @@
+"""Fused red/black SOR Pallas kernel vs the jnp solver (interpret mode).
+
+The kernel folds boundary reads (requires BC-consistent p' input, as
+the solver supplies) and uses reciprocal multipliers where the jnp
+path writes divides, so agreement is to ~1 ulp rather than bitwise.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfd_demo_tpu.kernels.sor_pallas import sor_fused_k, sor_pallas
+from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                      _apply_pprime_bcs_cavity, sor)
+
+
+def fields(n=64):
+    rng = np.random.default_rng(0)
+    pp = jnp.asarray(rng.standard_normal((n, n)) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    return pp, rhs
+
+
+@pytest.mark.parametrize("cavity", [False, True])
+@pytest.mark.parametrize("block_rows", [16, 256])
+def test_sor_fused_matches_jnp(cavity, block_rows):
+    n = 64
+    dx = dy = 1.0 / n
+    pp, rhs = fields(n)
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    pp = bc(pp)
+    iters = 6
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, iters,
+                         early_exit=False, bc=bc))(pp, rhs)
+    got, err = jax.jit(
+        lambda p, r: sor_fused_k(p, r, dx, dy, 1.7, iters,
+                                 block_rows=block_rows,
+                                 interpret=True, cavity=cavity))(pp, rhs)
+    atol = 1e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+
+
+def test_sor_pallas_remainder_and_exact_count():
+    n = 64
+    dx = dy = 1.0 / n
+    pp, rhs = fields(n)
+    pp = _apply_pprime_bcs(pp)
+    iters = 13  # 2 full k=5 launches + remainder 3
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, iters,
+                         early_exit=False))(pp, rhs)
+    got, err, n_got = jax.jit(
+        lambda p, r: sor_pallas(p, r, dx, dy, 1.7, 0.0, iters, k=5,
+                                early_exit=False, interpret=True))(pp, rhs)
+    assert int(n_got) == iters == int(n_ref)
+    atol = 1e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
