@@ -445,6 +445,120 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 
 
 # ---------------------------------------------------------------------------
+# Multigrid smoother variant: K *undamped* interior Jacobi sweeps with
+# NO per-iteration BCs (ops.poisson._mg_smooth, index.html:1347-1369).
+# Boundary cells are read by their interior neighbors and must keep
+# their original values, so there is no boundary-read folding here --
+# the interior select preserves them and the halo shrinks one ring per
+# iteration exactly like the damped kernel.
+# ---------------------------------------------------------------------------
+
+def _kernel_mg(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem,
+               *, ny, nx, nxp, bs, halo, k, dx2, dy2):
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(p_hbm.at[pl.ds(start, w), :], p_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    rhs = br * rhs_win[:]
+
+    def body(_, c):
+        p = p_win[:]
+        update = (bx * (pltpu.roll(p, nxp - 1, 1) + pltpu.roll(p, 1, 1))
+                  + by * (pltpu.roll(p, w - 1, 0) + pltpu.roll(p, 1, 0))
+                  - rhs)
+        p_win[:] = jnp.where(interior, update, p)
+        return c
+
+    lax.fori_loop(0, k, body, 0)
+    out_cp = pltpu.make_async_copy(p_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
+def mg_smooth_pallas(p: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                     dy: float, iterations: int, block_rows: int = 256,
+                     interpret: bool = False):
+    """Fused multigrid smoothing (drop-in for ops.poisson._mg_smooth on
+    the fine levels). Returns the smoothed field."""
+    ny, nx = p.shape
+    nxp = -(-nx // 128) * 128
+    bs, halo = _tile_mg(ny, nxp, iterations, block_rows)
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        p = jnp.pad(p, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(_kernel_mg, ny=ny, nx=nx, nxp=nxp, bs=bs,
+                             halo=halo, k=iterations, dx2=dx * dx,
+                             dy2=dy * dy)
+    out = pl.pallas_call(
+        kern,
+        grid=(ny // bs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nxp), p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), p.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(p, rhs)
+    return out[:, :nx] if nxp != nx else out
+
+
+def _tile_mg(ny: int, nxp: int, k: int, block_rows: int):
+    n_temps = 6
+    limit = 14 * 1024 * 1024
+
+    def fits(bs, halo):
+        return ((2 + n_temps) * (bs + 2 * halo) + bs) * nxp * 4 <= limit
+
+    if ny % 8 == 0 and fits(ny, 0):
+        return ny, 0
+    halo = _halo8(k)
+    bs = block_rows
+    while bs >= 8:
+        if ny % bs == 0 and ny >= bs + 2 * halo and fits(bs, halo):
+            return bs, halo
+        bs //= 2
+    raise ValueError(f"no mg-smooth tiling for ny={ny}, k={k}")
+
+
+def mg_smooth_pallas_ok(ny: int, nx: int, k: int,
+                        block_rows: int = 256) -> bool:
+    if ny % 8 != 0 or k < 1:
+        return False
+    nxp = -(-nx // 128) * 128
+    try:
+        _tile_mg(ny, nxp, k, block_rows)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
 # Sharded (multi-chip) variant: the same fused kernel operating on a
 # halo-extended local block, with a traced global-row offset so the
 # domain BC masks land on the right global rows. Used by

@@ -236,13 +236,14 @@ def _mg_smooth(p, rhs, dx, dy, iterations: int):
     denom = 2.0 / dx2 + 2.0 / dy2
     interior, _, _ = _iota_masks(p.shape)
 
-    def body(p, _):
+    # Unrolled python loop: iteration counts are small static ints
+    # (5/10), and a lax.scan pays measurable per-trip loop overhead at
+    # every one of the V-cycle's ~10 levels.
+    for _ in range(iterations):
         update = ((shifted(p, p.shape, 0, 1) + shifted(p, p.shape, 0, -1)) / dx2
                   + (shifted(p, p.shape, 1, 0) + shifted(p, p.shape, -1, 0)) / dy2
                   - rhs) / denom
-        return jnp.where(interior, update, p), None
-
-    p, _ = lax.scan(body, p, None, length=iterations)
+        p = jnp.where(interior, update, p)
     return p
 
 
@@ -310,17 +311,37 @@ def _mg_prolong(coarse: jnp.ndarray, nx_f: int, ny_f: int) -> jnp.ndarray:
     return rep_y * (1 - b) + rep_d * b
 
 
+def _mg_smooth_auto(p, rhs, dx, dy, iterations, opts):
+    """Route fine-level smoothing through the fused Pallas kernel on
+    TPU (>= 2M cells, f32, unbatched); coarse levels and every other
+    backend keep the XLA sweep. Same numerics either way (the kernel
+    reproduces _mg_smooth's interior-only undamped sweeps)."""
+    import jax
+    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
+            and jax.default_backend() in ("tpu", "axon")
+            and p.dtype == jnp.float32
+            and p.shape[0] * p.shape[1] >= 2_000_000
+            and type(p).__name__ != "BatchTracer"):
+        from ..kernels.jacobi_pallas import (mg_smooth_pallas,
+                                             mg_smooth_pallas_ok)
+        if mg_smooth_pallas_ok(p.shape[0], p.shape[1], iterations,
+                               opts.pallas_block_rows):
+            return mg_smooth_pallas(p, rhs, dx, dy, iterations,
+                                    opts.pallas_block_rows)
+    return _mg_smooth(p, rhs, dx, dy, iterations)
+
+
 def _mg_vcycle(p, rhs, dx, dy, opts):
     ny, nx = p.shape
-    p = _mg_smooth(p, rhs, dx, dy, opts.mg_pre_smooth)
+    p = _mg_smooth_auto(p, rhs, dx, dy, opts.mg_pre_smooth, opts)
     if nx <= opts.mg_coarsest or ny <= opts.mg_coarsest:
-        return _mg_smooth(p, rhs, dx, dy, opts.mg_coarse_smooth)
+        return _mg_smooth_auto(p, rhs, dx, dy, opts.mg_coarse_smooth, opts)
     r = _mg_residual(p, rhs, dx, dy)
     nx_c, ny_c = (nx + 1) // 2, (ny + 1) // 2
     r_c = _mg_restrict(r, nx_c, ny_c)
     e_c = _mg_vcycle(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy, opts)
     p = p + _mg_prolong(e_c, nx, ny)
-    return _mg_smooth(p, rhs, dx, dy, opts.mg_post_smooth)
+    return _mg_smooth_auto(p, rhs, dx, dy, opts.mg_post_smooth, opts)
 
 
 def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
