@@ -106,3 +106,38 @@ def test_fused_substep_step_matches_jnp():
     for f in ("res_u", "res_v", "res_p", "dt"):
         assert np.isclose(float(getattr(a, f)), float(getattr(b, f)),
                           rtol=1e-4, atol=1e-7), f
+
+
+@pytest.mark.parametrize("solver", ["sor", "multigrid"])
+def test_alt_solver_pallas_step_matches_jnp(solver):
+    """Full PISO steps with the SOR / multigrid Pallas accelerations
+    vs the pure-XLA implementations, on the real chip."""
+    import numpy as np
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=2048, ny=2048, lx=30.0, ly=30.0,
+                obstacles=(Cylinder(7.5, 15.0, 0.75),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver(solver))
+    states = {}
+    for impl in ("jnp", "pallas"):
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=10, jacobi_tol=0.0,
+            jacobi_iters=20, outer_corrector_rounds=0, early_exit=False,
+            pressure_impl=impl, substep_impl="jnp")
+        scene = cfd.make_scene(grid, params, opts)
+        run = cfd.make_run(scene, 3, donate=False)
+        state, _ = run(scene.init_state())
+        float(state.res_u)
+        states[impl] = state
+    a, b = states["jnp"], states["pallas"]
+    # Multigrid accumulates fma-contraction differences over 3 V-cycles
+    # x 10 levels x 3 steps (~1e-6 relative); SOR stays tighter.
+    atol = 1e-4 if solver == "multigrid" else 1e-5
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=0, atol=atol, err_msg=f)
+    assert np.isclose(float(a.res_p), float(b.res_p), rtol=1e-3, atol=1e-7)
