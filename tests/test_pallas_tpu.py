@@ -141,3 +141,38 @@ def test_alt_solver_pallas_step_matches_jnp(solver):
                                    np.asarray(getattr(b, f)),
                                    rtol=0, atol=atol, err_msg=f)
     assert np.isclose(float(a.res_p), float(b.res_p), rtol=1e-3, atol=1e-7)
+
+
+def test_fused_substep_js_mode_matches_jnp():
+    """JS semantics through the fused kernels: fixed 3 substeps under
+    the dynamic fori_loop, extrapolated initial guess, JS face-position
+    obstacle masks, QUICK scheme."""
+    import numpy as np
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              VelocityScheme, solver_options_for)
+
+    grid = Grid(nx=2048, ny=1024, lx=30.0, ly=15.0,
+                obstacles=(Cylinder(7.5, 7.5, 0.75),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              velocity_scheme=VelocityScheme.QUICK)
+    states = {}
+    for impl in ("jnp", "pallas"):
+        opts = solver_options_for(
+            Semantics.JS, ramp_up_steps=10, jacobi_tol=0.0,
+            jacobi_iters=20, early_exit=False, substeps_init=3,
+            substeps_max=3, substeps_adaptive=False, extrapolate=True,
+            pressure_impl="jnp", substep_impl=impl)
+        scene = cfd.make_scene(grid, params, opts)
+        run = cfd.make_run(scene, 4, donate=False)
+        state, _ = run(scene.init_state())
+        float(state.res_u)
+        states[impl] = state
+    a, b = states["jnp"], states["pallas"]
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=0, atol=1e-5, err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt"):
+        assert np.isclose(float(getattr(a, f)), float(getattr(b, f)),
+                          rtol=1e-4, atol=1e-7), f
