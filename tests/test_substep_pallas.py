@@ -147,3 +147,38 @@ def test_pad_io_false_path(rng):
     assert_close(r[3], u2)
     assert_close(r[4], v2)
     assert_close(r[5], p2)
+
+
+@pytest.mark.parametrize("ny,nx", [(64, 100), (88, 96), (264, 120),
+                                   (16, 384), (40, 33)])
+def test_shape_sweep(rng, ny, nx):
+    """Tiling edge cases: odd widths, non-power-of-2 heights (264 = 8*33
+    forces a non-dyadic block size), minimal heights."""
+    grid = Grid(nx=nx, ny=ny, lx=3.0, ly=2.0,
+                obstacles=(Cylinder(1.0, 1.0, 0.4),))
+    u, v, p, pp = fields(rng, grid)
+
+    @jax.jit
+    def ref(u, v, p, pp):
+        mu, mv, mub, mvb = masks_traced(grid, Semantics.RUST, jnp.float32)
+        us, vs = predict(u, v, DT, NU, grid.dx, grid.dy, nx, ny,
+                         VelocityScheme.SECOND, False, mu, mv)
+        rhs = divergence_rhs(us, vs, DT, grid.dx, grid.dy)
+        u2, v2, p2 = correct(us, vs, p, pp, DT, grid.dx, grid.dy)
+        u2, v2 = apply_bcs(u2, v2, grid, InletProfile.UNIFORM, INLET,
+                           mub, mvb, FlowCase.CHANNEL)
+        return us, vs, rhs, u2, v2, p2
+
+    r = ref(u, v, p, pp)
+    us, vs, rhs = predict_div_pallas(u, v, DT, NU, grid,
+                                     VelocityScheme.SECOND, Semantics.RUST,
+                                     block_rows=32, interpret=True)
+    assert_close(r[0], us)
+    assert_close(r[1], vs)
+    assert_close(r[2], rhs)
+    k = correct_bc_pallas(us, vs, p, pp, u, v, DT, INLET, grid,
+                          InletProfile.UNIFORM, FlowCase.CHANNEL,
+                          Semantics.RUST, block_rows=32, interpret=True)
+    assert_close(r[3], k[0])
+    assert_close(r[4], k[1])
+    assert_close(r[5], k[2])
