@@ -3,8 +3,7 @@
 The CI suite forces CPU (conftest), where the fused kernel has no
 lowering; run explicitly on the chip with:
 
-    JAX_PLATFORMS= python -m pytest tests/test_pallas_tpu.py --no-header
-    (from an environment where jax.default_backend() is tpu/axon)
+    CFD_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_tpu.py -q
 
 These also run implicitly through bench.py; this file makes the check a
 one-command affair on device.

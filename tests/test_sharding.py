@@ -7,6 +7,13 @@ import numpy as np
 
 import jax
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU mesh (CFD_TEST_PLATFORM=cpu)")
+
+
 from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
                           make_scene, make_step, solver_options_for)
 from cfd_demo_tpu.shard.mesh import make_mesh, make_sharded_step, shard_state

@@ -3,6 +3,13 @@ import numpy as np
 import pytest
 
 import jax
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU mesh (CFD_TEST_PLATFORM=cpu)")
+
 import jax.numpy as jnp
 
 from cfd_demo_tpu.ops.poisson import jacobi
