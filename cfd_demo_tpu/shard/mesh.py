@@ -65,7 +65,17 @@ def shard_state(state: State, mesh: Mesh, axis: str = ROW_AXIS) -> State:
 
 def make_sharded_step(scene: Scene, mesh: Mesh, axis: str = ROW_AXIS,
                       donate: bool = False):
-    """jit step with GSPMD row decomposition over ``mesh``."""
+    """jit step with GSPMD row decomposition over ``mesh``.
+
+    Forces the XLA (jnp) solver/substep implementations on multi-device
+    meshes: the Pallas kernels' manual-DMA windows carry no GSPMD
+    partitioning rules, so the partitioner would replicate them. The
+    explicitly sharded Pallas path is shard.step_shmap."""
+    if mesh.size > 1 and (scene.opts.pressure_impl != "jnp"
+                          or scene.opts.substep_impl != "jnp"):
+        scene = dataclasses.replace(
+            scene, opts=dataclasses.replace(scene.opts, pressure_impl="jnp",
+                                            substep_impl="jnp"))
     example = scene.init_state()
     sh = _match(state_shardings(mesh, axis), example)
     diag_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()),
