@@ -339,7 +339,7 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
                       flow_case: FlowCase, semantics: Semantics,
                       block_rows: int = 256, interpret: bool = False,
                       pad_io: bool = True, row_offset=None,
-                      own_rows=None):
+                      own_rows=None, return_padded_u: bool = False):
     """Fused corrector + BCs + step reductions. Returns
     (u, v, p, res_u, res_v, max_vel) where res_* = max|field - entry|
     (the model.rs:333-348 residuals) and max_vel feeds the CFL dt
@@ -416,7 +416,8 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         + [pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
     )(scal, usp, vsp, pa, ppa, uep, vep)
-    u = u[:, :nx + 1]
+    if not return_padded_u:
+        u = u[:, :nx + 1]
     if not aligned:
         v = v[:, :nx]
         p_new = p_new[:, :nx]

@@ -193,13 +193,19 @@ def _solve_pressure(scene: Scene, pp0, rhs):
 
 
 def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
-                 entry=None):
+                 entry=None, u_padded: bool = False):
     """One PISO substep (model.rs:529-730 / index.html:366-867).
 
     Returns (u, v, p, p_prime, p_residual, extras) where extras is
     None, or -- on the fully fused Pallas path, when ``entry`` carries
     the step-entry (u, v) -- the in-kernel (res_u, res_v, max_vel)
     reductions so step_fn skips its own passes over the fields.
+
+    ``u_padded`` (padded-rollout mode, make_run): ``u`` and ``entry[0]``
+    arrive lane-padded to (ny, nxp) and the returned u stays padded --
+    the pad columns are zero and provably idempotent through the
+    kernels, so the whole rollout pays NO per-step pad/slice passes.
+    Only valid on the fully fused path (fused, aligned, rounds == 0).
     """
     g, opts = scene.grid, scene.opts
     nx, ny = g.nx, g.ny
@@ -209,15 +215,18 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
     fused = _use_fused_substep(scene, u.dtype, u)
 
     aligned = nx % 128 == 0
+    if u_padded:
+        assert fused and aligned and rounds == 0 and entry is not None
     if fused:
         from ..kernels.substep_pallas import _round_up, predict_div_pallas
         if aligned:
             # Lane-aligned fast path: u flows padded through the whole
-            # substep (one pad here, one slice in the corrector kernel)
-            # and every other array keeps its exact shape -- no other
-            # pad/slice copies.
+            # substep (one pad here -- or zero in padded-rollout mode --
+            # and one slice in the corrector kernel) and every other
+            # array keeps its exact shape: no other pad/slice copies.
             nxp = _round_up(nx + 1, 128)
-            up = jnp.pad(u, ((0, 0), (0, nxp - (nx + 1))))
+            up = (u if u_padded
+                  else jnp.pad(u, ((0, 0), (0, nxp - (nx + 1)))))
             u_star, v_star, rhs = predict_div_pallas(
                 up, v, dt_sub, nu, g, scheme, opts.semantics,
                 block_rows=opts.pallas_block_rows, pad_io=False)
@@ -242,13 +251,15 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
         if aligned:
             # u_star is already padded; pad the entry field (in Rust
             # semantics entry[0] IS this substep's u, so XLA CSEs this
-            # with the predictor's pad).
-            ue = jnp.pad(entry[0], ((0, 0), (0, nxp - (nx + 1))))
+            # with the predictor's pad). In padded-rollout mode the
+            # entry is already padded and u is returned padded.
+            ue = (entry[0] if u_padded
+                  else jnp.pad(entry[0], ((0, 0), (0, nxp - (nx + 1)))))
             u, v, p, res_u, res_v, max_vel = correct_bc_pallas(
                 u_star, v_star, p, pp, ue, entry[1], dt_sub, inlet,
                 g, scene.params.inlet_profile, scene.params.flow_case,
                 opts.semantics, block_rows=opts.pallas_block_rows,
-                pad_io=False)
+                pad_io=False, return_padded_u=u_padded)
         else:
             u, v, p, res_u, res_v, max_vel = correct_bc_pallas(
                 u_star, v_star, p, pp, entry[0], entry[1], dt_sub, inlet,
@@ -317,8 +328,14 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
 # Full outer step
 # ---------------------------------------------------------------------------
 
-def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
-    """One Model::update / updateSimulation. Pure; jit/vmap/scan-able."""
+def step_fn(scene: Scene, state: State,
+            u_padded: bool = False) -> Tuple[State, StepDiagnostics]:
+    """One Model::update / updateSimulation. Pure; jit/vmap/scan-able.
+
+    ``u_padded`` (make_run's padded-rollout mode): state.u (and u_prev)
+    are lane-padded to (ny, nxp) with zero, idempotent pad columns, so
+    the fused kernels skip the per-step pad/slice passes entirely.
+    """
     g, opts = scene.grid, scene.opts
     js = opts.semantics == Semantics.JS
     f32 = state.u.dtype
@@ -348,12 +365,15 @@ def step_fn(scene: Scene, state: State) -> Tuple[State, StepDiagnostics]:
     # saving the separate whole-field passes below.
     fused_red = (_use_fused_substep(scene, f32, state.u)
                  and opts.outer_corrector_rounds == 0)
+    if u_padded:
+        assert fused_red, "padded-rollout mode requires the fused path"
     entry = (u_old, v_old) if fused_red else None
 
     def sub_body(i, carry):
         u, v, p, pp, max_res_p, red = carry
         u, v, p, pp, err, extras = piso_substep(scene, u, v, p, pp, dt_sub,
-                                                state.nu, inlet, entry=entry)
+                                                state.nu, inlet, entry=entry,
+                                                u_padded=u_padded)
         # JS tracks the max residual across substeps (index.html:288-293);
         # Rust reports the last substep's residual (model.rs:326).
         max_res_p = jnp.maximum(max_res_p, err) if js else err
@@ -442,11 +462,35 @@ def make_run(scene: Scene, n_steps: int, donate="auto"):
 
     This is the throughput path: the scan keeps every pressure sweep on
     device and only the (n_steps,)-shaped scalar diagnostics come back.
+    On the fully fused Pallas path, u is carried lane-padded through
+    the whole scan (one pad before, one slice after) so no step pays a
+    pad/slice pass -- the pad columns are zero and idempotent through
+    the kernels (see piso_substep).
     """
+    g, opts = scene.grid, scene.opts
+    nx = g.nx
+
     def run(state: State):
+        padded = (_use_fused_substep(scene, state.u.dtype, state.u)
+                  and opts.outer_corrector_rounds == 0
+                  and nx % 128 == 0)
+        if padded:
+            from ..kernels.substep_pallas import _round_up
+            nxp = _round_up(nx + 1, 128)
+            pad = ((0, 0), (0, nxp - (nx + 1)))
+            padf = lambda a: None if a is None else jnp.pad(a, pad)
+            state = dataclasses.replace(state, u=padf(state.u),
+                                        u_prev=padf(state.u_prev))
+
         def body(s, _):
-            s, d = step_fn(scene, s)
+            s, d = step_fn(scene, s, u_padded=padded)
             return s, d
-        return lax.scan(body, state, None, length=n_steps)
+
+        state, diags = lax.scan(body, state, None, length=n_steps)
+        if padded:
+            cut = lambda a: None if a is None else a[:, :nx + 1]
+            state = dataclasses.replace(state, u=cut(state.u),
+                                        u_prev=cut(state.u_prev))
+        return state, diags
 
     return jax.jit(run, donate_argnums=(0,) if _resolve_donate(donate) else ())
