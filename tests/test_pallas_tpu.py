@@ -175,3 +175,54 @@ def test_fused_substep_js_mode_matches_jnp():
     for f in ("res_u", "res_v", "res_p", "dt"):
         assert np.isclose(float(getattr(a, f)), float(getattr(b, f)),
                           rtol=1e-4, atol=1e-7), f
+
+
+def test_config_matrix_auto_vs_jnp():
+    """Hardware consistency sweep: semantics x scheme x solver x flow
+    case through the auto (Pallas) vs jnp implementations."""
+    import numpy as np
+    import jax.numpy as jnp
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Box, Cylinder, FlowCase, Grid, InletProfile,
+                              PressureSolver, Semantics, SimulationParams,
+                              VelocityScheme, solver_options_for)
+
+    configs = [
+        dict(sem=Semantics.RUST, scheme="second", solver="jacobi",
+             fc=FlowCase.CHANNEL, prof=InletProfile.PARABOLIC),
+        dict(sem=Semantics.JS, scheme="quick", solver="jacobi",
+             fc=FlowCase.CHANNEL, prof=InletProfile.UNIFORM),
+        dict(sem=Semantics.RUST, scheme="first", solver="sor",
+             fc=FlowCase.CAVITY, prof=InletProfile.UNIFORM),
+        dict(sem=Semantics.JS, scheme="second", solver="multigrid",
+             fc=FlowCase.CAVITY, prof=InletProfile.UNIFORM),
+    ]
+    for cfg in configs:
+        if cfg["fc"] == FlowCase.CAVITY:
+            grid = Grid(nx=2048, ny=2048, lx=1.0, ly=1.0)
+        else:
+            grid = Grid(nx=2048, ny=1024, lx=30.0, ly=15.0,
+                        obstacles=(Cylinder(7.5, 7.5, 0.75),
+                                   Box(15.0, 5.0, 0.5, 0.5)))
+        params = SimulationParams(
+            dt=0.001, viscosity=1e-4,
+            velocity_scheme=VelocityScheme(cfg["scheme"]),
+            pressure_solver=PressureSolver(cfg["solver"]),
+            inlet_profile=cfg["prof"], flow_case=cfg["fc"])
+        states = {}
+        for impl in ("jnp", "auto"):
+            opts = solver_options_for(
+                cfg["sem"], ramp_up_steps=5, jacobi_tol=0.0,
+                jacobi_iters=20, outer_corrector_rounds=0,
+                early_exit=False, substeps_init=1, substeps_max=1,
+                substeps_adaptive=False,
+                extrapolate=(cfg["sem"] == Semantics.JS),
+                pressure_impl=impl, substep_impl=impl)
+            scene = cfd.make_scene(grid, params, opts)
+            st, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())
+            float(st.res_u)
+            states[impl] = st
+        a, b = states["jnp"], states["auto"]
+        for f in ("u", "v", "p"):
+            err = float(jnp.max(jnp.abs(getattr(a, f) - getattr(b, f))))
+            assert err < 1e-4, (cfg, f, err)
