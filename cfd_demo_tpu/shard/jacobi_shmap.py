@@ -101,13 +101,20 @@ def jacobi_pallas_shard_body(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
                              gny: int, axis: str, dx: float, dy: float,
                              omega: float, iters: int, k: int = 10,
                              interpret: bool = False,
-                             cavity: bool = False):
+                             cavity: bool = False, tol: float = 0.0,
+                             early_exit: bool = False):
     """Shard-local body of the fused multi-chip Jacobi: must be called
     INSIDE shard_map over a row-sharded (gny, nx) p'. Exchanges a
     k-iteration-wide halo via ppermute once per fused-K Pallas launch
     (kernels.jacobi_pallas._kernel_shard). Returns
     (local p', global last-launch max error). Requires iters % k == 0
-    and local rows % 8 == 0."""
+    and local rows % 8 == 0.
+
+    ``early_exit`` stops between launches once the globally pmax'd
+    last-sweep residual drops below ``tol`` -- the multi-chip analog of
+    kernels.jacobi_pallas.jacobi_pallas's K-granularity convergence
+    check (the while condition is replicated, so every shard runs the
+    same launch count)."""
     from ..kernels.jacobi_pallas import _halo8, jacobi_fused_k_shard
 
     local = pp_loc.shape[0]
@@ -118,25 +125,46 @@ def jacobi_pallas_shard_body(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
     rhs_ext = exchange_rows(rhs_loc, axis, halo)
     row_off = lax.axis_index(axis) * local - halo
 
-    def launch(carry, _):
-        pp_loc, _ = carry
+    def one_launch(pp_loc):
         ppx = exchange_rows(pp_loc, axis, halo)
         out_ext, err = jacobi_fused_k_shard(
             ppx, rhs_ext, row_off, gny, dx, dy, omega, k,
             own_lo=halo, own_hi=halo + local,
             interpret=interpret, cavity=cavity)
-        return (out_ext[halo:halo + local, :], err), None
+        return out_ext[halo:halo + local, :], lax.pmax(err, axis)
 
-    err0 = jax.lax.pvary(jnp.float32(jnp.inf), (axis,))
+    if early_exit and tol > 0.0:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_and(it < iters // k, err >= tol)
+
+        def body(carry):
+            pp_loc, _, it = carry
+            pp_loc, err = one_launch(pp_loc)
+            return pp_loc, err, it + 1
+
+        pp_loc, err, _ = lax.while_loop(
+            cond, body,
+            (pp_loc, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pp_loc, err
+
+    def launch(carry, _):
+        pp_loc, _ = carry
+        pp_loc, err = one_launch(pp_loc)
+        return (pp_loc, err), None
+
+    err0 = jnp.asarray(jnp.inf, jnp.float32)
     (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
                                 length=iters // k)
-    return pp_loc, lax.pmax(err, axis)
+    return pp_loc, err
 
 
 def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
                         dx: float, dy: float, omega: float, iters: int,
                         k: int = 10, axis: str = "y",
-                        interpret: bool = False, cavity: bool = False):
+                        interpret: bool = False, cavity: bool = False,
+                        tol: float = 0.0, early_exit: bool = False):
     """Multi-chip fused Jacobi: ppermute halo exchange between launches,
     the fused-K Pallas kernel (kernels.jacobi_pallas._kernel_shard) on
     each shard's halo-extended block. One ICI exchange per K iterations
@@ -150,7 +178,8 @@ def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
 
     def shard_fn(pp_loc, rhs_loc):
         return jacobi_pallas_shard_body(pp_loc, rhs_loc, ny, axis, dx, dy,
-                                        omega, iters, k, interpret, cavity)
+                                        omega, iters, k, interpret, cavity,
+                                        tol=tol, early_exit=early_exit)
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
     # varying-mesh-axes annotation.

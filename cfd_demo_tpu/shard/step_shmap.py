@@ -3,24 +3,39 @@
 Tier 3 of the scale-out design (SURVEY.md section 2.7 / section 7):
 tier 1 (shard.mesh) lets GSPMD partition the jnp step; tier 2
 (shard.jacobi_shmap) hand-writes the pressure solve's halo exchange;
-this module composes the WHOLE fast-mode step from explicitly sharded
-pieces, so every ICI transfer is a visible ppermute and every sweep is
-a Pallas kernel on the shard's halo-extended row block:
+this module composes the WHOLE step from explicitly sharded pieces, so
+every ICI transfer is a visible ppermute and every sweep is a Pallas
+kernel on the shard's halo-extended row block:
 
-  per step (one PISO substep, model.rs:529-730):
+  per PISO substep (model.rs:529-730):
     1. exchange 8-row (u, v) halos         -> 2 ppermute pairs
     2. fused predictor+divergence kernel   (kernels.substep_pallas, with
        a global-row offset so masks/BCs land on the right global rows)
     3. fused-K Jacobi: one (k-wide) halo exchange per K iterations
-       (shard.jacobi_shmap.jacobi_pallas_shard_body)
-    4. exchange 8-row p' halo, fused corrector+BC+reduction kernel
+       (shard.jacobi_shmap.jacobi_pallas_shard_body), warm-started and
+       optionally early-exiting on the pmax'd residual between launches
+    4a. fast mode (no outer rounds): exchange 8-row p' halo, fused
+        corrector+BC+reduction kernel
+    4b. reference mode: shard-local corrector, then the Rust outer
+        corrector loop (model.rs:696-724) as a lax.while_loop whose
+        exit condition is the globally pmax'd pressure residual; each
+        round exchanges 1-row (v, p') halos for the divergence and
+        corrector stencils; velocity BCs applied shard-locally with
+        global-row index masks at the end
     5. pmax residual/CFL reductions over the mesh axis
-    6. replicated scalar step logic (ramp, CFL dt cap) outside shard_map
+    6. replicated scalar step logic (ramp, CFL dt cap, JS substep
+       adaptation / extrapolation) shared with solver.piso via its
+       ramped_inlet/adapt_substeps/dt_control helpers
 
-Scope: the deterministic fast mode (Rust semantics, 1 static substep,
-no outer corrector rounds, fixed Jacobi iterations) -- the multi-chip
-throughput configuration of BASELINE config 5 (8192^2). The
-reference-exact adaptive modes run multi-chip through the GSPMD tier.
+Coverage: both semantics modes end to end -- the deterministic fast
+mode (BASELINE config 5's multi-chip throughput shape) AND the
+reference-exact adaptive modes (Rust outer corrector rounds with early
+exit; JS extrapolation + adaptive substeps + residual dt scaling).
+Jacobi pressure only; SOR/multigrid multi-chip runs go through the
+GSPMD tier (shard.mesh). Early-exit convergence checks happen at
+fused-K granularity, exactly like the single-device Pallas path
+(docs/SPEC.md "Pallas-mode semantics").
+
 ``interpret=True`` runs the kernels in the Pallas interpreter so the
 whole composition is testable on the virtual CPU mesh
 (tests/test_shmap.py).
@@ -36,26 +51,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import FlowCase, PressureSolver, Semantics
 from ..core.state import State
-from ..solver.piso import Scene, StepDiagnostics
+from ..ops.stencil import StencilCtx, row_index
+from ..solver.piso import (Scene, StepDiagnostics, adapt_substeps,
+                           dt_control, ramped_inlet, resolve_fuse_k)
 from .halo import exchange_rows
 from .jacobi_shmap import jacobi_pallas_shard_body
 
 _HALO = 8  # sublane-aligned row halo for the substep kernels
 
 
+class _OffsetCtx(StencilCtx):
+    """StencilCtx whose row_index returns *global* rows (local + traced
+    shard offset), so the shared ops/bc/mask formulas apply per-shard
+    unchanged. Column indices are global already (row sharding)."""
+
+    def __init__(self, row0):
+        self._row0 = row0
+
+    def row_index(self, shape):
+        return self._row0 + row_index(shape)
+
+
 def _check_supported(scene: Scene, mesh: Mesh, axis: str):
     opts, g = scene.opts, scene.grid
     S = mesh.shape[axis]
-    if opts.outer_corrector_rounds != 0:
-        raise ValueError("step_shmap: fast mode only "
-                         "(outer_corrector_rounds=0); use the GSPMD tier "
-                         "(shard.mesh) for full reference semantics")
-    if opts.substeps_adaptive or opts.substeps_init != 1 or opts.extrapolate:
-        raise ValueError("step_shmap: 1 static substep, no extrapolation")
     if scene.params.pressure_solver != PressureSolver.JACOBI:
-        raise ValueError("step_shmap: Jacobi pressure only")
+        raise ValueError("step_shmap: Jacobi pressure only; use the GSPMD "
+                         "tier (shard.mesh) for SOR/multigrid")
     from ..kernels.jacobi_pallas import _halo8
-    from ..solver.piso import resolve_fuse_k
     if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
         raise ValueError("step_shmap: jacobi_iters must be a multiple of "
                          "the (resolved) pallas_fuse_k")
@@ -69,7 +92,7 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
 
 def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
                     interpret: bool = False, jit: bool = True):
-    """Fast-mode multi-chip step: State -> (State, StepDiagnostics),
+    """Explicit multi-chip step: State -> (State, StepDiagnostics),
     fields row-sharded over ``mesh[axis]``, scalars replicated."""
     _check_supported(scene, mesh, axis)
     g, opts, params = scene.grid, scene.opts, scene.params
@@ -77,74 +100,179 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
     S = mesh.shape[axis]
     loc = ny // S
     cavity = params.flow_case == FlowCase.CAVITY
+    js = opts.semantics == Semantics.JS
+    rounds = opts.outer_corrector_rounds
+    fuse_k = resolve_fuse_k(opts, g)
+    # Fused corrector+BC+reduction kernel only when no outer rounds
+    # follow (it is the substep's last act); otherwise the plain
+    # shard-local corrector + the rounds loop + BCs.
+    fast_tail = rounds == 0
 
-    def shard_fn(u, v, p, pp, dt_sub, nu, inlet):
+    def solve(pp0, rhs):
+        return jacobi_pallas_shard_body(
+            pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
+            opts.jacobi_iters, k=fuse_k, interpret=interpret,
+            cavity=cavity, tol=opts.jacobi_tol,
+            early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+
+    def correct_local(us, vs, p, pp, dt_sub, off):
+        """Shard-local corrector (ops.corrector.correct on row blocks):
+        the u update needs only column shifts; the v update reads
+        p'[j-1], supplied by a 1-row ppermute halo."""
+        cu = lax.broadcasted_iota(jnp.int32, us.shape, 1)
+        ppW = jnp.pad(pp, ((0, 0), (1, 0)))[:, :nx + 1]
+        ppE = jnp.pad(pp, ((0, 0), (0, 1)))
+        u_upd = us - dt_sub * (ppE - ppW) / g.dx
+        u = jnp.where((cu >= 1) & (cu <= nx - 1), u_upd, us)
+        ppx = exchange_rows(pp, axis, 1)  # rows: [below, own.., above]
+        v_upd = vs - dt_sub * (ppx[1:loc + 1, :] - ppx[0:loc, :]) / g.dy
+        gv = off + lax.broadcasted_iota(jnp.int32, vs.shape, 0)
+        v = jnp.where(gv >= 1, v_upd, vs)
+        return u, v, p + pp
+
+    def div_local(u, v, dt_sub):
+        """Shard-local divergence RHS: v[j+1] comes from the 1-row
+        neighbor halo (zero above the top shard = the implicit v top
+        face row, core.state.State.v_full)."""
+        du = (u[:, 1:nx + 1] - u[:, :nx]) / g.dx
+        vx = exchange_rows(v, axis, 1)
+        dv = (vx[2:loc + 2, :] - vx[1:loc + 1, :]) / g.dy
+        return (du + dv) / dt_sub
+
+    def shard_fn(u, v, p, pp, dt_sub, nu, inlet, substeps):
         from ..kernels.substep_pallas import (correct_bc_pallas,
                                               predict_div_pallas)
-        off = lax.axis_index(axis) * loc - _HALO
-        # 1-2: predictor + divergence on the halo-extended block.
-        ue = exchange_rows(u, axis, _HALO)
-        ve = exchange_rows(v, axis, _HALO)
-        us_e, vs_e, rhs_e = predict_div_pallas(
-            ue, ve, dt_sub, nu, g, params.velocity_scheme, opts.semantics,
-            block_rows=opts.pallas_block_rows, interpret=interpret,
-            row_offset=off)
-        rhs = rhs_e[_HALO:_HALO + loc, :]
-        # 3: warm-started fused-K Jacobi (Rust warm start, model.rs:682).
-        pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
-        from ..solver.piso import resolve_fuse_k
-        pp_new, err = jacobi_pallas_shard_body(
-            pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
-            opts.jacobi_iters, k=resolve_fuse_k(opts, g),
-            interpret=interpret, cavity=cavity)
-        # 4: corrector + BCs + reductions. p' needs real neighbor halos
-        # (the v correction reads p'[j-1]); u*, v* come halo-extended
-        # from the predictor kernel; p and the entry fields only matter
-        # on owned rows, so zero row-padding keeps shapes uniform.
-        ppe = exchange_rows(pp_new, axis, _HALO)
-        zrows = ((_HALO, _HALO), (0, 0))
-        u2e, v2e, p2e, res_u, res_v, max_vel = correct_bc_pallas(
-            us_e, vs_e, jnp.pad(p, zrows), ppe,
-            jnp.pad(u, zrows), jnp.pad(v, zrows),
-            dt_sub, inlet, g, params.inlet_profile, params.flow_case,
-            opts.semantics, block_rows=opts.pallas_block_rows,
-            interpret=interpret, row_offset=off,
-            own_rows=(_HALO, _HALO + loc))
-        sl = slice(_HALO, _HALO + loc)
+        off = lax.axis_index(axis) * loc
+        u_entry, v_entry = u, v
+
+        def substep(u, v, p, pp):
+            # 1-2: predictor + divergence on the halo-extended block.
+            ue = exchange_rows(u, axis, _HALO)
+            ve = exchange_rows(v, axis, _HALO)
+            us_e, vs_e, rhs_e = predict_div_pallas(
+                ue, ve, dt_sub, nu, g, params.velocity_scheme,
+                opts.semantics, block_rows=opts.pallas_block_rows,
+                interpret=interpret, row_offset=off - _HALO)
+            rhs = rhs_e[_HALO:_HALO + loc, :]
+            # 3: Jacobi (Rust warm start model.rs:682; JS zero init).
+            pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
+            pp_new, err = solve(pp0, rhs)
+            if fast_tail:
+                # 4a: fused corrector + BCs + reductions. p' needs real
+                # neighbor halos (the v correction reads p'[j-1]); u*,
+                # v* come halo-extended from the predictor kernel; p
+                # and the entry fields only matter on owned rows, so
+                # zero row-padding keeps shapes uniform.
+                ppe = exchange_rows(pp_new, axis, _HALO)
+                zrows = ((_HALO, _HALO), (0, 0))
+                u2e, v2e, p2e, res_u, res_v, max_vel = correct_bc_pallas(
+                    us_e, vs_e, jnp.pad(p, zrows), ppe,
+                    jnp.pad(u_entry, zrows), jnp.pad(v_entry, zrows),
+                    dt_sub, inlet, g, params.inlet_profile,
+                    params.flow_case, opts.semantics,
+                    block_rows=opts.pallas_block_rows,
+                    interpret=interpret, row_offset=off - _HALO,
+                    own_rows=(_HALO, _HALO + loc))
+                sl = slice(_HALO, _HALO + loc)
+                return (u2e[sl, :], v2e[sl, :], p2e[sl, :], pp_new, err,
+                        (res_u, res_v, max_vel))
+            # 4b: reference mode -- plain corrector, then the Rust
+            # outer corrector loop (model.rs:696-724) on a globally
+            # agreed (pmax'd) residual, then shard-local BCs.
+            us = us_e[_HALO:_HALO + loc, :nx + 1]
+            vs = vs_e[_HALO:_HALO + loc, :]
+            u2, v2, p2 = correct_local(us, vs, p, pp_new, dt_sub, off)
+
+            def round_body(carry):
+                u, v, p, pp, _, it = carry
+                rhs = div_local(u, v, dt_sub)
+                pp, err = solve(pp, rhs)
+                u, v, p = correct_local(u, v, p, pp, dt_sub, off)
+                return u, v, p, pp, err, it + 1
+
+            def round_cond(carry):
+                *_, err, it = carry
+                return jnp.logical_and(it < rounds,
+                                       err >= opts.outer_corrector_tol)
+
+            if rounds > 0:
+                u2, v2, p2, pp_new, err, _ = lax.while_loop(
+                    round_cond, round_body,
+                    (u2, v2, p2, pp_new, err, jnp.asarray(0, jnp.int32)))
+            # BCs (model.rs:826-875) with global-row masks; obstacle
+            # masks from iota against global coordinates.
+            from ..core.masks import masks_traced
+            from ..ops.bc import apply_bcs
+            ctx = _OffsetCtx(off)
+            _, _, mask_u_bc, mask_v_bc = masks_traced(
+                g, opts.semantics, u2.dtype, ctx=ctx,
+                shp_u=(loc, nx + 1), shp_v=(loc, nx))
+            u2, v2 = apply_bcs(u2, v2, g, params.inlet_profile, inlet,
+                               mask_u_bc, mask_v_bc, params.flow_case,
+                               ctx=ctx)
+            return u2, v2, p2, pp_new, err, None
+
+        def sub_body(i, carry):
+            u, v, p, pp, max_res_p, red = carry
+            u, v, p, pp, err, extras = substep(u, v, p, pp)
+            # JS tracks the max residual across substeps
+            # (index.html:288-293); Rust reports the last substep's.
+            max_res_p = jnp.maximum(max_res_p, err) if js else err
+            red = extras if extras is not None else red
+            return u, v, p, pp, max_res_p, red
+
+        zero = jnp.asarray(0.0, u.dtype)
+        zero3 = (zero, zero, zero)
+        carry0 = (u, v, p, pp, zero, zero3)
+        if not opts.substeps_adaptive and opts.substeps_init == 1:
+            u, v, p, pp, res_p, red = sub_body(0, carry0)
+        else:
+            u, v, p, pp, res_p, red = lax.fori_loop(
+                0, substeps, sub_body, carry0)
+
+        if fast_tail:
+            res_u, res_v, max_vel = red
+        else:
+            res_u = jnp.max(jnp.abs(u - u_entry))
+            res_v = jnp.max(jnp.abs(v - v_entry))
+            max_vel = jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v)))
         # 5: global reductions over the mesh axis.
-        return (u2e[sl, :], v2e[sl, :], p2e[sl, :], pp_new,
-                lax.pmax(err, axis), lax.pmax(res_u, axis),
+        return (u, v, p, pp, lax.pmax(res_p, axis), lax.pmax(res_u, axis),
                 lax.pmax(res_v, axis), lax.pmax(max_vel, axis))
 
     row = P(axis, None)
-    sharded_substep = jax.shard_map(
+    sharded_substeps = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(row, row, row, row, P(), P(), P()),
+        in_specs=(row, row, row, row, P(), P(), P(), P()),
         out_specs=(row, row, row, row, P(), P(), P(), P()),
         check_vma=False)
 
     def step(state: State):
         f32 = state.u.dtype
-        # 6: replicated scalar logic, mirroring solver.piso.step_fn's
-        # Rust fast branch (ramp model.rs:311-316, CFL :877-889).
-        ramp = jnp.minimum(
-            state.step.astype(f32) / float(opts.ramp_up_steps), 1.0)
-        inlet = ramp * state.target_inlet
-        dt_sub = state.dt
-        u, v, p, pp, res_p, res_u, res_v, max_vel = sharded_substep(
-            state.u, state.v, state.p, state.p_prime,
-            dt_sub, state.nu, inlet)
+        # 6: replicated scalar logic, shared with solver.piso.step_fn.
+        u_enter, v_enter = state.u, state.v
+        u, v = u_enter, v_enter
+        if js and opts.extrapolate:
+            # JS extrapolated initial guess (index.html:263-270);
+            # elementwise on the row-sharded global arrays.
+            nonzero = state.step > 0
+            u = jnp.where(nonzero, 2.0 * u - state.u_prev, u)
+            v = jnp.where(nonzero, 2.0 * v - state.v_prev, v)
+        inlet = ramped_inlet(opts, state, f32)
+        substeps = state.substeps
+        dt_sub = state.dt / substeps.astype(f32)
+        u, v, p, pp, res_p, res_u, res_v, max_vel = sharded_substeps(
+            u, v, state.p, state.p_prime, dt_sub, state.nu, inlet, substeps)
+        if js and opts.substeps_adaptive:
+            substeps = adapt_substeps(opts, substeps, res_u, res_v, res_p,
+                                      f32)
         new_step = state.step + 1
         new_t = state.t + state.dt
-        dt_cfl = jnp.where(
-            max_vel == 0.0, state.dt,
-            jnp.minimum(opts.cfl * min(g.dx, g.dy) / max_vel, state.dt))
-        new_dt = jnp.where(dt_cfl > state.dt,
-                           jnp.minimum(dt_cfl, state.dt * opts.dt_growth_cap),
-                           dt_cfl)
+        new_dt = dt_control(g, opts, state, max_vel, res_p)
         new_state = dataclasses.replace(
             state, u=u, v=v, p=p, p_prime=pp,
-            dt=new_dt, t=new_t, step=new_step,
+            u_prev=u_enter if js else None, v_prev=v_enter if js else None,
+            dt=new_dt, t=new_t, step=new_step, substeps=substeps,
             res_u=res_u, res_v=res_v, res_p=res_p)
         diag = StepDiagnostics(step=new_step, t=new_t, dt=state.dt,
                                res_u=res_u, res_v=res_v, res_p=res_p,
@@ -156,7 +284,7 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
 
 def make_run_shmap(scene: Scene, mesh: Mesh, n_steps: int,
                    axis: str = "y", interpret: bool = False):
-    """n steps of the explicitly sharded fast-mode step under lax.scan."""
+    """n steps of the explicitly sharded step under lax.scan."""
     step = make_step_shmap(scene, mesh, axis, interpret, jit=False)
 
     def run(state: State):

@@ -325,6 +325,55 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
 
 
 # ---------------------------------------------------------------------------
+# Step-level scalar controls, shared by the single-device step_fn and
+# the explicitly sharded step (shard.step_shmap) so the two cannot
+# drift apart.
+# ---------------------------------------------------------------------------
+
+def ramped_inlet(opts: SolverOptions, state: State, f32):
+    """Inlet ramp (model.rs:311-316 / index.html:277-281)."""
+    ramp = jnp.minimum(
+        state.step.astype(f32) / float(opts.ramp_up_steps), 1.0)
+    return ramp * state.target_inlet
+
+
+def adapt_substeps(opts: SolverOptions, substeps, res_u, res_v, res_p, f32):
+    """JS substep adaptation (index.html:310-317): grow by the error
+    ratio above tolerance, halve when well below."""
+    error_norm = jnp.maximum(jnp.maximum(res_u, res_v), res_p)
+    tol = opts.substep_tolerance
+    factor = error_norm / tol
+    grown = jnp.minimum(
+        jnp.ceil(substeps.astype(f32) * factor),
+        float(opts.substeps_max)).astype(jnp.int32)
+    shrunk = jnp.maximum(substeps // 2, 1)
+    return jnp.where(
+        error_norm > tol, grown,
+        jnp.where(jnp.logical_and(error_norm < tol / 10.0, substeps > 1),
+                  shrunk, substeps))
+
+
+def dt_control(grid: Grid, opts: SolverOptions, state: State,
+               max_vel, res_p):
+    """CFL dt control with the 1.1x growth cap (model.rs:877-889 /
+    index.html:1326-1341), plus the JS residual-based dt scaling
+    (index.html:338-350)."""
+    js = opts.semantics == Semantics.JS
+    cap = state.dt_user if js else state.dt
+    dt_cfl = jnp.where(
+        max_vel == 0.0, cap,
+        jnp.minimum(opts.cfl * min(grid.dx, grid.dy) / max_vel, cap))
+    if js and opts.residual_dt_scaling:
+        ptol = opts.residual_dt_tol
+        dt_pressure = jnp.where(res_p > ptol,
+                                dt_cfl * (ptol / (res_p + 1e-10)), dt_cfl)
+        dt_cfl = jnp.minimum(dt_cfl, dt_pressure)
+    return jnp.where(dt_cfl > state.dt,
+                     jnp.minimum(dt_cfl, state.dt * opts.dt_growth_cap),
+                     dt_cfl)
+
+
+# ---------------------------------------------------------------------------
 # Full outer step
 # ---------------------------------------------------------------------------
 
@@ -353,9 +402,7 @@ def step_fn(scene: Scene, state: State,
         v = jnp.where(nonzero, 2.0 * v - state.v_prev, v)
     u_old, v_old = u, v
 
-    # Inlet ramp (model.rs:311-316 / index.html:277-281).
-    ramp = jnp.minimum(state.step.astype(f32) / float(opts.ramp_up_steps), 1.0)
-    inlet = ramp * state.target_inlet
+    inlet = ramped_inlet(opts, state, f32)
 
     substeps = state.substeps
     dt_sub = state.dt / substeps.astype(f32)
@@ -401,33 +448,12 @@ def step_fn(scene: Scene, state: State,
 
     # Substep adaptation (index.html:310-317).
     if js and opts.substeps_adaptive:
-        error_norm = jnp.maximum(jnp.maximum(res_u, res_v), res_p)
-        tol = opts.substep_tolerance
-        factor = error_norm / tol
-        grown = jnp.minimum(
-            jnp.ceil(substeps.astype(f32) * factor),
-            float(opts.substeps_max)).astype(jnp.int32)
-        shrunk = jnp.maximum(substeps // 2, 1)
-        substeps = jnp.where(
-            error_norm > tol, grown,
-            jnp.where(jnp.logical_and(error_norm < tol / 10.0, substeps > 1),
-                      shrunk, substeps))
+        substeps = adapt_substeps(opts, substeps, res_u, res_v, res_p, f32)
 
     # CFL dt control (model.rs:877-889 / index.html:1326-1341).
     max_vel = (fused_max_vel if fused_red
                else jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))))
-    cap = state.dt_user if js else state.dt
-    dt_cfl = jnp.where(max_vel == 0.0, cap,
-                       jnp.minimum(opts.cfl * min(g.dx, g.dy) / max_vel, cap))
-    if js and opts.residual_dt_scaling:
-        # index.html:338-350
-        ptol = opts.residual_dt_tol
-        dt_pressure = jnp.where(res_p > ptol,
-                                dt_cfl * (ptol / (res_p + 1e-10)), dt_cfl)
-        dt_cfl = jnp.minimum(dt_cfl, dt_pressure)
-    new_dt = jnp.where(dt_cfl > state.dt,
-                       jnp.minimum(dt_cfl, state.dt * opts.dt_growth_cap),
-                       dt_cfl)
+    new_dt = dt_control(g, opts, state, max_vel, res_p)
 
     new_state = dataclasses.replace(
         state, u=u, v=v, p=p, p_prime=pp,

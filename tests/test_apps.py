@@ -145,8 +145,20 @@ def test_driver_nan_guard():
     h = run(scene)
     time.sleep(0.3)
     h.pause()
-    time.sleep(0.3)  # let the in-flight step finish (avoids the race
-    #                  between the injection and the worker's write-back)
+    # Wait until the worker OBSERVABLY pauses before injecting: under
+    # full-suite load the in-flight step (fresh jit compile) can take
+    # seconds, and its write-back would overwrite the injection. A
+    # snapshot stamped paused=True proves the command drain ran after
+    # the pause took effect and no step is in flight.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        h.request_snapshot()
+        time.sleep(0.1)
+        snap = h.get_last_available_snapshot()
+        if snap is not None and snap.paused:
+            break
+    else:
+        raise AssertionError("worker never paused")
     h._state = dataclasses.replace(
         h._state, u=h._state.u.at[5, 5].set(jnp.nan))
     h.resume()

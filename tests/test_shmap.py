@@ -154,3 +154,100 @@ def test_step_shmap_cavity():
             np.asarray(getattr(ref_state, f)),
             np.asarray(getattr(got_state, f)), rtol=0, atol=1e-6,
             err_msg=f)
+
+
+@pytest.mark.parametrize("tol", [1e-3, 1e-2])
+def test_jacobi_pallas_shmap_early_exit(tol):
+    """Multi-chip K-granularity early exit must match the single-device
+    fused kernel's (kernels.jacobi_pallas.jacobi_pallas): same launch
+    count, same fields."""
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_pallas
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs
+    from cfd_demo_tpu.shard.jacobi_shmap import jacobi_pallas_shmap
+    rng = np.random.default_rng(1)
+    ny = nx = 64
+    dx = dy = 1.0 / nx
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: jacobi_pallas(p, r, dx, dy, 0.75, tol, 48, k=8,
+                                   early_exit=True, interpret=True))(pp, rhs)
+    mesh = make_mesh()
+    got, err_got = jax.jit(
+        lambda p, r: jacobi_pallas_shmap(p, r, mesh, dx, dy, 0.75, 48, k=8,
+                                         interpret=True, tol=tol,
+                                         early_exit=True))(pp, rhs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
+
+
+def test_step_shmap_reference_mode():
+    """The explicit multi-chip step in REFERENCE mode (Rust semantics:
+    warm-started Jacobi + the model.rs:696-724 outer corrector loop on
+    the pmax'd residual) must reproduce the single-device step.
+    outer_corrector_tol=0 keeps the trip count deterministic so the
+    comparison is exact rather than tolerance-boundary-dependent."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=2, outer_corrector_tol=0.0, early_exit=True,
+        pressure_impl="jnp", substep_impl="jnp", pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 4, interpret=True)(
+        scene.init_state())
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=2e-6,
+            err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
+
+
+def test_step_shmap_js_adaptive():
+    """JS semantics end to end multi-chip: extrapolated initial guess,
+    adaptive substeps (traced fori_loop trip count inside shard_map),
+    residual dt scaling, zero-init Jacobi, fused corrector kernel."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(
+        Semantics.JS, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        early_exit=False, extrapolate=True, substeps_init=2,
+        substeps_adaptive=True, substeps_max=4, residual_dt_scaling=True,
+        pressure_impl="jnp", substep_impl="jnp", pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, ref_d = cfd.make_run(scene, 4, donate=False)(
+        scene.init_state())
+    mesh = make_mesh()
+    got_state, got_d = make_run_shmap(scene, mesh, 4, interpret=True)(
+        scene.init_state())
+    for f in ("u", "v", "p", "p_prime", "u_prev", "v_prev"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=5e-5,
+            err_msg=f)
+    np.testing.assert_array_equal(np.asarray(ref_d.substeps),
+                                  np.asarray(got_d.substeps))
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
