@@ -114,14 +114,15 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     adj_left = gc == 1
     adj_right = gc == nx - 2
 
-    def iterate(want_err):
+    def iterate(want_err, fold_rows=True):
         pp = pp_win[:]
         E = east(pp)
         W = west(pp)
         N = north(pp)
         S = south(pp)
-        S = jnp.where(adj_bot, pp, S)
-        N = jnp.where(adj_top, pp, N)
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
@@ -135,7 +136,23 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         pp_win[:] = new
         return err
 
-    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    # Row-interior window specialization: when no window row is
+    # adjacent to the bottom/top domain boundary, the two row-fold
+    # selects are provably no-ops and the sweep loop drops them
+    # (~7% off the 50-iteration solve at 2048^2, docs/PERF.md). The
+    # final (error-reporting) iteration keeps the full form; its cost
+    # is amortized 1/k.
+    inner_rows = jnp.logical_and(start >= 2, start + w <= ny - 2)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k - 1,
+                      lambda _, c: (iterate(False, fold_rows=False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
     err = iterate(True)
     # p' BCs once per launch, rows then columns (corner order matters).
     # Channel: Neumann bottom/top/left + Dirichlet-0 outlet; cavity:
@@ -219,24 +236,45 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     adj_left = gc == 1
     adj_right = gc == nx - 2
 
-    def iterate(want_err):
+    def iterate(want_err, fold_rows=True, fold_cols=True):
         pp = pp_win[:]
         E = pltpu.roll(pp, cw - 1, 1)
         W = pltpu.roll(pp, 1, 1)
         N = pltpu.roll(pp, w - 1, 0)
         S = pltpu.roll(pp, 1, 0)
-        S = jnp.where(adj_bot, pp, S)
-        N = jnp.where(adj_top, pp, N)
-        W = jnp.where(adj_left, pp, W)
-        E = (jnp.where(adj_right, pp, E) if cavity
-             else jnp.where(adj_right, 0.0, E))
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
+        if fold_cols:
+            W = jnp.where(adj_left, pp, W)
+            E = (jnp.where(adj_right, pp, E) if cavity
+                 else jnp.where(adj_right, 0.0, E))
         new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
         err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = new
         return err
 
-    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    # Interior-window specialization (see _kernel): drop the row
+    # and/or column boundary-fold selects when the window provably
+    # contains no boundary-adjacent rows/columns. 2x2 pl.when variants;
+    # the final error-reporting iteration keeps the full form.
+    inner_rows = jnp.logical_and(start >= 2, start + w <= ny - 2)
+    inner_cols = jnp.logical_and(cstart >= 2, cstart + cw <= nx - 2)
+    for fr in (False, True):
+        for fc in (False, True):
+            sel = jnp.logical_and(
+                inner_rows if not fr else jnp.logical_not(inner_rows),
+                inner_cols if not fc else jnp.logical_not(inner_cols))
+
+            @pl.when(sel)
+            def _(fr=fr, fc=fc):
+                lax.fori_loop(
+                    0, k - 1,
+                    lambda _, c, fr=fr, fc=fc:
+                        (iterate(False, fold_rows=fr, fold_cols=fc), c)[1],
+                    0)
+
     err = iterate(True)
     pp = pp_win[:]
     pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
@@ -620,14 +658,15 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
     adj_left = gc == 1
     adj_right = gc == nx - 2
 
-    def iterate(want_err):
+    def iterate(want_err, fold_rows=True):
         pp = pp_win[:]
         E = pltpu.roll(pp, nxp - 1, 1)
         W = pltpu.roll(pp, 1, 1)
         N = pltpu.roll(pp, w - 1, 0)
         S = pltpu.roll(pp, 1, 0)
-        S = jnp.where(adj_bot, pp, S)
-        N = jnp.where(adj_top, pp, N)
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
@@ -637,7 +676,19 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
         pp_win[:] = new
         return err
 
-    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    # Row-interior specialization on *global* rows (see _kernel).
+    g0 = off_ref[0] + start
+    inner_rows = jnp.logical_and(g0 >= 2, g0 + w <= gny - 2)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k - 1,
+                      lambda _, c: (iterate(False, fold_rows=False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
     err = iterate(True)
     pp = pp_win[:]
     pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
