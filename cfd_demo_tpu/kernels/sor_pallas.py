@@ -74,13 +74,14 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     om = jnp.float32(omega)
     rhs = br * rhs_win[:]
 
-    def half(pp, mask):
+    def half(pp, mask, fold_rows=True):
         E = pltpu.roll(pp, nxp - 1, 1)
         W = pltpu.roll(pp, 1, 1)
         N = pltpu.roll(pp, w - 1, 0)
         S = pltpu.roll(pp, 1, 0)
-        S = jnp.where(adj_bot, pp, S)
-        N = jnp.where(adj_top, pp, N)
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
@@ -88,16 +89,29 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         new = (1.0 - om) * pp + om * update
         return jnp.where(mask, new, pp)
 
-    def iterate(want_err):
+    def iterate(want_err, fold_rows=True):
         old = pp_win[:]
-        pp = half(old, red)
-        pp = half(pp, black)
+        pp = half(old, red, fold_rows)
+        pp = half(pp, black, fold_rows)
         err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = pp
         return err
 
-    lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+    # Row-interior window specialization (see jacobi_pallas._kernel):
+    # windows with no boundary-adjacent rows drop the row-fold selects
+    # in both color half-sweeps.
+    inner_rows = jnp.logical_and(start >= 2, start + w <= ny - 2)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k - 1,
+                      lambda _, c: (iterate(False, fold_rows=False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
     err = iterate(True)
     # BCs once per launch (ops.poisson._apply_pprime_bcs[_cavity]).
     pp = pp_win[:]
