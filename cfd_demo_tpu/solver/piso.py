@@ -155,7 +155,14 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     if solver == PressureSolver.JACOBI:
         impl = opts.pressure_impl
         if impl == "auto":
-            impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
+            # Pallas wins at >= 2M cells regardless of semantics; with a
+            # fixed iteration schedule (tol == 0, where K-granularity
+            # early exit can't change behavior and the kernel matches
+            # the jnp sweep to ~1 ulp) it also wins at every smaller
+            # size measured (docs/PERF.md "small grids").
+            fixed = opts.jacobi_tol == 0.0
+            impl = ("pallas" if (g.nx * g.ny >= 2_000_000 or fixed)
+                    else "jnp")
         if impl == "pallas" and _pallas_ok(scene, rhs):
             from ..kernels.jacobi_pallas import jacobi_pallas
             from ..core.config import FlowCase
@@ -172,7 +179,8 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     if solver == PressureSolver.SOR:
         impl = opts.pressure_impl
         if impl == "auto":
-            impl = ("pallas" if g.nx * g.ny >= 2_000_000 else "jnp")
+            impl = ("pallas" if (g.nx * g.ny >= 2_000_000
+                                 or opts.jacobi_tol == 0.0) else "jnp")
         if impl == "pallas" and _pallas_ok(scene, rhs):
             from ..core.config import FlowCase
             from ..kernels.sor_pallas import sor_pallas, sor_pallas_ok
