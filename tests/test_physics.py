@@ -162,3 +162,34 @@ def test_cavity_ghia_re100():
     xc = (np.arange(n) + 0.5) / n
     vi = np.interp(GHIA_RE100_X, xc, v[n // 2, :])
     assert np.abs(vi - GHIA_RE100_V).max() < 0.06
+
+
+def test_poiseuille_analytic_profile():
+    """Analytic validation: the steady fully developed channel profile.
+
+    With the reference's wall treatment (u = 0 at the outermost row
+    CENTERS, model.rs:855-860), the exact steady solution of the
+    discrete momentum equation under a uniform pressure gradient is the
+    *discrete* parabola u_j ~ j*(ny-1-j) (the 3-point Laplacian
+    annihilates it wall-to-wall). At Re = 10 the flow develops within
+    a couple of channel heights, so downstream columns must match that
+    profile -- a closed-form check no golden file can drift from."""
+    from cfd_demo_tpu import InletProfile
+    ny, nx = 16, 32
+    grid = Grid(nx=nx, ny=ny, lx=2.0, ly=1.0, obstacles=())
+    params = SimulationParams(dt=0.002, viscosity=0.1,
+                              inlet_profile=InletProfile.PARABOLIC)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=10)
+    scene = make_scene(grid, params, opts)
+    state, _ = make_run(scene, 400, donate=False)(scene.init_state())
+    u = np.asarray(state.u)
+    j = np.arange(ny)
+    disc = (j * (ny - 1 - j)).astype(np.float64)
+    disc /= disc.max()
+    for col in (nx // 2, nx - 4):
+        prof = u[:, col]
+        assert prof.max() > 0.1
+        np.testing.assert_allclose(prof / prof.max(), disc, atol=0.01,
+                                   err_msg=f"column {col}")
+    # And the flow is symmetric about the centerline.
+    np.testing.assert_allclose(u[:, nx // 2], u[::-1, nx // 2], atol=1e-3)
