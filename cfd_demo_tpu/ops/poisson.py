@@ -350,7 +350,19 @@ def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 
     ``pp0`` is ignored except for shape/dtype: JS zero-initializes
     (index.html:777).
+
+    On TPU at scale the whole V-cycle runs as the interleaved-level
+    Pallas kernels (kernels.mg_pallas; same numerics to ~1e-8), not
+    just the fine-level smoothing.
     """
+    import jax as _jax
+    if (opts.pressure_impl in ("auto", "pallas")
+            and _jax.default_backend() in ("tpu", "axon")
+            and pp0.dtype == jnp.float32
+            and type(pp0).__name__ != "BatchTracer"):
+        from ..kernels.mg_pallas import multigrid_pallas, multigrid_pallas_ok
+        if multigrid_pallas_ok(pp0.shape[0], pp0.shape[1]):
+            return multigrid_pallas(pp0, rhs, dx, dy, opts)
     pp = jnp.zeros_like(pp0)
     for _ in range(opts.mg_cycles):
         pp = _mg_vcycle(pp, rhs, dx, dy, opts)
