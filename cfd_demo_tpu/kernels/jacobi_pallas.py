@@ -763,3 +763,153 @@ def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
     if nxp != nx:
         out = out[:, :nx]
     return out, jnp.max(err)
+
+
+# ---------------------------------------------------------------------------
+# Batched (vmap ensemble) variant: one program per SCENE, running the
+# ENTIRE masked-convergence Jacobi solve in VMEM in a single launch.
+#
+# The 64-scene ensemble (SURVEY.md section 2.7; BASELINE config 5) runs
+# the step under jax.vmap, where the XLA jnp path pays one full-batch
+# HBM pass per iteration -- and mid-size working sets stream at the
+# ~0.29 ms/pass elementwise floor (docs/PERF.md), so a 50-iteration
+# solve costs ~15 ms regardless of arithmetic. Here each scene fits
+# whole in VMEM (the gate requires it), so program b loads scene b
+# once, runs all ``iters`` sweeps register-resident, and writes the
+# result back: the entire batched pressure solve is ONE kernel launch.
+#
+# Semantics: exactly ops.poisson._masked_while at single-iteration
+# granularity -- each scene freezes (stops updating, keeps its error)
+# the iteration its own max interior |delta| drops below tol, matching
+# an unbatched early-exit run per element (tests/test_sharding.py
+# pins batched == unbatched). Converged scenes burn masked VPU sweeps
+# until the loop bound, but those are HBM-free and the solve is
+# launch-bound, not FLOP-bound, at ensemble scales.
+#
+# Boundary handling reuses the fused kernel's boundary-read folding
+# (see _kernel): interior sweeps never read boundary cells, and the
+# per-iteration p' BCs collapse to one application after the loop --
+# bitwise-identical for BC-consistent p' input, which the solver
+# always supplies.
+# ---------------------------------------------------------------------------
+
+def _kernel_batch(pp_ref, rhs_ref, out_ref, err_ref, n_ref, work,
+                  *, ny, nx, nxp, iters, tol, omega, dx2, dy2, cavity):
+    b = pl.program_id(0)
+    work[:] = pp_ref[0]
+    gr = lax.broadcasted_iota(jnp.int32, (ny, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (ny, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    rhs = ar * rhs_ref[0]
+
+    def north(a):
+        return pltpu.roll(a, ny - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - 1, 1)
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    def body(it, carry):
+        err, done, n = carry
+        pp = work[:]
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
+        err2 = jnp.max(jnp.where(interior, jnp.abs(new - pp), 0.0))
+        active = jnp.logical_not(done)
+        work[:] = jnp.where(jnp.logical_and(interior, active), new, pp)
+        err = jnp.where(done, err, err2)
+        n = n + jnp.where(done, 0, 1).astype(jnp.int32)
+        done = jnp.logical_or(done, err < tol)
+        return err, done, n
+
+    err, _, n = lax.fori_loop(
+        0, iters, body,
+        (jnp.float32(jnp.inf), jnp.asarray(False), jnp.int32(0)))
+    # p' BCs once, rows then columns (corner order; model.rs:807-815).
+    pp = work[:]
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(jnp.logical_and(is_bot, is_left), 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    out_ref[0] = pp
+    err_ref[b, 0] = err
+    n_ref[b, 0] = n
+
+
+def jacobi_batch_ok(ny: int, nx: int) -> bool:
+    """Gate: whole-scene-in-VMEM (2x-pipelined ins + out + work +
+    ~5 live sweep temps against the 14 MB scoped window)."""
+    if ny % 8 != 0 or ny < 3 or nx < 3:
+        return False
+    nxp = -(-nx // 128) * 128
+    return 12 * ny * nxp * 4 <= 14 * 1024 * 1024
+
+
+def jacobi_pallas_batch(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                        dy: float, omega: float, tol: float, iters: int,
+                        cavity: bool = False, interpret: bool = False):
+    """Batched masked-convergence Jacobi solve: (B, ny, nx) fields,
+    one launch. Returns (p' (B,ny,nx), err (B,), iterations (B,))."""
+    B, ny, nx = pp0.shape
+    nxp = -(-nx // 128) * 128
+    if nxp != nx:
+        pad = ((0, 0), (0, 0), (0, nxp - nx))
+        pp0 = jnp.pad(pp0, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(_kernel_batch, ny=ny, nx=nx, nxp=nxp,
+                             iters=iters, tol=tol, omega=omega,
+                             dx2=dx * dx, dy2=dy * dy, cavity=cavity)
+    out, err, n = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, ny, nxp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, ny, nxp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, ny, nxp), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   # whole-array SMEM blocks revisited by every
+                   # program; each writes its own row
+                   pl.BlockSpec((B, 1), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec((B, 1), lambda b: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, ny, nxp), pp0.dtype),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((ny, nxp), pp0.dtype)],
+        interpret=interpret,
+    )(pp0, rhs)
+    if nxp != nx:
+        out = out[:, :, :nx]
+    return out, err[:, 0], n[:, 0]

@@ -153,29 +153,73 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     from ..ops.poisson import pprime_bc_fn
     bc = pprime_bc_fn(scene.params.flow_case)
     if solver == PressureSolver.JACOBI:
-        impl = opts.pressure_impl
-        if impl == "auto":
-            # Pallas wins at >= 2M cells regardless of semantics; with a
-            # fixed iteration schedule (tol == 0, where K-granularity
-            # early exit can't change behavior and the kernel matches
-            # the jnp sweep to ~1 ulp) it also wins at every smaller
-            # size measured (docs/PERF.md "small grids").
-            fixed = opts.jacobi_tol == 0.0
-            impl = ("pallas" if (g.nx * g.ny >= 2_000_000 or fixed)
-                    else "jnp")
-        if impl == "pallas" and _pallas_ok(scene, rhs):
-            from ..kernels.jacobi_pallas import jacobi_pallas
-            from ..core.config import FlowCase
-            return jacobi_pallas(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
-                                 opts.jacobi_tol, opts.jacobi_iters,
-                                 k=resolve_fuse_k(opts, g),
-                                 block_rows=opts.pallas_block_rows,
-                                 early_exit=opts.early_exit,
-                                 cavity=(scene.params.flow_case
-                                         == FlowCase.CAVITY))
-        return jacobi(pp0, rhs, g.dx, g.dy, opts.jacobi_omega,
-                      opts.jacobi_tol, opts.jacobi_iters,
-                      early_exit=opts.early_exit, bc=bc)
+        from ..core.config import FlowCase
+        cavity = scene.params.flow_case == FlowCase.CAVITY
+
+        def _solve_single(pp0_, rhs_):
+            impl = opts.pressure_impl
+            if impl == "auto":
+                # Pallas wins at >= 2M cells regardless of semantics;
+                # with a fixed iteration schedule (tol == 0, where
+                # K-granularity early exit can't change behavior and the
+                # kernel matches the jnp sweep to ~1 ulp) it also wins
+                # at every smaller size measured (docs/PERF.md).
+                fixed = opts.jacobi_tol == 0.0
+                impl = ("pallas" if (g.nx * g.ny >= 2_000_000 or fixed)
+                        else "jnp")
+            if impl == "pallas" and _pallas_ok(scene, rhs_):
+                from ..kernels.jacobi_pallas import jacobi_pallas
+                return jacobi_pallas(pp0_, rhs_, g.dx, g.dy,
+                                     opts.jacobi_omega,
+                                     opts.jacobi_tol, opts.jacobi_iters,
+                                     k=resolve_fuse_k(opts, g),
+                                     block_rows=opts.pallas_block_rows,
+                                     early_exit=opts.early_exit,
+                                     cavity=cavity)
+            return jacobi(pp0_, rhs_, g.dx, g.dy, opts.jacobi_omega,
+                          opts.jacobi_tol, opts.jacobi_iters,
+                          early_exit=opts.early_exit, bc=bc)
+
+        # Under vmap (the 64-scene ensemble, SURVEY.md section 2.7) the
+        # solve routes to the batched whole-solve kernel: one launch
+        # runs every scene's full masked-convergence solve VMEM-
+        # resident (kernels.jacobi_pallas._kernel_batch), instead of
+        # one latency-floor XLA pass per iteration over the batch.
+        # Per-element semantics are ops.poisson._masked_while exactly
+        # (single-iteration-granularity freeze), for EITHER early_exit
+        # flag -- masked iteration is the vmap-correct reading of the
+        # reference's per-scene early exit (a lifted while_loop would
+        # keep sweeping converged scenes, changing their fields).
+        solve = jax.custom_batching.custom_vmap(_solve_single)
+
+        @solve.def_vmap
+        def _vmap_rule(axis_size, in_batched, pp0_, rhs_):
+            pb, rb = in_batched
+            if not pb:
+                pp0_ = jnp.broadcast_to(pp0_, (axis_size,) + pp0_.shape)
+            if not rb:
+                rhs_ = jnp.broadcast_to(rhs_, (axis_size,) + rhs_.shape)
+            from ..kernels.jacobi_pallas import (jacobi_batch_ok,
+                                                jacobi_pallas_batch)
+            if (opts.pressure_impl in ("auto", "pallas")
+                    and jax.default_backend() in ("tpu", "axon")
+                    and pp0_.dtype == jnp.float32
+                    and not _is_batched(pp0_) and not _is_batched(rhs_)
+                    and jacobi_batch_ok(g.ny, g.nx)):
+                out = jacobi_pallas_batch(
+                    pp0_, rhs_, g.dx, g.dy, opts.jacobi_omega,
+                    opts.jacobi_tol, opts.jacobi_iters, cavity=cavity)
+            else:
+                out = jax.vmap(
+                    lambda a, b: jacobi(a, b, g.dx, g.dy,
+                                        opts.jacobi_omega,
+                                        opts.jacobi_tol,
+                                        opts.jacobi_iters,
+                                        early_exit=False, bc=bc)
+                )(pp0_, rhs_)
+            return out, (True, True, True)
+
+        return solve(pp0, rhs)
     if solver == PressureSolver.SOR:
         impl = opts.pressure_impl
         if impl == "auto":
@@ -198,6 +242,116 @@ def _solve_pressure(scene: Scene, pp0, rhs):
     if solver == PressureSolver.MULTIGRID:
         return multigrid(pp0, rhs, g.dx, g.dy, opts)
     raise ValueError(solver)
+
+
+def _outer_rounds(scene: Scene, u, v, p, pp, err, dt_sub):
+    """Rust-only outer corrector rounds (model.rs:696-724): repeat
+    div -> solve -> correct until the pressure residual drops below
+    outer_corrector_tol, at most outer_corrector_rounds times."""
+    g, opts = scene.grid, scene.opts
+    rounds = opts.outer_corrector_rounds
+    if rounds == 0:
+        return u, v, p, pp, err
+
+    def round_body(u, v, p, pp):
+        rhs = divergence_rhs(u, v, dt_sub, g.dx, g.dy)
+        pp, err, _ = _solve_pressure(scene, pp, rhs)
+        u, v, p = correct(u, v, p, pp, dt_sub, g.dx, g.dy)
+        return u, v, p, pp, err
+
+    if opts.early_exit:
+        def cond(carry):
+            _, _, _, _, err, it = carry
+            return jnp.logical_and(it < rounds,
+                                   err >= opts.outer_corrector_tol)
+
+        def body(carry):
+            u, v, p, pp, _, it = carry
+            u, v, p, pp, err = round_body(u, v, p, pp)
+            return u, v, p, pp, err, it + 1
+
+        u, v, p, pp, err, _ = lax.while_loop(
+            cond, body, (u, v, p, pp, err, jnp.asarray(0, jnp.int32)))
+    else:
+        # Masked while: per-element freezing in the body keeps vmap
+        # semantics exact while the batch exits when all are done
+        # (see ops.poisson._masked_while).
+        def cond(carry):
+            *_, done, it = carry
+            return jnp.logical_and(it < rounds, jnp.logical_not(done))
+
+        def body(carry):
+            u, v, p, pp, err, done, it = carry
+            u2, v2, p2, pp2, err2 = round_body(u, v, p, pp)
+            sel = lambda a, b: jnp.where(done, a, b)
+            u, v, p = sel(u, u2), sel(v, v2), sel(p, p2)
+            pp, err = sel(pp, pp2), sel(err, err2)
+            done = jnp.logical_or(done, err < opts.outer_corrector_tol)
+            return u, v, p, pp, err, done, it + 1
+
+        u, v, p, pp, err, _, _ = lax.while_loop(
+            cond, body,
+            (u, v, p, pp, err, err < opts.outer_corrector_tol,
+             jnp.asarray(0, jnp.int32)))
+    return u, v, p, pp, err
+
+
+def _substep_jnp(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
+    """The pure-XLA substep path (predict -> solve -> correct -> outer
+    rounds -> BCs). Returns (u, v, p, pp, err)."""
+    g, opts = scene.grid, scene.opts
+    from ..core.masks import masks_traced
+    mask_u, mask_v, mask_u_bc, mask_v_bc = masks_traced(
+        g, opts.semantics, u.dtype)
+    u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, g.nx, g.ny,
+                             scene.params.velocity_scheme,
+                             opts.semantics == Semantics.JS,
+                             mask_u, mask_v)
+    rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
+    pp0 = (p_prime if opts.semantics == Semantics.RUST
+           else jnp.zeros_like(p_prime))
+    pp, err, _ = _solve_pressure(scene, pp0, rhs)
+    u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
+    u, v, p, pp, err = _outer_rounds(scene, u, v, p, pp, err, dt_sub)
+    u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
+                     mask_u_bc, mask_v_bc, scene.params.flow_case)
+    return u, v, p, pp, err
+
+
+def _substep_unfused(scene: Scene):
+    """custom_vmap wrapper over _substep_jnp: under vmap (the 64-scene
+    ensemble) the whole substep routes to ONE whole-scene-in-VMEM
+    Pallas launch per substep (kernels.ensemble_pallas), with per-scene
+    while_loop early exit for the Jacobi iterations and the outer
+    corrector rounds -- per-element results match an unbatched run
+    (the masked-iteration semantics, tests/test_sharding.py)."""
+    single = partial(_substep_jnp, scene)
+    wrapped = jax.custom_batching.custom_vmap(
+        lambda u, v, p, pp, dts, nu, inl: single(u, v, p, pp, dts, nu,
+                                                 inl))
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,)
+                                             + jnp.shape(a))
+                for a, b in zip(args, in_batched)]
+        from ..kernels.ensemble_pallas import (substep_batch_ok,
+                                               substep_batch_pallas)
+        opts = scene.opts
+        if (jax.default_backend() in ("tpu", "axon")
+                and args[0].dtype == jnp.float32
+                and opts.pressure_impl in ("auto", "pallas")
+                and opts.substep_impl in ("auto", "pallas")
+                and not any(_is_batched(a) for a in args)
+                and substep_batch_ok(scene.grid)):
+            out = substep_batch_pallas(args[0], args[1], args[2],
+                                       args[3], args[4], args[5],
+                                       args[6], scene)
+        else:
+            out = jax.vmap(single)(*args)
+        return out, (True,) * 5
+
+    return wrapped
 
 
 def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
@@ -225,36 +379,30 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
     aligned = nx % 128 == 0
     if u_padded:
         assert fused and aligned and rounds == 0 and entry is not None
-    if fused:
-        from ..kernels.substep_pallas import _round_up, predict_div_pallas
-        if aligned:
-            # Lane-aligned fast path: u flows padded through the whole
-            # substep (one pad here -- or zero in padded-rollout mode --
-            # and one slice in the corrector kernel) and every other
-            # array keeps its exact shape: no other pad/slice copies.
-            nxp = _round_up(nx + 1, 128)
-            up = (u if u_padded
-                  else jnp.pad(u, ((0, 0), (0, nxp - (nx + 1)))))
-            u_star, v_star, rhs = predict_div_pallas(
-                up, v, dt_sub, nu, g, scheme, opts.semantics,
-                block_rows=opts.pallas_block_rows, pad_io=False)
-        else:
-            u_star, v_star, rhs = predict_div_pallas(
-                u, v, dt_sub, nu, g, scheme, opts.semantics,
-                block_rows=opts.pallas_block_rows)
+    if not fused:
+        u, v, p, pp, err = _substep_unfused(scene)(
+            u, v, p, p_prime, dt_sub, nu, inlet)
+        return u, v, p, pp, err, None
+    from ..kernels.substep_pallas import _round_up, predict_div_pallas
+    if aligned:
+        # Lane-aligned fast path: u flows padded through the whole
+        # substep (one pad here -- or zero in padded-rollout mode --
+        # and one slice in the corrector kernel) and every other
+        # array keeps its exact shape: no other pad/slice copies.
+        nxp = _round_up(nx + 1, 128)
+        up = (u if u_padded
+              else jnp.pad(u, ((0, 0), (0, nxp - (nx + 1)))))
+        u_star, v_star, rhs = predict_div_pallas(
+            up, v, dt_sub, nu, g, scheme, opts.semantics,
+            block_rows=opts.pallas_block_rows, pad_io=False)
     else:
-        # Obstacle masks are computed analytically from iota coordinates
-        # so they fuse into the stencils instead of living as O(ny*nx)
-        # HLO constants (core/masks.py masks_traced).
-        from ..core.masks import masks_traced
-        mask_u, mask_v, _, _ = masks_traced(g, opts.semantics, u.dtype)
-        u_star, v_star = predict(u, v, dt_sub, nu, g.dx, g.dy, nx, ny,
-                                 scheme, avg_conv_v, mask_u, mask_v)
-        rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
+        u_star, v_star, rhs = predict_div_pallas(
+            u, v, dt_sub, nu, g, scheme, opts.semantics,
+            block_rows=opts.pallas_block_rows)
     pp0 = p_prime if opts.semantics == Semantics.RUST else jnp.zeros_like(p_prime)
     pp, err, _ = _solve_pressure(scene, pp0, rhs)
 
-    if fused and rounds == 0 and entry is not None:
+    if rounds == 0 and entry is not None:
         from ..kernels.substep_pallas import correct_bc_pallas
         if aligned:
             # u_star is already padded; pad the entry field (in Rust
@@ -275,58 +423,12 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
                 opts.semantics, block_rows=opts.pallas_block_rows)
         return u, v, p, pp, err, (res_u, res_v, max_vel)
 
-    if fused and aligned:
+    if aligned:
         u_star = u_star[:, :nx + 1]  # back to storage shape for the jnp path
     from ..core.masks import masks_traced
     _, _, mask_u_bc, mask_v_bc = masks_traced(g, opts.semantics, u.dtype)
     u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
-
-    # Rust-only outer corrector rounds (model.rs:696-724): repeat
-    # div -> solve -> correct until the pressure residual drops below
-    # outer_corrector_tol, at most outer_corrector_rounds times.
-    rounds = opts.outer_corrector_rounds
-    if rounds > 0:
-        def round_body(u, v, p, pp):
-            rhs = divergence_rhs(u, v, dt_sub, g.dx, g.dy)
-            pp, err, _ = _solve_pressure(scene, pp, rhs)
-            u, v, p = correct(u, v, p, pp, dt_sub, g.dx, g.dy)
-            return u, v, p, pp, err
-
-        if opts.early_exit:
-            def cond(carry):
-                _, _, _, _, err, it = carry
-                return jnp.logical_and(it < rounds,
-                                       err >= opts.outer_corrector_tol)
-
-            def body(carry):
-                u, v, p, pp, _, it = carry
-                u, v, p, pp, err = round_body(u, v, p, pp)
-                return u, v, p, pp, err, it + 1
-
-            u, v, p, pp, err, _ = lax.while_loop(
-                cond, body, (u, v, p, pp, err, jnp.asarray(0, jnp.int32)))
-        else:
-            # Masked while: per-element freezing in the body keeps vmap
-            # semantics exact while the batch exits when all are done
-            # (see ops.poisson._masked_while).
-            def cond(carry):
-                *_, done, it = carry
-                return jnp.logical_and(it < rounds, jnp.logical_not(done))
-
-            def body(carry):
-                u, v, p, pp, err, done, it = carry
-                u2, v2, p2, pp2, err2 = round_body(u, v, p, pp)
-                sel = lambda a, b: jnp.where(done, a, b)
-                u, v, p = sel(u, u2), sel(v, v2), sel(p, p2)
-                pp, err = sel(pp, pp2), sel(err, err2)
-                done = jnp.logical_or(done, err < opts.outer_corrector_tol)
-                return u, v, p, pp, err, done, it + 1
-
-            u, v, p, pp, err, _, _ = lax.while_loop(
-                cond, body,
-                (u, v, p, pp, err, err < opts.outer_corrector_tol,
-                 jnp.asarray(0, jnp.int32)))
-
+    u, v, p, pp, err = _outer_rounds(scene, u, v, p, pp, err, dt_sub)
     u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
                      mask_u_bc, mask_v_bc, scene.params.flow_case)
     return u, v, p, pp, err, None

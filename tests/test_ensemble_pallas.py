@@ -1,0 +1,96 @@
+"""Whole-scene-in-VMEM batched substep kernel
+(kernels.ensemble_pallas) vs the vmapped jnp substep path, interpret
+mode on CPU."""
+import dataclasses
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfd_demo_tpu.core.config import (Cylinder, FlowCase, Grid,
+                                      PressureSolver, Semantics,
+                                      SimulationParams, VelocityScheme,
+                                      solver_options_for)
+from cfd_demo_tpu.kernels.ensemble_pallas import (substep_batch_ok,
+                                                  substep_batch_pallas)
+from cfd_demo_tpu.solver.piso import _substep_jnp, make_scene
+
+
+def _batched_inputs(scene, B, seed=0):
+    rng = np.random.default_rng(seed)
+    g = scene.grid
+    base = scene.init_state()
+
+    def noisy(x, s):
+        return jnp.asarray(
+            np.asarray(x)[None] + s * rng.standard_normal(
+                (B,) + x.shape).astype(np.float32))
+
+    u = noisy(base.u, 0.05)
+    v = noisy(base.v, 0.05)
+    p = noisy(base.p, 0.01)
+    pp = jnp.zeros((B,) + base.p_prime.shape, jnp.float32)
+    return u, v, p, pp
+
+
+@pytest.mark.parametrize("semantics,scheme,flow_case,obstacle", [
+    (Semantics.RUST, VelocityScheme.FIRST, FlowCase.CHANNEL, True),
+    (Semantics.RUST, VelocityScheme.SECOND, FlowCase.CHANNEL, True),
+    (Semantics.JS, VelocityScheme.QUICK, FlowCase.CHANNEL, True),
+    (Semantics.RUST, VelocityScheme.FIRST, FlowCase.CAVITY, False),
+])
+def test_substep_batch_matches_vmapped_jnp(semantics, scheme, flow_case,
+                                           obstacle):
+    B = 4
+    obstacles = (Cylinder(0.9, 0.75, 0.3),) if obstacle else ()
+    grid = Grid(nx=40, ny=24, lx=3.0, ly=1.5, obstacles=obstacles)
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              velocity_scheme=scheme,
+                              flow_case=flow_case)
+    opts = solver_options_for(semantics, early_exit=False)
+    scene = make_scene(grid, params, opts)
+    assert substep_batch_ok(grid)
+    u, v, p, pp = _batched_inputs(scene, B)
+    nus = jnp.asarray(np.geomspace(1e-5, 1e-3, B), jnp.float32)
+    dts = jnp.full((B,), 0.002, jnp.float32)
+    inls = jnp.asarray(np.linspace(0.5, 1.5, B), jnp.float32)
+
+    ref = jax.vmap(partial(_substep_jnp, scene))(u, v, p, pp, dts, nus,
+                                                 inls)
+    got = jax.jit(lambda *a: substep_batch_pallas(*a, scene,
+                                                  interpret=True))(
+        u, v, p, pp, dts, nus, inls)
+    names = ("u", "v", "p", "pp", "err")
+    for name, r, g_ in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g_),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_substep_batch_warm_start_rounds():
+    """Second substep (warm p'): the RUST warm start and the outer
+    corrector rounds' per-scene early exit must agree with the
+    per-element masked jnp path."""
+    B = 3
+    grid = Grid(nx=32, ny=16, lx=2.0, ly=1.0,
+                obstacles=(Cylinder(0.5, 0.5, 0.2),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(Semantics.RUST, early_exit=False)
+    scene = make_scene(grid, params, opts)
+    u, v, p, pp = _batched_inputs(scene, B, seed=1)
+    nus = jnp.asarray([1e-5, 1e-4, 1e-3], jnp.float32)
+    dts = jnp.full((B,), 0.002, jnp.float32)
+    inls = jnp.full((B,), 1.0, jnp.float32)
+
+    step = jax.vmap(partial(_substep_jnp, scene))
+    kern = jax.jit(lambda *a: substep_batch_pallas(*a, scene,
+                                                   interpret=True))
+    r1 = step(u, v, p, pp, dts, nus, inls)
+    g1 = kern(u, v, p, pp, dts, nus, inls)
+    r2 = step(r1[0], r1[1], r1[2], r1[3], dts, nus, inls)
+    g2 = kern(g1[0], g1[1], g1[2], g1[3], dts, nus, inls)
+    for name, r, g_ in zip(("u", "v", "p", "pp", "err"), r2, g2):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g_),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)

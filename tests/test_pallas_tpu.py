@@ -226,3 +226,58 @@ def test_config_matrix_auto_vs_jnp():
         for f in ("u", "v", "p"):
             err = float(jnp.max(jnp.abs(getattr(a, f) - getattr(b, f))))
             assert err < 1e-4, (cfg, f, err)
+
+
+def test_vmap_ensemble_kernel_matches_jnp():
+    """Vmapped ensemble steps through the whole-scene-in-VMEM substep
+    kernel (kernels.ensemble_pallas) vs the forced-XLA batch path, and
+    vs an unbatched per-element run, on the real chip."""
+    import dataclasses
+    from functools import partial
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.solver.piso import step_fn
+
+    grid = Grid(nx=64, ny=32, lx=4.0, ly=2.0,
+                obstacles=(Cylinder(1.0, 1.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    B = 8
+    nus = np.geomspace(1e-5, 1e-3, B).astype(np.float32)
+    states = {}
+    for impl in ("jnp", "auto"):
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                                  early_exit=False, pressure_impl=impl,
+                                  substep_impl=impl)
+        scene = cfd.make_scene(grid, params, opts)
+        base = scene.init_state()
+        batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+        batched = dataclasses.replace(batched, nu=jnp.asarray(nus))
+        step = jax.jit(jax.vmap(partial(step_fn, scene)))
+        for _ in range(3):
+            batched, _ = step(batched)
+        float(batched.res_u[0])
+        states[impl] = batched
+    a, b = states["jnp"], states["auto"]
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-5, atol=1e-5, err_msg=f)
+    np.testing.assert_allclose(np.asarray(a.res_p), np.asarray(b.res_p),
+                               rtol=1e-3, atol=1e-7)
+
+    # element k == unbatched run with nu_k (per-element-exact semantics)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                              early_exit=False)
+    params_k = dataclasses.replace(params, viscosity=float(nus[3]))
+    scene_k = cfd.make_scene(grid, params_k, opts)
+    sk = scene_k.init_state()
+    step_k = cfd.make_step(scene_k, donate=False)
+    for _ in range(3):
+        sk, _ = step_k(sk)
+    np.testing.assert_allclose(np.asarray(b.u[3]), np.asarray(sk.u),
+                               rtol=1e-5, atol=1e-5)
