@@ -66,37 +66,15 @@ def substep_batch_ok(grid: Grid) -> bool:
             and _N_WINDOWS * ny * nxp * 4 <= _VMEM_LIMIT)
 
 
-def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
-                u_out, v_out, p_out, pp_out, err_ref,
-                u_w, v_w, p_w, pp_w, rhs_w, sem,
-                *, grid, scheme, semantics, profile, flow_case,
-                ny, nx, nxp, omega, jtol, jiters, rounds, outer_tol):
-    b = pl.program_id(0)
-    js = semantics == Semantics.JS
-    cavity = flow_case == FlowCase.CAVITY
-
-    cps = [pltpu.make_async_copy(h.at[b], w_, sem.at[k])
-           for k, (h, w_) in enumerate(
-               ((u_hbm, u_w), (v_hbm, v_w), (p_hbm, p_w)))]
-    if not js:  # JS zero-initializes p' (index.html:777)
-        cps.append(pltpu.make_async_copy(pp_hbm.at[b], pp_w, sem.at[3]))
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-    if js:
-        pp_w[:] = jnp.zeros((ny, nxp), jnp.float32)
-
-    dt_sub = scal_ref[b, 0]
-    nu = scal_ref[b, 1]
-    inlet = scal_ref[b, 2]
-    ctx = RollCtx(0, ny, nxp)
-    mask_u, mask_v, mask_u_bc, mask_v_bc = masks_traced(
-        grid, semantics, jnp.float32, ctx=ctx, shp_u=(ny, nxp),
-        shp_v=(ny, nxp))
-
-    # ---- in-kernel Jacobi (kernels.jacobi_pallas._kernel formulas,
-    # boundary-read folding, whole-scene window) ----
+def make_jacobi_solve(pp_w, rhs_w, *, ny, nx, nxp, dx, dy, omega, jtol,
+                      jiters, cavity):
+    """In-kernel damped-Jacobi solver factory over a whole-scene
+    (ny, nxp) VMEM ref pair: returns ``solve() -> err`` running a
+    do-while lax.while_loop with exact single-iteration early exit
+    (ops.poisson.jacobi semantics; kernels.jacobi_pallas._kernel
+    formulas with boundary-read folding -- the per-iteration p' BCs
+    collapse to one post-loop application, bitwise-identical for
+    BC-consistent p' input)."""
     gr = lax.broadcasted_iota(jnp.int32, (ny, nxp), 0)
     gc = lax.broadcasted_iota(jnp.int32, (ny, nxp), 1)
     interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
@@ -108,8 +86,8 @@ def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
     adj_top = gr == ny - 2
     adj_left = gc == 1
     adj_right = gc == nx - 2
-    dx2 = grid.dx * grid.dx
-    dy2 = grid.dy * grid.dy
+    dx2 = dx * dx
+    dy2 = dy * dy
     denom = 2.0 / dx2 + 2.0 / dy2
     ax = jnp.float32(omega / (dx2 * denom))
     ay = jnp.float32(omega / (dy2 * denom))
@@ -128,10 +106,7 @@ def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
     def west(a):
         return pltpu.roll(a, 1, 1)
 
-    def jacobi_solve():
-        """Solve on pp_w (warm start) with rhs_w; do-while with exact
-        per-scene early exit (ops.poisson.jacobi's masked semantics at
-        trip-count granularity 1). Returns the exiting sweep's error."""
+    def solve():
         rhs = ar * rhs_w[:]
 
         def cond(c):
@@ -170,6 +145,42 @@ def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
             pp = jnp.where(is_right, 0.0, pp)
         pp_w[:] = pp
         return err
+
+    return solve
+
+
+def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
+                u_out, v_out, p_out, pp_out, err_ref,
+                u_w, v_w, p_w, pp_w, rhs_w, sem,
+                *, grid, scheme, semantics, profile, flow_case,
+                ny, nx, nxp, omega, jtol, jiters, rounds, outer_tol):
+    b = pl.program_id(0)
+    js = semantics == Semantics.JS
+    cavity = flow_case == FlowCase.CAVITY
+
+    cps = [pltpu.make_async_copy(h.at[b], w_, sem.at[k])
+           for k, (h, w_) in enumerate(
+               ((u_hbm, u_w), (v_hbm, v_w), (p_hbm, p_w)))]
+    if not js:  # JS zero-initializes p' (index.html:777)
+        cps.append(pltpu.make_async_copy(pp_hbm.at[b], pp_w, sem.at[3]))
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+    if js:
+        pp_w[:] = jnp.zeros((ny, nxp), jnp.float32)
+
+    dt_sub = scal_ref[b, 0]
+    nu = scal_ref[b, 1]
+    inlet = scal_ref[b, 2]
+    ctx = RollCtx(0, ny, nxp)
+    mask_u, mask_v, mask_u_bc, mask_v_bc = masks_traced(
+        grid, semantics, jnp.float32, ctx=ctx, shp_u=(ny, nxp),
+        shp_v=(ny, nxp))
+
+    jacobi_solve = make_jacobi_solve(
+        pp_w, rhs_w, ny=ny, nx=nx, nxp=nxp, dx=grid.dx, dy=grid.dy,
+        omega=omega, jtol=jtol, jiters=jiters, cavity=cavity)
 
     # ---- substep ----
     u_star, v_star = predict(u_w[:], v_w[:], dt_sub, nu, grid.dx,

@@ -310,6 +310,22 @@ def _substep_jnp(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
     rhs = divergence_rhs(u_star, v_star, dt_sub, g.dx, g.dy)
     pp0 = (p_prime if opts.semantics == Semantics.RUST
            else jnp.zeros_like(p_prime))
+    # Small single-scene grids (incl. the reference's own 800x264 /
+    # 400x132 defaults) fuse everything after the predictor into ONE
+    # in-VMEM launch: Jacobi + corrector + outer rounds + BCs with
+    # exact while_loop early exits (kernels.rounds_pallas).
+    from ..kernels.rounds_pallas import (rounds_pallas_ok,
+                                         solve_correct_rounds_pallas)
+    if (scene.params.pressure_solver == PressureSolver.JACOBI
+            and opts.pressure_impl in ("auto", "pallas")
+            and opts.substep_impl in ("auto", "pallas")
+            and jax.default_backend() in ("tpu", "axon")
+            and u.dtype == jnp.float32
+            and not _is_batched(u) and not _is_batched(rhs)
+            and rounds_pallas_ok(g)):
+        u, v, p, pp, err = solve_correct_rounds_pallas(
+            u_star, v_star, p, pp0, rhs, dt_sub, inlet, scene)
+        return u, v, p, pp, err
     pp, err, _ = _solve_pressure(scene, pp0, rhs)
     u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
     u, v, p, pp, err = _outer_rounds(scene, u, v, p, pp, err, dt_sub)

@@ -94,3 +94,53 @@ def test_substep_batch_warm_start_rounds():
     for name, r, g_ in zip(("u", "v", "p", "pp", "err"), r2, g2):
         np.testing.assert_allclose(np.asarray(r), np.asarray(g_),
                                    rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_rounds_kernel_matches_jnp_path():
+    """Single-scene in-VMEM solve+correct+rounds+BCs kernel
+    (kernels.rounds_pallas) vs the jnp projection sequence, interpret
+    mode, both semantics."""
+    from cfd_demo_tpu.kernels.rounds_pallas import (
+        rounds_pallas_ok, solve_correct_rounds_pallas)
+    from cfd_demo_tpu.core.masks import masks_traced
+    from cfd_demo_tpu.ops.bc import apply_bcs
+    from cfd_demo_tpu.ops.corrector import correct
+    from cfd_demo_tpu.ops.divergence import divergence_rhs
+    from cfd_demo_tpu.solver.piso import _outer_rounds, _solve_pressure
+
+    rng = np.random.default_rng(2)
+    for semantics in (Semantics.RUST, Semantics.JS):
+        grid = Grid(nx=40, ny=24, lx=3.0, ly=1.5,
+                    obstacles=(Cylinder(0.9, 0.75, 0.3),))
+        params = SimulationParams(dt=0.002, viscosity=1e-4)
+        opts = solver_options_for(semantics)
+        scene = make_scene(grid, params, opts)
+        assert rounds_pallas_ok(grid)
+        g = grid
+        mk = lambda shp, s: jnp.asarray(
+            s * rng.standard_normal(shp).astype(np.float32))
+        us = mk((g.ny, g.nx + 1), 0.1)
+        vs = mk((g.ny, g.nx), 0.1)
+        p = mk((g.ny, g.nx), 0.05)
+        pp0 = jnp.zeros((g.ny, g.nx), jnp.float32)
+        rhs = mk((g.ny, g.nx), 1.0)
+        dt_sub, inlet = 0.002, 1.0
+
+        def ref_path():
+            pp, err, _ = _solve_pressure(scene, pp0, rhs)
+            u, v, p2 = correct(us, vs, p, pp, dt_sub, g.dx, g.dy)
+            u, v, p2, pp, err = _outer_rounds(scene, u, v, p2, pp, err,
+                                              dt_sub)
+            _, _, mu, mv = masks_traced(g, opts.semantics, jnp.float32)
+            u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
+                             mu, mv, scene.params.flow_case)
+            return u, v, p2, pp, err
+
+        ref = jax.jit(ref_path)()
+        got = jax.jit(lambda: solve_correct_rounds_pallas(
+            us, vs, p, pp0, rhs, dt_sub, inlet, scene,
+            interpret=True))()
+        for name, r, g_ in zip(("u", "v", "p", "pp", "err"), ref, got):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(g_),
+                                       rtol=1e-4, atol=5e-5,
+                                       err_msg=f"{semantics} {name}")
