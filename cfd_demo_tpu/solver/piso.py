@@ -141,7 +141,14 @@ def _use_fused_substep(scene: "Scene", dtype, example=None) -> bool:
             and dtype == jnp.float32)
 
 def resolve_fuse_k(opts: SolverOptions, grid: Grid) -> int:
-    """pallas_fuse_k == 0 means size-tuned auto (docs/PERF.md)."""
+    """pallas_fuse_k == 0 means size-tuned auto (docs/PERF.md).
+
+    Measured (v5e, 512^2 single-block fixed schedule): k in {5, 10, 25}
+    is flat within noise and k = iters (one whole-solve launch) is ~9%
+    SLOWER -- a long serial fori_loop in one program loses the
+    inter-launch DMA/compute overlap that the k-launch chain gets for
+    free, so the "fuse everything" shortcut is a negative result there.
+    """
     if opts.pallas_fuse_k:
         return opts.pallas_fuse_k
     return 25 if grid.nx * grid.ny >= 48_000_000 else 10
