@@ -24,6 +24,14 @@ from ..ops.stencil import shifted
 from .halo import exchange_rows, global_row_index
 
 
+def _pvary(x, axis):
+    """Mark a replicated value device-varying over ``axis`` (scan carry
+    types must match). jax >= 0.9 renames pvary -> pcast(to='varying')."""
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, (axis,), to="varying")
+    return lax.pvary(x, (axis,))
+
+
 def _sweep_ext(ppx, rhsx, gr, gc, ny, nx, dx2, dy2, omega):
     """One damped-Jacobi sweep on a halo-extended block, with the
     reference's per-iteration p' BCs applied via *global* index masks
@@ -81,12 +89,12 @@ def jacobi_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
 
             ppx, err = lax.fori_loop(
                 0, k, body,
-                (ppx, jax.lax.pvary(jnp.float32(0.0), (axis,))))
+                (ppx, _pvary(jnp.float32(0.0), axis)))
             return (ppx[k:k + local, :], err), None
 
         # Initial err must already be device-varying over the mesh axis
         # or the scan carry types mismatch.
-        err0 = jax.lax.pvary(jnp.float32(jnp.inf), (axis,))
+        err0 = _pvary(jnp.float32(jnp.inf), axis)
         (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0),
                                     None, length=iters // k)
         return pp_loc, lax.pmax(err, axis)
