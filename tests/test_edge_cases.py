@@ -51,3 +51,26 @@ def test_zero_inlet_keeps_fields_zero():
     assert float(jnp.max(jnp.abs(state.u))) == 0.0
     assert float(jnp.max(jnp.abs(state.v))) == 0.0
     assert float(state.res_u) == 0.0
+
+
+def test_bf16_state_runs_but_is_not_parity_grade():
+    """bf16 full-state audit (docs/STATUS.md gap 1): the solver runs
+    end-to-end in bfloat16 (jnp path; the Pallas kernels gate on f32),
+    stays finite, but accumulates O(1e-1) drift vs float32 within tens
+    of steps -- far outside the per-step L2 <= 1e-5 parity target, so
+    bf16 is a capability, not a parity mode (docs/SPEC.md)."""
+    grid = Grid(nx=64, ny=32, lx=6.0, ly=3.0,
+                obstacles=(Cylinder(1.5, 1.5, 0.4),))
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=10,
+                           jacobi_iters=20, outer_corrector_rounds=2))
+    run = cfd.make_run(scene, 30, donate=False)
+    u = {}
+    for dt_ in (jnp.float32, jnp.bfloat16):
+        st, _ = run(scene.init_state(dtype=dt_))
+        arr = np.asarray(st.u, np.float32)
+        assert np.isfinite(arr).all()
+        u[dt_.__name__] = arr
+    diff = np.abs(u["float32"] - u["bfloat16"]).max()
+    assert 1e-4 < diff < 1.0, f"audit expectation changed: drift={diff}"
