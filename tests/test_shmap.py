@@ -251,3 +251,36 @@ def test_step_shmap_js_adaptive():
         assert np.isclose(float(getattr(ref_state, f)),
                           float(getattr(got_state, f)),
                           rtol=1e-4, atol=1e-8), f
+
+
+def test_step_shmap_collective_pattern():
+    """The explicit tier's compiled HLO contains ONLY the designed
+    communication: neighbor halo exchanges (collective-permute) and
+    scalar reductions (all-reduce) -- never a full-field all-gather or
+    all-to-all (SURVEY.md section 2.7's comm-backend mapping)."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.mesh import shard_state
+    from cfd_demo_tpu.shard.step_shmap import make_step_shmap
+
+    mesh = make_mesh()
+    grid = Grid(nx=64, ny=128, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           jacobi_tol=0.0, jacobi_iters=20,
+                           outer_corrector_rounds=0, early_exit=False))
+    step = make_step_shmap(scene, mesh, interpret=True, jit=False)
+    state = shard_state(scene.init_state(), mesh)
+    txt = jax.jit(step).lower(state).compile().as_text()
+    assert txt.count("all-gather") == 0, "full-field gather crept in"
+    assert txt.count("all-to-all") == 0
+    n_perm = txt.count("collective-permute")
+    n_red = txt.count("all-reduce")
+    # Halo exchanges (2 directed permutes each): predictor, 1 per
+    # fused-Jacobi launch (iters/k = 2), corrector, + small glue.
+    assert 2 * (2 + 20 // 10) <= n_perm <= 2 * (7 + 20 // 10), n_perm
+    # Scalar reductions: solve error(s), res_u/res_v/max_vel, CFL.
+    assert 3 <= n_red <= 14, n_red
