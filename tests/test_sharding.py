@@ -135,3 +135,23 @@ def test_vmap_ensemble():
     for _ in range(3):
         sk, _ = step_k(sk)
     np.testing.assert_allclose(u[3], np.asarray(sk.u), rtol=0, atol=1e-6)
+
+
+def test_gspmd_step_collective_pattern():
+    """GSPMD row sharding lowers to neighbor collective-permutes and
+    scalar all-reduces only -- XLA never falls back to gathering a
+    full field onto every device (which would void the scale-out)."""
+    mesh = make_mesh()
+    grid = Grid(nx=64, ny=128, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           jacobi_tol=0.0, jacobi_iters=20,
+                           outer_corrector_rounds=0, early_exit=False))
+    state = shard_state(scene.init_state(), mesh)
+    step = make_sharded_step(scene, mesh)
+    txt = step.lower(state).compile().as_text()
+    assert txt.count("all-gather") == 0
+    assert txt.count("all-to-all") == 0
+    assert txt.count("collective-permute") > 0   # halos exist
