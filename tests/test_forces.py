@@ -1,0 +1,95 @@
+"""Force diagnostics (ops/forces.py): drag/lift on obstacles."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import cfd_demo_tpu as cfd
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          solver_options_for)
+from cfd_demo_tpu.ops.forces import (ControlVolume, control_volume_force,
+                                     default_control_volume,
+                                     drag_lift_coefficients,
+                                     physical_pressure, pressure_force)
+
+
+def _grid():
+    return Grid(nx=96, ny=48, lx=12.0, ly=6.0,
+                obstacles=(Cylinder(3.0, 3.0, 0.6),))
+
+
+def test_zero_flow_zero_force():
+    g = _grid()
+    u = jnp.zeros((g.ny, g.nx + 1))
+    v = jnp.zeros((g.ny, g.nx))
+    p = jnp.zeros((g.ny, g.nx))
+    fx, fy = control_volume_force(u, v, p, 1e-3, g)
+    assert float(fx) == 0.0 and float(fy) == 0.0
+    fx, fy = pressure_force(p, g)
+    assert float(fx) == 0.0 and float(fy) == 0.0
+
+
+def test_uniform_pressure_no_net_force():
+    """A closed surface in a constant-pressure field feels zero net
+    force -- both estimators must respect that identically."""
+    g = _grid()
+    u = jnp.zeros((g.ny, g.nx + 1))
+    v = jnp.zeros((g.ny, g.nx))
+    p = jnp.full((g.ny, g.nx), 3.7, jnp.float32)
+    fx, fy = control_volume_force(u, v, p, 1e-3, g)
+    np.testing.assert_allclose(float(fx), 0.0, atol=1e-4)
+    np.testing.assert_allclose(float(fy), 0.0, atol=1e-4)
+    fx, fy = pressure_force(p, g)
+    np.testing.assert_allclose(float(fx), 0.0, atol=1e-4)
+    np.testing.assert_allclose(float(fy), 0.0, atol=1e-4)
+
+
+def test_cylinder_drag_cv_invariance():
+    """Steady low-Re cylinder wake: drag is positive, lift is small,
+    and the momentum balance gives (approximately) the same force for
+    two different control volumes enclosing the body -- the defining
+    property of a conservative force estimate. The staircase pressure
+    integral agrees to leading order (it misses skin friction)."""
+    g = _grid()
+    # Re = U D / nu = 1 * 1.2 / 0.05 = 24: steady attached wake.
+    scene = cfd.make_scene(
+        g, SimulationParams(dt=0.004, viscosity=0.05),
+        solver_options_for(Semantics.RUST, ramp_up_steps=20))
+    state, _ = cfd.make_run(scene, 399, donate=False)(scene.init_state())
+    p_prev = state.p
+    state, _ = cfd.make_step(scene, donate=False)(state)
+    # The stored p is the reference's linear-in-time accumulator; the
+    # per-step increment is the physical pressure (ops.forces docs).
+    u, v, p = state.u, state.v, physical_pressure(p_prev, state.p)
+    nu = float(state.nu)
+
+    cv_small = default_control_volume(g, margin=0.8)
+    cv_big = default_control_volume(g, margin=2.0)
+    fx_s, fy_s = control_volume_force(u, v, p, nu, g, cv_small)
+    fx_b, fy_b = control_volume_force(u, v, p, nu, g, cv_big)
+    assert float(fx_s) > 0.0 and float(fx_b) > 0.0
+    # CV-size invariance (residual unsteadiness + discretization slack).
+    np.testing.assert_allclose(float(fx_b), float(fx_s), rtol=0.25)
+    # Lift ~ 0 in the steady symmetric wake.
+    assert abs(float(fy_s)) < 0.3 * float(fx_s)
+    # Form drag is the dominant share and the right order.
+    fpx, _ = pressure_force(p, g)
+    assert 0.3 * float(fx_s) < float(fpx) < 1.5 * float(fx_s)
+    # Coefficients normalize sanely: C_d order 1-3 at Re ~ 24.
+    cd, cl = drag_lift_coefficients(fx_s, fy_s, 1.0, 1.2)
+    assert 0.5 < float(cd) < 6.0, float(cd)
+
+
+def test_forces_jit_and_vmap():
+    g = _grid()
+    cv = default_control_volume(g)
+    B = 3
+    u = jnp.ones((B, g.ny, g.nx + 1))
+    v = jnp.zeros((B, g.ny, g.nx))
+    p = jnp.zeros((B, g.ny, g.nx))
+    f = jax.jit(jax.vmap(
+        lambda u_, v_, p_: control_volume_force(u_, v_, p_, 1e-3, g, cv)))
+    fx, fy = f(u, v, p)
+    assert fx.shape == (B,) and np.isfinite(np.asarray(fx)).all()
+    # Uniform u: fluxes cancel on opposite faces.
+    np.testing.assert_allclose(np.asarray(fx), 0.0, atol=1e-5)
