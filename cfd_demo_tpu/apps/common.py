@@ -82,3 +82,23 @@ def save_frames(scene, state, out_dir: str, prefix: str = "frame"):
         paths.append(path)
     print("wrote", ", ".join(paths))
     return paths
+
+
+def report_forces(scene, state, u_ref: float, length: float):
+    """One extra step to form the physical pressure (per-step increment
+    of the stored accumulator p -- ops.forces.physical_pressure), then
+    print the control-volume drag/lift and coefficients."""
+    from .. import make_step
+    from ..ops.forces import (control_volume_force, default_control_volume,
+                              drag_lift_coefficients, physical_pressure)
+    p_prev, u_prev, v_prev = state.p, state.u, state.v
+    state, diag = make_step(scene, donate=False)(state)
+    P = physical_pressure(p_prev, state.p)
+    cv = default_control_volume(scene.grid)
+    fx, fy = control_volume_force(state.u, state.v, P, state.nu,
+                                  scene.grid, cv, u_prev=u_prev,
+                                  v_prev=v_prev, dt=diag.dt)
+    cd, cl = drag_lift_coefficients(fx, fy, u_ref, length)
+    print(f"forces: Fx={float(fx):+.4f} Fy={float(fy):+.4f}  "
+          f"C_d={float(cd):.3f} C_l={float(cl):+.3f}  (cv={tuple(cv)})")
+    return state

@@ -11,7 +11,8 @@ import sys
 
 from .. import Semantics, default_grid, make_scene, solver_options_for
 from ..runtime import checkpoint
-from .common import base_parser, params_from_args, rollout, save_frames
+from .common import (base_parser, params_from_args, report_forces,
+                     rollout, save_frames)
 
 
 def main(argv=None):
@@ -20,6 +21,9 @@ def main(argv=None):
     ap.add_argument("--ny", type=int, default=264)
     ap.add_argument("--tracers", action="store_true",
                     help="enable tracer particles (JS twin feature)")
+    ap.add_argument("--forces", action="store_true",
+                    help="print drag/lift + C_d/C_l at the end "
+                         "(ops.forces control-volume balance)")
     args = ap.parse_args(argv)
 
     grid = default_grid()
@@ -34,6 +38,8 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
     state, _ = rollout(scene, state, args.steps, args.chunk)
+    if args.forces:
+        state = report_forces(scene, state, u_ref=args.inlet, length=1.5)
 
     if args.tracers:
         import jax

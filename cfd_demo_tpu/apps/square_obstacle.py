@@ -13,7 +13,8 @@ import sys
 import numpy as np
 
 from .. import Box, Grid, Semantics, make_scene, solver_options_for
-from .common import base_parser, params_from_args, save_frames
+from .common import (base_parser, params_from_args, report_forces,
+                     save_frames)
 
 
 def main(argv=None):
@@ -62,6 +63,7 @@ def main(argv=None):
     print(f"probe v-amplitude {amp:.4f}, shedding f={peak:.4f} Hz, "
           f"Strouhal={strouhal:.3f}")
     print("shedding detected:", amp > 1e-3)
+    state = report_forces(scene, state, u_ref=args.inlet, length=2 * 0.75)
     save_frames(scene, state, args.out, prefix="square")
     return 0
 
