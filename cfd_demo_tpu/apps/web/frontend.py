@@ -61,7 +61,8 @@ INDEX_HTML = r"""<!DOCTYPE html>
   </div>
   <img id="frame" class="frame" src="/api/frame" width="800">
   <div class="row"><img id="legend" src="/api/legend" width="256" height="20">
-    <span style="font-size:.8rem">min &rarr; max</span></div>
+    <span style="font-size:.8rem">min &rarr; max</span>
+    <span id="forces" style="font-size:.85rem;margin-left:1.5rem"></span></div>
   <h3>Residuals</h3>
   <canvas id="resgraph" width="800" height="160"></canvas>
   <div id="log"></div>
@@ -139,6 +140,9 @@ async function poll() {
     const r = await fetch('/api/state');
     const s = await r.json();
     document.getElementById('log').textContent = s.log.join('\n');
+    document.getElementById('forces').textContent = s.forces
+      ? `C_d ${s.forces.cd.toFixed(2)}  C_l ${s.forces.cl >= 0 ? '+' : ''}${s.forces.cl.toFixed(2)}`
+      : '';
     const el = document.getElementById('log');
     el.scrollTop = el.scrollHeight;
     drawGraph(s.history);

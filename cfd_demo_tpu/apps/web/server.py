@@ -50,6 +50,7 @@ class AppState:
         self.handle: SimulationHandle | None = None
         self.log_lines: list[str] = []
         self.history = {"step": [], "u": [], "v": [], "p": []}
+        self.last_forces = None   # (fx, fy) from the newest residual
 
     def grid(self) -> Grid:
         if self.params.flow_case == FlowCase.CAVITY:
@@ -61,12 +62,30 @@ class AppState:
         self.stop()
         scene = make_scene(self.grid(), self.params,
                            solver_options_for(Semantics.RUST))
-        self.handle = SimulationHandle(scene, tracers=True).start()
+        self.handle = SimulationHandle(scene, tracers=True,
+                                       forces=True).start()
 
     def stop(self):
         if self.handle is not None:
             self.handle.stop()
             self.handle = None
+
+    def force_report(self):
+        """Latest drag/lift coefficients (None without obstacles):
+        C = 2 F / (U^2 D), D = the first obstacle's frontal height."""
+        if self.last_forces is None:
+            return None
+        g = self.grid()
+        if not g.obstacles:
+            return None
+        from cfd_demo_tpu.core.config import Box, Cylinder
+        obs = g.obstacles[0]
+        D = (2 * obs.radius if isinstance(obs, Cylinder)
+             else 2 * obs.half_h)
+        U = max(self.params.target_inlet_velocity, 1e-9)
+        fx, fy = self.last_forces
+        q = 0.5 * U * U * D
+        return {"fx": fx, "fy": fy, "cd": fx / q, "cl": fy / q}
 
     def drain_logs(self):
         if self.handle is None:
@@ -77,6 +96,8 @@ class AppState:
             self.history["u"].append(rec.u)
             self.history["v"].append(rec.v)
             self.history["p"].append(rec.p)
+            if rec.fx is not None:
+                self.last_forces = (rec.fx, rec.fy)
         self.log_lines = self.log_lines[-200:]
         for k in self.history:
             self.history[k] = self.history[k][-2000:]
@@ -209,6 +230,7 @@ class Handler(BaseHTTPRequestHandler):
                 "running": h is not None,
                 "log": APP.log_lines[-40:],
                 "history": APP.history,
+                "forces": APP.force_report(),
                 "params": {
                     "dt": APP.params.dt,
                     "viscosity": APP.params.viscosity,

@@ -54,10 +54,11 @@ class SimulationHandle:
     """Control endpoint (model.rs:65-117). Create via ``run()``."""
 
     def __init__(self, scene: Scene, state: Optional[State] = None,
-                 tracers: bool = False):
+                 tracers: bool = False, forces: bool = False):
         self._scene = scene
         self._state = state if state is not None else scene.init_state()
-        self._step = make_step(scene, donate=False)
+        self._forces_enabled = forces and bool(scene.grid.obstacles)
+        self._step = self._build_step(scene)
         self._commands: "queue.Queue" = queue.Queue()
         self._snapshots: "queue.Queue" = queue.Queue()
         self._residuals: "queue.Queue" = queue.Queue()
@@ -70,6 +71,43 @@ class SimulationHandle:
         self._tracer_step = None
         if tracers:
             self._init_tracers()
+
+    def _build_step(self, scene: Scene):
+        """jit step returning (state, diag, fx, fy); with forces
+        enabled, the control-volume drag/lift is FUSED into the same
+        dispatch (a second jit call per step would double the ~20 ms
+        axon dispatch cost). fx/fy are None when disabled."""
+        if not self._forces_enabled:
+            base = make_step(scene, donate=False)
+
+            def step_plain(state):
+                s2, diag = base(state)
+                return s2, diag, None, None
+
+            return step_plain
+        import jax
+        from ..ops.forces import (control_volume_force,
+                                  default_control_volume,
+                                  physical_pressure)
+        from ..solver.piso import step_fn
+        cv = default_control_volume(scene.grid)
+
+        def step(state):
+            p_prev, u_prev, v_prev = state.p, state.u, state.v
+            s2, diag = step_fn(scene, state)
+            P = physical_pressure(p_prev, s2.p)
+            fx, fy = control_volume_force(s2.u, s2.v, P, s2.nu,
+                                          scene.grid, cv, u_prev=u_prev,
+                                          v_prev=v_prev, dt=diag.dt)
+            return s2, diag, fx, fy
+
+        jitted = jax.jit(step)
+
+        def step_forces(state):
+            s2, diag, fx, fy = jitted(state)
+            return s2, diag, float(fx), float(fy)
+
+        return step_forces
 
     def _init_tracers(self):
         import jax
@@ -128,7 +166,7 @@ class SimulationHandle:
                 time.sleep(0.016)  # model.rs:1322
                 continue
             t0 = time.perf_counter()
-            self._state, diag = self._step(self._state)
+            self._state, diag, fx, fy = self._step(self._state)
             if self._tracers_enabled and self._tracer_state is not None:
                 s = self._state
                 self._tracer_state = self._tracer_step(
@@ -153,7 +191,8 @@ class SimulationHandle:
                 u=float(diag.res_u),
                 v=float(diag.res_v),
                 step_time=time.perf_counter() - t0,
-                piso_substeps=int(diag.substeps))
+                piso_substeps=int(diag.substeps),
+                fx=fx, fy=fy)
             self.history.push(rec)
             self._residuals.put(rec)
 
@@ -168,7 +207,7 @@ class SimulationHandle:
         if enums_changed:
             self._scene = make_scene(self._scene.grid, params,
                                      self._scene.opts)
-            self._step = make_step(self._scene, donate=False)
+            self._step = self._build_step(self._scene)
 
     def _snapshot(self, paused: bool) -> SimSnapshot:
         s = self._state
@@ -215,7 +254,8 @@ class SimulationHandle:
 
 
 def run(scene: Scene, state: Optional[State] = None,
-        tracers: bool = False) -> SimulationHandle:
+        tracers: bool = False, forces: bool = False) -> SimulationHandle:
     """Model::run equivalent: start stepping on a background thread and
     return the control handle."""
-    return SimulationHandle(scene, state, tracers=tracers).start()
+    return SimulationHandle(scene, state, tracers=tracers,
+                            forces=forces).start()

@@ -22,6 +22,10 @@ class Residuals:
     v: float
     step_time: float            # seconds of wall clock
     piso_substeps: int
+    # Optional force diagnostics (ops/forces.py; driver forces=True):
+    # control-volume Fx/Fy on the scene's obstacles, None when off.
+    fx: Optional[float] = None
+    fy: Optional[float] = None
 
     @property
     def steps_per_sec(self) -> float:
@@ -29,10 +33,13 @@ class Residuals:
 
     def format_line(self) -> str:
         """UI log line (src/app.rs:438-448 formatting intent)."""
-        return (f"step {self.simulation_step:6d}  t={self.simulation_time:9.4f}  "
+        line = (f"step {self.simulation_step:6d}  t={self.simulation_time:9.4f}  "
                 f"dt={self.dt:.3e}  u={self.u:.3e}  v={self.v:.3e}  "
                 f"p={self.p:.3e}  substeps={self.piso_substeps}  "
                 f"wall={self.step_time * 1e3:.2f}ms")
+        if self.fx is not None:
+            line += f"  Fx={self.fx:+.3f} Fy={self.fy:+.3f}"
+        return line
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
