@@ -53,6 +53,13 @@ def test_ensemble_app():
                           "--steps", "4", "--chunk", "2"]) == 0
 
 
+def test_cd_curve_app():
+    from cfd_demo_tpu.apps import cd_curve
+    assert cd_curve.main(["--res", "20,100", "--nx", "48", "--ny", "24",
+                          "--settle", "4", "--measure", "4",
+                          "--chunk", "2"]) == 0
+
+
 def test_web_server_endpoints():
     from http.server import ThreadingHTTPServer
     from cfd_demo_tpu.apps.web import server as websrv
