@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--re", type=float, default=100.0)
     ap.add_argument("--square", action="store_true",
                     help="square obstacle (side 1.5) instead of the cylinder")
+    ap.add_argument("--scheme", default="first",
+                    help="convection scheme: first|second|quick")
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--warmup", type=int, default=4000)
     ap.add_argument("--chunk", type=int, default=2000)
@@ -54,8 +56,10 @@ def main():
         grid = Grid(nx=grid.nx, ny=grid.ny, lx=grid.lx, ly=grid.ly,
                     obstacles=(Box(7.5, 5.0, 0.75, 0.75),))
     nu = U * D / args.re
+    from cfd_demo_tpu import VelocityScheme
     scene = cfd.make_scene(
-        grid, SimulationParams(dt=0.004, viscosity=nu),
+        grid, SimulationParams(dt=0.004, viscosity=nu,
+                               velocity_scheme=VelocityScheme(args.scheme)),
         solver_options_for(Semantics.RUST))
     cv = default_control_volume(grid, margin=1.5)
     print(f"Re={args.re} nu={nu:.4g} cv={cv} "
