@@ -23,6 +23,10 @@ from .common import base_parser, params_from_args
 def main(argv=None):
     ap = base_parser(__doc__)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--shard-batch", action="store_true",
+                    help="shard the batch axis over all devices "
+                         "(serving-style data parallelism; batch must "
+                         "divide the device count evenly)")
     ap.add_argument("--nx", type=int, default=256)
     ap.add_argument("--ny", type=int, default=96)
     ap.set_defaults(steps=200, dt=0.004, viscosity=1e-4)
@@ -42,6 +46,18 @@ def main(argv=None):
     batched = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
                            base)
     batched = dataclasses.replace(batched, nu=jnp.asarray(nus))
+
+    if args.shard_batch:
+        # Serving-style data parallelism: place the batch axis over the
+        # devices; GSPMD propagates the sharding through the vmapped
+        # scan with ZERO collectives (tests/test_sharding.py). The
+        # Pallas ensemble kernel carries no GSPMD rules -> jnp impls.
+        import dataclasses as _dc
+        from ..shard.mesh import make_mesh, shard_batch
+        scene = make_scene(grid, scene.params, _dc.replace(
+            scene.opts, pressure_impl="jnp", substep_impl="jnp"))
+        mesh = make_mesh(axis="b")
+        batched = shard_batch(batched, mesh)
 
     def chunk_fn(s):
         def body(s, _):

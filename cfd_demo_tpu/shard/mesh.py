@@ -89,3 +89,46 @@ def _example_diag():
     from ..solver.piso import StepDiagnostics
     return StepDiagnostics(step=0, t=0, dt=0, res_u=0, res_v=0, res_p=0,
                            substeps=0)
+
+
+BATCH_AXIS = "b"
+
+
+def make_batch_sharded_step(scene: Scene, mesh: Mesh,
+                            axis: str = BATCH_AXIS):
+    """Scale-out tier for ENSEMBLES: shard the vmap batch axis over the
+    device mesh (serving-style data parallelism, SURVEY.md section
+    2.7 "batch parallelism"). Each device advances B/n whole scenes;
+    the program is embarrassingly parallel -- the compiled HLO contains
+    NO halo collectives (tests/test_sharding.py pins this), unlike the
+    row-sharded tiers where every stencil exchanges ghosts.
+
+    Build the mesh with ``make_mesh(axis="b")``; batched State leaves
+    carry a leading batch dim (see apps/ensemble.py). The batch size
+    must divide evenly over the devices. Uses the XLA implementations
+    (the batched Pallas ensemble kernel carries no GSPMD rules)."""
+    if scene.opts.pressure_impl != "jnp" or scene.opts.substep_impl != "jnp":
+        scene = dataclasses.replace(
+            scene, opts=dataclasses.replace(scene.opts, pressure_impl="jnp",
+                                            substep_impl="jnp"))
+    batch = NamedSharding(mesh, P(axis))
+
+    def shard_leaf(_):
+        return batch
+
+    example = scene.init_state()
+    sh = _match(jax.tree.map(shard_leaf, state_shardings(mesh, axis)),
+                example)
+    diag_sh = jax.tree.map(lambda _: batch, _example_diag())
+    fn = jax.vmap(partial(step_fn, scene))
+    return jax.jit(fn, in_shardings=(sh,), out_shardings=(sh, diag_sh))
+
+
+def shard_batch(batched_state: State, mesh: Mesh,
+                axis: str = BATCH_AXIS) -> State:
+    """Place a batched State (leading batch dim on every leaf) with the
+    batch dimension split over ``mesh[axis]``."""
+    batch = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch) if x is not None else None,
+        batched_state, is_leaf=lambda x: x is None)

@@ -155,3 +155,46 @@ def test_gspmd_step_collective_pattern():
     assert txt.count("all-gather") == 0
     assert txt.count("all-to-all") == 0
     assert txt.count("collective-permute") > 0   # halos exist
+
+
+def test_batch_sharded_ensemble():
+    """Serving-style tier: the vmap batch axis sharded over the device
+    mesh. Results equal the unsharded batch, and the compiled HLO is
+    embarrassingly parallel -- no halo collectives at all."""
+    import dataclasses
+    import jax.numpy as jnp
+    from functools import partial
+    from cfd_demo_tpu.shard.mesh import (make_batch_sharded_step, make_mesh,
+                                         shard_batch)
+    from cfd_demo_tpu.solver.piso import step_fn
+
+    grid = Grid(nx=32, ny=24, lx=2.0, ly=1.5,
+                obstacles=(Cylinder(0.5, 0.75, 0.2),))
+    scene = make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           early_exit=False, pressure_impl="jnp",
+                           substep_impl="jnp"))
+    B = 8
+    base = scene.init_state()
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+    batched = dataclasses.replace(
+        batched, nu=jnp.asarray(np.linspace(1e-4, 1e-3, B), jnp.float32))
+
+    mesh = make_mesh(axis="b")
+    step = make_batch_sharded_step(scene, mesh)
+    sharded = shard_batch(batched, mesh)
+    ref_step = jax.jit(jax.vmap(partial(step_fn, scene)))
+    got, ref = sharded, batched
+    for _ in range(3):
+        got, gd = step(got)
+        ref, rd = ref_step(ref)
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+    np.testing.assert_array_equal(np.asarray(got.p), np.asarray(ref.p))
+    np.testing.assert_array_equal(np.asarray(gd.res_p), np.asarray(rd.res_p))
+
+    txt = step.lower(sharded).compile().as_text()
+    assert txt.count("collective-permute") == 0
+    assert txt.count("all-gather") == 0
+    assert txt.count("all-to-all") == 0
