@@ -132,3 +132,29 @@ def shard_batch(batched_state: State, mesh: Mesh,
     return jax.tree.map(
         lambda x: jax.device_put(x, batch) if x is not None else None,
         batched_state, is_leaf=lambda x: x is None)
+
+
+def make_mesh2d(n_batch: int, n_rows: int,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """2-D device mesh composing BOTH parallelism axes: ensemble
+    scenes over 'b' x grid rows over 'y' (the dp-x-spatial product).
+    GSPMD keeps halo collective-permutes scoped to 'y' subgroups and
+    residual reductions per batch row; no gathers
+    (tests/test_sharding.py pins equality + the collective pattern)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_batch * n_rows != len(devices):
+        raise ValueError(f"{n_batch}x{n_rows} != {len(devices)} devices")
+    return Mesh(np.array(devices).reshape(n_batch, n_rows),
+                (BATCH_AXIS, ROW_AXIS))
+
+
+def shard_batch_rows(batched_state: State, mesh: Mesh) -> State:
+    """Place a batched State on a make_mesh2d mesh: field leaves
+    (B, ny, nx*) split batch-over-'b' and rows-over-'y'; per-scene
+    scalar leaves (B,) split over 'b'."""
+    field = NamedSharding(mesh, P(BATCH_AXIS, ROW_AXIS, None))
+    scal = NamedSharding(mesh, P(BATCH_AXIS))
+    return jax.tree.map(
+        lambda x: (None if x is None
+                   else jax.device_put(x, field if x.ndim == 3 else scal)),
+        batched_state, is_leaf=lambda x: x is None)

@@ -198,3 +198,41 @@ def test_batch_sharded_ensemble():
     assert txt.count("collective-permute") == 0
     assert txt.count("all-gather") == 0
     assert txt.count("all-to-all") == 0
+
+
+def test_batch_by_rows_2d_mesh():
+    """Composed parallelism: ensemble batch over 'b' x grid rows over
+    'y' on a 2x4 mesh. Equal to the unsharded batch; halo permutes
+    stay scoped (no gathers)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from functools import partial
+    from cfd_demo_tpu.shard.mesh import make_mesh2d, shard_batch_rows
+    from cfd_demo_tpu.solver.piso import step_fn
+
+    grid = Grid(nx=32, ny=32, lx=2.0, ly=2.0,
+                obstacles=(Cylinder(0.5, 1.0, 0.2),))
+    scene = make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           early_exit=False, pressure_impl="jnp",
+                           substep_impl="jnp"))
+    B = 4
+    base = scene.init_state()
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+    batched = dataclasses.replace(
+        batched, nu=jnp.asarray(np.linspace(1e-4, 1e-3, B), jnp.float32))
+    mesh = make_mesh2d(2, 4)
+    placed = shard_batch_rows(batched, mesh)
+    step = jax.jit(jax.vmap(partial(step_fn, scene)))
+    got, ref = placed, batched
+    for _ in range(3):
+        got, _ = step(got)
+        ref, _ = step(ref)
+    np.testing.assert_array_equal(np.asarray(got.u), np.asarray(ref.u))
+    np.testing.assert_array_equal(np.asarray(got.p), np.asarray(ref.p))
+    txt = step.lower(placed).compile().as_text()
+    assert txt.count("all-gather") == 0
+    assert txt.count("all-to-all") == 0
+    assert txt.count("collective-permute") > 0
