@@ -149,3 +149,42 @@ def test_rasterizers():
     img3 = rasterize_mesh(mesh, background=img)
     # Orange diamonds at hole-boundary intersections.
     assert (img3 == (255, 165, 0)).all(axis=-1).any()
+
+
+def test_trace_utilities():
+    """runtime/trace.py: PhaseTimer spans, phase_timings device
+    diagnostics, and the jax.profiler trace context."""
+    import tempfile
+    from cfd_demo_tpu.runtime.trace import (PhaseTimer, phase_timings,
+                                            profile_trace)
+
+    import cfd_demo_tpu as cfd
+
+    t = PhaseTimer()
+    with t.span("a"):
+        pass
+    with t.span("a"):
+        pass
+    with t.span("b"):
+        pass
+    assert t.counts["a"] == 2 and "phase" in t.summary()
+    t.reset()
+    assert not t.totals
+
+    grid = Grid(nx=32, ny=16, lx=4.0, ly=2.0,
+                obstacles=(Cylinder(1.0, 1.0, 0.3),))
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           jacobi_iters=5, outer_corrector_rounds=0))
+    state = scene.init_state()
+    ms = phase_timings(scene, state, repeats=2)
+    assert set(ms) == {"predictor", "divergence", "pressure",
+                      "corrector", "bcs"}
+    assert all(v >= 0.0 for v in ms.values())
+
+    with tempfile.TemporaryDirectory() as d:
+        with profile_trace(d):
+            state2, _ = cfd.make_step(scene, donate=False)(state)
+        import os
+        assert os.listdir(d), "profiler wrote nothing"
