@@ -98,6 +98,12 @@ def control_volume_force(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray,
     i0, i1, j0, j1 = cv
     dx, dy = grid.dx, grid.dy
 
+    def trap(a):
+        """Trapezoid end-weights for tangential-direction face sums:
+        samples at i0..i1 (or j0..j1) land ON the CV corners, so full
+        weights would overcount half a cell at each end."""
+        return a.sum() - 0.5 * (a[0] + a[-1])
+
     js = slice(j0, j1)            # CV-interior cell rows
     # -- x-momentum -------------------------------------------------
     # East/west faces: u is sampled exactly on them.
@@ -120,9 +126,10 @@ def control_volume_force(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray,
     dudyS = (u[j0, iu] - u[j0 - 1, iu]) / dy
 
     flux_x = ((uE * uE - uW * uW).sum() * dy
-              + (uN * vN - uS * vS).sum() * dx)
+              + trap(uN * vN - uS * vS) * dx)
     press_x = (pE - pW).sum() * dy
-    visc_x = nu * ((dudxE - dudxW).sum() * dy + (dudyN - dudyS).sum() * dx)
+    visc_x = nu * ((dudxE - dudxW).sum() * dy
+                   + trap(dudyN - dudyS) * dx)
     Fx = -flux_x - press_x + visc_x
 
     # -- y-momentum -------------------------------------------------
@@ -143,20 +150,21 @@ def control_volume_force(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray,
     dvdxE = (v[jv, i1] - v[jv, i1 - 1]) / dx
     dvdxW = (v[jv, i0] - v[jv, i0 - 1]) / dx
 
-    flux_y = ((vE * uEa - vW * uWa).sum() * dy
+    flux_y = (trap(vE * uEa - vW * uWa) * dy
               + (vNf * vNf - vSf * vSf).sum() * dx)
     press_y = (pN - pS).sum() * dx
-    visc_y = nu * ((dvdxE - dvdxW).sum() * dy + (dvdyN - dvdyS).sum() * dx)
+    visc_y = nu * (trap(dvdxE - dvdxW) * dy
+                   + (dvdyN - dvdyS).sum() * dx)
     Fy = -flux_y - press_y + visc_y
 
     if u_prev is not None and dt is not None:
         # Unsteady term: -d/dt of CV momentum (one-sided in time).
-        mom_x = u[js, i0:i1 + 1].sum() * dx * dy
-        mom_x_prev = u_prev[js, i0:i1 + 1].sum() * dx * dy
-        Fx = Fx - (mom_x - mom_x_prev) / dt
-        mom_y = v[jv, ic].sum() * dx * dy
-        mom_y_prev = v_prev[jv, ic].sum() * dx * dy
-        Fy = Fy - (mom_y - mom_y_prev) / dt
+        du = u[js, i0:i1 + 1] - u_prev[js, i0:i1 + 1]
+        Fx = Fx - (du.sum() - 0.5 * (du[:, 0] + du[:, -1]).sum()) \
+            * dx * dy / dt
+        dv = v[jv, ic] - v_prev[jv, ic]
+        Fy = Fy - (dv.sum() - 0.5 * (dv[0, :] + dv[-1, :]).sum()) \
+            * dx * dy / dt
     return Fx, Fy
 
 

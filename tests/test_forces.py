@@ -56,8 +56,8 @@ def test_cylinder_drag_cv_invariance():
         g, SimulationParams(dt=0.004, viscosity=0.05),
         solver_options_for(Semantics.RUST, ramp_up_steps=20))
     state, _ = cfd.make_run(scene, 399, donate=False)(scene.init_state())
-    p_prev = state.p
-    state, _ = cfd.make_step(scene, donate=False)(state)
+    p_prev, u_prev, v_prev = state.p, state.u, state.v
+    state, d = cfd.make_step(scene, donate=False)(state)
     # The stored p is the reference's linear-in-time accumulator; the
     # per-step increment is the physical pressure (ops.forces docs).
     u, v, p = state.u, state.v, physical_pressure(p_prev, state.p)
@@ -65,11 +65,14 @@ def test_cylinder_drag_cv_invariance():
 
     cv_small = default_control_volume(g, margin=0.8)
     cv_big = default_control_volume(g, margin=2.0)
-    fx_s, fy_s = control_volume_force(u, v, p, nu, g, cv_small)
-    fx_b, fy_b = control_volume_force(u, v, p, nu, g, cv_big)
+    unsteady = dict(u_prev=u_prev, v_prev=v_prev, dt=d.dt)
+    fx_s, fy_s = control_volume_force(u, v, p, nu, g, cv_small, **unsteady)
+    fx_b, fy_b = control_volume_force(u, v, p, nu, g, cv_big, **unsteady)
     assert float(fx_s) > 0.0 and float(fx_b) > 0.0
-    # CV-size invariance (residual unsteadiness + discretization slack).
-    np.testing.assert_allclose(float(fx_b), float(fx_s), rtol=0.25)
+    # CV-size invariance: WITH the unsteady term the balance closes to
+    # a few percent (without it, the settling flow's changing momentum
+    # reads as a CV-size-dependent force).
+    np.testing.assert_allclose(float(fx_b), float(fx_s), rtol=0.10)
     # Lift ~ 0 in the steady symmetric wake.
     assert abs(float(fy_s)) < 0.3 * float(fx_s)
     # Form drag is the dominant share and the right order.
