@@ -92,6 +92,8 @@ def test_web_server_endpoints():
                 break
             time.sleep(0.25)
         assert st["running"] and st["history"]["step"]
+        # Live force diagnostics (driver forces=True in the web app).
+        assert st["forces"] is not None and "cd" in st["forces"]
         frame = get("/api/frame?mode=velocity&tracers=1")
         assert frame[:8] == b"\x89PNG\r\n\x1a\n"
         post("/api/params", {"dt": 0.003})

@@ -96,3 +96,36 @@ def test_forces_jit_and_vmap():
     assert fx.shape == (B,) and np.isfinite(np.asarray(fx)).all()
     # Uniform u: fluxes cancel on opposite faces.
     np.testing.assert_allclose(np.asarray(fx), 0.0, atol=1e-5)
+
+
+def test_forces_on_sharded_state():
+    """Force integrals work unchanged on a GSPMD row-sharded state
+    (slices/reductions partition; no resharding needed)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from cfd_demo_tpu.shard.mesh import make_mesh, make_sharded_step, shard_state
+
+    mesh = make_mesh()
+    g = Grid(nx=64, ny=128, lx=4.0, ly=8.0,
+             obstacles=(Cylinder(1.0, 4.0, 0.4),))
+    scene = cfd.make_scene(
+        g, SimulationParams(dt=0.002, viscosity=1e-3),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                           jacobi_iters=20, outer_corrector_rounds=2))
+    state = shard_state(scene.init_state(), mesh)
+    step = make_sharded_step(scene, mesh)
+    ref = scene.init_state()
+    ref_step = cfd.make_step(scene, donate=False)
+    for _ in range(5):
+        p_prev, rp_prev = state.p, ref.p
+        state, _ = step(state)
+        ref, _ = ref_step(ref)
+    cv = default_control_volume(g)
+    fx, _ = control_volume_force(state.u, state.v,
+                                 physical_pressure(p_prev, state.p),
+                                 1e-3, g, cv)
+    fx2, _ = control_volume_force(ref.u, ref.v,
+                                  physical_pressure(rp_prev, ref.p),
+                                  1e-3, g, cv)
+    assert np.isclose(float(fx), float(fx2), rtol=1e-4)
