@@ -25,8 +25,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--shard-batch", action="store_true",
                     help="shard the batch axis over all devices "
-                         "(serving-style data parallelism; batch must "
-                         "divide the device count evenly)")
+                         "(serving-style data parallelism; the device "
+                         "count must divide the batch evenly)")
     ap.add_argument("--nx", type=int, default=256)
     ap.add_argument("--ny", type=int, default=96)
     ap.set_defaults(steps=200, dt=0.004, viscosity=1e-4)

@@ -22,6 +22,9 @@ def main(argv=None):
     ap.set_defaults(viscosity=2e-3, dt=0.005, steps=2000)
     ap.add_argument("--nx", type=int, default=400)
     ap.add_argument("--ny", type=int, default=132)
+    ap.add_argument("--forces", action="store_true",
+                    help="print drag/lift + C_d/C_l at the end (compiles "
+                         "one extra single-step program)")
     args = ap.parse_args(argv)
 
     lx, ly = 30.0, 10.0
@@ -63,7 +66,9 @@ def main(argv=None):
     print(f"probe v-amplitude {amp:.4f}, shedding f={peak:.4f} Hz, "
           f"Strouhal={strouhal:.3f}")
     print("shedding detected:", amp > 1e-3)
-    state = report_forces(scene, state, u_ref=args.inlet, length=2 * 0.75)
+    if args.forces:
+        state = report_forces(scene, state, u_ref=args.inlet,
+                              length=2 * 0.75)
     save_frames(scene, state, args.out, prefix="square")
     return 0
 

@@ -60,8 +60,20 @@ class AppState:
 
     def start(self):
         self.stop()
-        scene = make_scene(self.grid(), self.params,
+        self.last_forces = None
+        grid = self.grid()
+        scene = make_scene(grid, self.params,
                            solver_options_for(Semantics.RUST))
+        # Normalization captured at START (the run's own U and D);
+        # later slider edits must not rescale already-measured forces.
+        self._force_norm = None
+        if grid.obstacles:
+            from cfd_demo_tpu.core.config import Cylinder
+            obs = grid.obstacles[0]
+            D = (2 * obs.radius if isinstance(obs, Cylinder)
+                 else 2 * obs.half_h)
+            U = max(self.params.target_inlet_velocity, 1e-9)
+            self._force_norm = (U, D)
         self.handle = SimulationHandle(scene, tracers=True,
                                        forces=True).start()
 
@@ -71,21 +83,15 @@ class AppState:
             self.handle = None
 
     def force_report(self):
-        """Latest drag/lift coefficients (None without obstacles):
-        C = 2 F / (U^2 D), D = the first obstacle's frontal height."""
-        if self.last_forces is None:
+        """Latest drag/lift + coefficients normalized by the U and D
+        captured when the run STARTED (None without obstacles)."""
+        if self.last_forces is None or not getattr(self, "_force_norm", None):
             return None
-        g = self.grid()
-        if not g.obstacles:
-            return None
-        from cfd_demo_tpu.core.config import Box, Cylinder
-        obs = g.obstacles[0]
-        D = (2 * obs.radius if isinstance(obs, Cylinder)
-             else 2 * obs.half_h)
-        U = max(self.params.target_inlet_velocity, 1e-9)
+        from cfd_demo_tpu.ops.forces import drag_lift_coefficients
+        U, D = self._force_norm
         fx, fy = self.last_forces
-        q = 0.5 * U * U * D
-        return {"fx": fx, "fy": fy, "cd": fx / q, "cl": fy / q}
+        cd, cl = drag_lift_coefficients(fx, fy, U, D)
+        return {"fx": fx, "fy": fy, "cd": float(cd), "cl": float(cl)}
 
     def drain_logs(self):
         if self.handle is None:
@@ -101,6 +107,19 @@ class AppState:
         self.log_lines = self.log_lines[-200:]
         for k in self.history:
             self.history[k] = self.history[k][-2000:]
+
+
+def _finite(x):
+    """Replace non-finite floats with None recursively: json.dumps
+    would emit bare NaN (invalid JSON) and kill the frontend's
+    JSON.parse exactly when a divergence is being reported."""
+    if isinstance(x, float):
+        return x if math.isfinite(x) else None
+    if isinstance(x, dict):
+        return {k: _finite(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_finite(v) for v in x]
+    return x
 
 
 APP = AppState()
@@ -164,6 +183,7 @@ class Handler(BaseHTTPRequestHandler):
         elif action == "reset":
             APP.stop()
             APP.log_lines.clear()
+            APP.last_forces = None
             for k in APP.history:
                 APP.history[k].clear()
 
@@ -241,7 +261,7 @@ class Handler(BaseHTTPRequestHandler):
                     "flow_case": APP.params.flow_case.value,
                 },
             }
-        self._send(200, json.dumps(body).encode())
+        self._send(200, json.dumps(_finite(body)).encode())
 
     def _mesh(self, q):
         from ...mesh2d import Polygon

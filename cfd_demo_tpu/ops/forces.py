@@ -179,6 +179,9 @@ def pressure_force(p: jnp.ndarray, grid: Grid,
     constants break the axon remote compiler (docs/PERF.md)."""
     from ..core.masks import _any_inside_traced
     from jax import lax
+    if not grid.obstacles:
+        z = jnp.zeros((), p.dtype)
+        return z, z
     ny, nx = p.shape
     xs = (lax.broadcasted_iota(jnp.int32, (ny, nx), 1).astype(p.dtype)
           + 0.5) * grid.dx

@@ -23,6 +23,8 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..core.config import SimulationParams
 from ..core.state import State, set_params
 from ..solver.piso import Scene, make_scene, make_step
@@ -58,6 +60,15 @@ class SimulationHandle:
         self._scene = scene
         self._state = state if state is not None else scene.init_state()
         self._forces_enabled = forces and bool(scene.grid.obstacles)
+        if self._forces_enabled:
+            from ..ops.forces import default_control_volume
+            try:
+                default_control_volume(scene.grid)
+            except ValueError:
+                # Tiny / wall-clipped / out-of-domain obstacles leave no
+                # valid control volume; degrade to forces-off like the
+                # obstacle-free case instead of dying at construction.
+                self._forces_enabled = False
         self._step = self._build_step(scene)
         self._commands: "queue.Queue" = queue.Queue()
         self._snapshots: "queue.Queue" = queue.Queue()
@@ -99,6 +110,14 @@ class SimulationHandle:
             fx, fy = control_volume_force(s2.u, s2.v, P, s2.nu,
                                           scene.grid, cv, u_prev=u_prev,
                                           v_prev=v_prev, dt=diag.dt)
+            # The stored p is an unbounded accumulator (it grows
+            # linearly at steady state and never feeds back into the
+            # dynamics -- docs/SPEC.md); rebase it each step so the
+            # float32 difference above keeps its mantissa bits over
+            # arbitrarily long interactive runs. Semantics-neutral for
+            # the flow; the UI's min-max colormap is shift-invariant.
+            import dataclasses as _dc
+            s2 = _dc.replace(s2, p=s2.p - jnp.mean(s2.p))
             return s2, diag, fx, fy
 
         jitted = jax.jit(step)
