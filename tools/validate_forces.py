@@ -34,6 +34,10 @@ def main():
                     help="square obstacle (side 1.5) instead of the cylinder")
     ap.add_argument("--scheme", default="first",
                     help="convection scheme: first|second|quick")
+    ap.add_argument("--grid", default=None, metavar="NXxNY",
+                    help="override the 800x264 default (same 30x10 "
+                         "domain), e.g. 1600x528 for a D/dx=80 "
+                         "grid-convergence point")
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--warmup", type=int, default=4000)
     ap.add_argument("--chunk", type=int, default=2000)
@@ -50,6 +54,10 @@ def main():
     from cfd_demo_tpu.solver.piso import step_fn
 
     grid = cfd.default_grid()              # 800x264, r=0.75 at (7.5, 5)
+    if args.grid:
+        import dataclasses
+        nx, ny = (int(t) for t in args.grid.lower().split("x"))
+        grid = dataclasses.replace(grid, nx=nx, ny=ny)
     D, U = 1.5, 1.0
     if args.square:
         from cfd_demo_tpu import Box, Grid
