@@ -236,3 +236,42 @@ def test_batch_by_rows_2d_mesh():
     assert txt.count("all-gather") == 0
     assert txt.count("all-to-all") == 0
     assert txt.count("collective-permute") > 0
+
+
+def test_vmap_js_semantics_per_element_exact():
+    """JS mode under vmap: adaptive substep counts and the
+    extrapolated initial guess are per-element state driving a
+    batched fori/while loop -- each batch element must match its own
+    unbatched run exactly."""
+    import dataclasses
+    import jax.numpy as jnp
+    from functools import partial
+    from cfd_demo_tpu.solver.piso import step_fn
+
+    grid = Grid(nx=32, ny=24, lx=2.0, ly=1.5,
+                obstacles=(Cylinder(0.5, 0.75, 0.2),))
+    opts = solver_options_for(Semantics.JS, ramp_up_steps=5,
+                              early_exit=False, jacobi_iters=8,
+                              substeps_init=2, substeps_adaptive=True,
+                              substeps_max=6)
+    scene = make_scene(grid, SimulationParams(dt=0.003, viscosity=1e-4),
+                       opts)
+    B = 4
+    nus = np.geomspace(1e-5, 1e-3, B).astype(np.float32)
+    base = scene.init_state()
+    batched = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+    batched = dataclasses.replace(batched, nu=jnp.asarray(nus))
+    vstep = jax.jit(jax.vmap(partial(step_fn, scene)))
+    for _ in range(4):
+        batched, vd = vstep(batched)
+    sstep = jax.jit(partial(step_fn, scene))
+    for k in (0, B - 1):
+        st = dataclasses.replace(base, nu=jnp.asarray(nus[k]))
+        for _ in range(4):
+            st, sd = sstep(st)
+        np.testing.assert_array_equal(np.asarray(batched.u[k]),
+                                      np.asarray(st.u), err_msg=f"u[{k}]")
+        np.testing.assert_array_equal(np.asarray(batched.p[k]),
+                                      np.asarray(st.p), err_msg=f"p[{k}]")
+        assert int(batched.substeps[k]) == int(st.substeps), k
