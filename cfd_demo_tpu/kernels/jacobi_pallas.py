@@ -365,19 +365,18 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                     + bs * bsx) * 4
 
         bs = block_rows
-        while (ny % bs != 0 or ny < bs + 2 * halo
-               or vmem_model(bs, nxp, 0) > budget):
+        while bs >= 8 and (ny % bs != 0 or ny < bs + 2 * halo
+                           or vmem_model(bs, nxp, 0) > budget):
             bs //= 2
-            if bs < 8:
-                raise ValueError(f"no valid block size for ny={ny}, k={k}")
-        nblocks = ny // bs
+        found_1d = bs >= 8
         # Wide grids force tiny row blocks (heavy redundant halo
-        # compute); split columns instead, keeping 128-row blocks
+        # compute) -- or, at 16384+ lanes, NO feasible full-width block
+        # at all; split columns instead, keeping 128-row blocks
         # (see _kernel2d). Column tiles must evenly divide nxp AND be
         # 128-aligned (the DMA column starts assert multiple-of-128),
         # and the fixed 128-lane column halo must cover k iterations
         # of validity shrinkage.
-        if (bs < 128 and nxp >= 4096 and ny % 128 == 0
+        if ((not found_1d or bs < 128) and nxp >= 4096 and ny % 128 == 0
                 and ny >= 128 + 2 * halo and k <= COL_HALO):
             bsx = nxp // 2
             while (bsx >= 256 and
@@ -387,6 +386,9 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
             if bsx >= 256 and bsx % 128 == 0 and nxp % bsx == 0:
                 bs = 128
                 use_2d = True
+        if not use_2d and not found_1d:
+            raise ValueError(f"no valid block size for ny={ny}, k={k}")
+        nblocks = ny // bs
     w = bs + 2 * halo
     if nxp != nx:
         pad = ((0, 0), (0, nxp - nx))
