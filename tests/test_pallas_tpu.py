@@ -19,7 +19,11 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.parametrize("shape,k", [((264, 800), 8), ((512, 512), 10),
-                                     ((2048, 2048), 10)])
+                                     ((2048, 2048), 10),
+                                     # >= 16384 lanes: no full-width row
+                                     # block fits; the 1-D search falls
+                                     # through to the 2-D column tiling.
+                                     ((256, 16384), 10)])
 def test_fused_matches_jnp(shape, k):
     import jax.numpy as jnp
     from jax import lax
