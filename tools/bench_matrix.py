@@ -46,7 +46,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="2048^2 only")
     args = ap.parse_args()
-    cases = [(1024, 200), (2048, 100), (4096, 50), (8192, 20)]
+    cases = [(1024, 200), (2048, 100), (4096, 50), (8192, 20),
+             (16384, 10)]
     if args.quick:
         cases = [(2048, 100)]
     print(f"{'grid':>6} {'solver':>10} {'impl':>7} {'cu/s':>10} {'ms/step':>9}")
