@@ -140,9 +140,10 @@ async function poll() {
     const r = await fetch('/api/state');
     const s = await r.json();
     document.getElementById('log').textContent = s.log.join('\n');
-    document.getElementById('forces').textContent = s.forces
+    document.getElementById('forces').textContent =
+      (s.forces && Number.isFinite(s.forces.cd) && Number.isFinite(s.forces.cl))
       ? `C_d ${s.forces.cd.toFixed(2)}  C_l ${s.forces.cl >= 0 ? '+' : ''}${s.forces.cl.toFixed(2)}`
-      : '';
+      : (s.forces ? 'forces: diverged' : '');
     const el = document.getElementById('log');
     el.scrollTop = el.scrollHeight;
     drawGraph(s.history);

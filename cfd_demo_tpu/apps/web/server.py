@@ -84,12 +84,20 @@ class AppState:
 
     def force_report(self):
         """Latest drag/lift + coefficients normalized by the U and D
-        captured when the run STARTED (None without obstacles)."""
+        captured when the run STARTED (None without obstacles).
+
+        The measured force is the TOTAL over every obstacle inside the
+        shared control volume, but D is the first obstacle's length
+        scale -- so with multiple obstacles the coefficients would be
+        normalized by an arbitrary scale; report raw Fx/Fy only then.
+        """
         if self.last_forces is None or not getattr(self, "_force_norm", None):
             return None
+        fx, fy = self.last_forces
+        if len(self.grid().obstacles) > 1:
+            return {"fx": fx, "fy": fy, "cd": None, "cl": None}
         from cfd_demo_tpu.ops.forces import drag_lift_coefficients
         U, D = self._force_norm
-        fx, fy = self.last_forces
         cd, cl = drag_lift_coefficients(fx, fy, U, D)
         return {"fx": fx, "fy": fy, "cd": float(cd), "cl": float(cl)}
 

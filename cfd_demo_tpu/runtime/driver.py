@@ -64,8 +64,9 @@ class SimulationHandle:
             from ..ops.forces import default_control_volume
             try:
                 default_control_volume(scene.grid)
-            except ValueError:
-                # Tiny / wall-clipped / out-of-domain obstacles leave no
+            except (ValueError, TypeError):
+                # Tiny / wall-clipped / out-of-domain obstacles (or an
+                # obstacle type the CV builder doesn't know) leave no
                 # valid control volume; degrade to forces-off like the
                 # obstacle-free case instead of dying at construction.
                 self._forces_enabled = False

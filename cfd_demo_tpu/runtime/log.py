@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from typing import List, Optional
 
 
@@ -42,7 +43,15 @@ class Residuals:
         return line
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self))
+        # json.dumps emits bare NaN/Infinity (invalid JSON) for
+        # non-finite floats -- exactly what a diverged run produces;
+        # map them to null like the web server's _finite does.
+        def clean(x):
+            if isinstance(x, float) and not math.isfinite(x):
+                return None
+            return x
+        return json.dumps({k: clean(v)
+                           for k, v in dataclasses.asdict(self).items()})
 
 
 class ResidualHistory:
