@@ -197,6 +197,169 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
     return out, jnp.max(err)
 
 
+def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
+                  pp_win, rhs_win, sem,
+                  *, gny, nx, nxp, ext_ny, bs, halo, k, own_lo, own_hi,
+                  dx2, dy2, omega, cavity):
+    """Like _kernel, but rows are a window of the *global* array:
+    global row = off_ref[0] + local row (the multi-chip analog, mirror
+    of jacobi_pallas._kernel_shard). ``own_lo:own_hi`` are the local
+    rows the shard owns; its exchanged halos go stale two rings per
+    iteration and are discarded by the caller."""
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    # 2k halo rows below row0 (two rings of validity per iteration).
+    start = pl.multiple_of(
+        jnp.clip(((row0 - 2 * k) // 8) * 8, 0, ext_ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    lr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)  # local row
+    gr = off_ref[0] + lr                                       # global row
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= gny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = (interior & (lr >= row0) & (lr < row0 + bs)
+             & (lr >= own_lo) & (lr < own_hi))
+    red = interior & (((gr + gc) % 2) == 0)
+    black = interior & (((gr + gc) % 2) == 1)
+    is_bot = gr == 0
+    is_top = gr == gny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    adj_bot = gr == 1
+    adj_top = gr == gny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    om = jnp.float32(omega)
+    rhs = br * rhs_win[:]
+
+    def half(pp, mask, fold_rows=True):
+        E = pltpu.roll(pp, nxp - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        update = bx * (E + W) + by * (N + S) - rhs
+        new = (1.0 - om) * pp + om * update
+        return jnp.where(mask, new, pp)
+
+    def iterate(want_err, fold_rows=True):
+        old = pp_win[:]
+        pp = half(old, red, fold_rows)
+        pp = half(pp, black, fold_rows)
+        err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp_win[:] = pp
+        return err
+
+    # Row-interior specialization on *global* rows (see _kernel).
+    g0 = off_ref[0] + start
+    inner_rows = jnp.logical_and(g0 >= 2, g0 + w <= gny - 2)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k - 1,
+                      lambda _, c: (iterate(False, fold_rows=False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
+    err = iterate(True)
+    # BCs once per launch, on global boundary rows/columns only.
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+    pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+    pp = jnp.where(is_left, pltpu.roll(pp, nxp - 1, 1), pp)
+    if cavity:
+        pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i, 0] = err
+
+
+def sor_fused_k_shard(pp_ext, rhs_ext, row_offset, gny: int,
+                      dx: float, dy: float, omega: float, k: int,
+                      own_lo: int, own_hi: int, block_rows: int = 256,
+                      interpret: bool = False, cavity: bool = False):
+    """K fused red/black iterations on a halo-extended (ext_ny, nx)
+    local block whose row 0 is global row ``row_offset`` (traced
+    scalar). Returns (updated ext block, max |delta| over owned rows).
+    The halo must span 2K rows (two rings per iteration)."""
+    ext_ny, nx = pp_ext.shape
+    if ext_ny % 8 != 0:
+        raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
+    nxp = -(-nx // 128) * 128
+    n_temps = 7
+    if (2 + n_temps) * ext_ny * nxp * 4 <= 14 * 1024 * 1024:
+        bs, halo = ext_ny, 0
+    else:
+        halo = _halo8(2 * k)
+        budget = 7 * 1024 * 1024
+        bs = block_rows
+        while (ext_ny % bs != 0 or ext_ny < bs + 2 * halo
+               or (2 * (bs + 2 * halo) + bs) * nxp * 4 > budget):
+            bs //= 2
+            if bs < 8:
+                raise ValueError(f"no SOR tile for ext_ny={ext_ny}, k={k}")
+    nblocks = ext_ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp_ext = jnp.pad(pp_ext, pad)
+        rhs_ext = jnp.pad(rhs_ext, pad)
+    kern = functools.partial(
+        _kernel_shard, gny=gny, nx=nx, nxp=nxp, ext_ny=ext_ny, bs=bs,
+        halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    out, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ext_ny, nxp), pp_ext.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp_ext.dtype),
+            pltpu.VMEM((w, nxp), rhs_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(row_offset, jnp.int32).reshape(1), pp_ext, rhs_ext)
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, jnp.max(err)
+
+
 def sor_pallas_ok(ny: int, nx: int, k: int, block_rows: int = 256) -> bool:
     if ny % 8 != 0:
         return False

@@ -1,0 +1,189 @@
+"""shard_map multigrid V-cycle with explicit halo exchange.
+
+Multi-chip form of the JS twin's multigrid kit (ops.poisson, from
+index.html:1344-1470): the fine levels run row-sharded with explicit
+1-row ppermute halos around every smooth/residual/restrict/prolong
+stencil; once a level's rows no longer split evenly over the mesh axis
+(gny_level % 2*n_shards != 0), the residual is all-gathered and the
+REMAINING recursion runs replicated through the single-device XLA kit
+(coarse-grid agglomeration -- the standard parallel-multigrid move:
+coarse levels are latency-bound, not bandwidth-bound, so replicating
+them costs less than sharding 1-row blocks).
+
+Every sharded stencil reproduces ops.poisson's expressions verbatim
+(same operation order, zero-fill halos matching `shifted`'s zero
+padding at global edges), so the sharded solve equals the single-device
+solve bitwise (tests/test_shmap.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.stencil import shifted
+from .halo import exchange_rows, global_row_index
+
+
+def _interior(gr, gc, gny, nx):
+    return (gr >= 1) & (gr <= gny - 2) & (gc >= 1) & (gc <= nx - 2)
+
+
+def _smooth_shard(p_loc, rhs_loc, gny, nx, dx, dy, iterations, axis):
+    """Interior-only undamped Jacobi (ops.poisson._mg_smooth) on a
+    row-sharded block; one 1-row halo exchange per iteration."""
+    if iterations == 0:
+        return p_loc
+    local = p_loc.shape[0]
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    gr = global_row_index(local, axis) + jnp.zeros((1, nx), jnp.int32)
+    gc = lax.broadcasted_iota(jnp.int32, (local, nx), 1)
+    interior = _interior(gr, gc, gny, nx)
+    shape = (local, nx)
+    for _ in range(iterations):
+        px = exchange_rows(p_loc, axis, 1)
+        update = ((shifted(p_loc, shape, 0, 1) + shifted(p_loc, shape, 0, -1))
+                  / dx2
+                  + (px[2:local + 2, :] + px[0:local, :]) / dy2
+                  - rhs_loc) / denom
+        p_loc = jnp.where(interior, update, p_loc)
+    return p_loc
+
+
+def _residual_shard(p_loc, rhs_loc, gny, nx, dx, dy, axis):
+    """r = rhs - A p on the interior, 0 on the boundary
+    (ops.poisson._mg_residual)."""
+    local = p_loc.shape[0]
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    gr = global_row_index(local, axis) + jnp.zeros((1, nx), jnp.int32)
+    gc = lax.broadcasted_iota(jnp.int32, (local, nx), 1)
+    shape = (local, nx)
+    px = exchange_rows(p_loc, axis, 1)
+    ap = ((shifted(p_loc, shape, 0, 1) + shifted(p_loc, shape, 0, -1)) / dx2
+          + (px[2:local + 2, :] + px[0:local, :]) / dy2
+          - denom * p_loc)
+    return jnp.where(_interior(gr, gc, gny, nx), rhs_loc - ap, 0.0)
+
+
+def _restrict_shard(fine_loc, gny_f, nx_f, gny_c, nx_c, axis):
+    """Full-weighting + boundary injection (ops.poisson._mg_restrict)
+    on a row-sharded fine block. Requires even local rows and an even
+    global row offset (guaranteed: descent only happens while
+    gny % 2*n_shards == 0)."""
+    local = fine_loc.shape[0]
+    fx = exchange_rows(fine_loc, axis, 1)          # rows off-1 .. off+local
+    c = fx[1:local + 1, :]
+    up = fx[2:local + 2, :]                        # j+1
+    dn = fx[0:local, :]                            # j-1
+    shape = (local, nx_f)
+    sh = lambda a, di: shifted(a, shape, 0, di)
+    w9 = (c
+          + 0.5 * (sh(c, 1) + sh(c, -1) + up + dn)
+          + 0.25 * (sh(up, 1) + sh(up, -1) + sh(dn, 1) + sh(dn, -1))) / 4.0
+    core = w9[::2, :][:, ::2][:, :nx_c]            # local coarse rows
+    loc_c = local // 2
+    # Injection rows/cols, sampled from locally available data; the
+    # global-row masks keep them dead on shards that don't own them.
+    bot_row = fine_loc[0:1, ::2][:, :nx_c]
+    top_row = fine_loc[local - 1:local, ::2][:, :nx_c]
+    left_col = fine_loc[::2, 0:1][:loc_c, :]
+    right_col = fine_loc[::2, nx_f - 1:nx_f][:loc_c, :]
+    gr_c = global_row_index(loc_c, axis) + jnp.zeros((1, nx_c), jnp.int32)
+    gc_c = lax.broadcasted_iota(jnp.int32, (loc_c, nx_c), 1)
+    out = core
+    out = jnp.where(gr_c == 0, bot_row, out)
+    out = jnp.where(gr_c == gny_c - 1, top_row, out)
+    out = jnp.where(gc_c == 0, left_col, out)       # columns last: corners
+    out = jnp.where(gc_c == nx_c - 1, right_col, out)  # take column values
+    return out
+
+
+def _prolong_shard(coarse_loc, gny_c, nx_c, nx_f, axis):
+    """Bilinear prolongation (ops.poisson._mg_prolong) of a row-sharded
+    coarse block to the 2x-rows fine block."""
+    loc_c = coarse_loc.shape[0]
+    loc_f = 2 * loc_c
+    # x direction (all local): fine col i reads coarse i//2, i//2+1.
+    right = shifted(coarse_loc, coarse_loc.shape, 0, 1)
+    gc = lax.broadcasted_iota(jnp.int32, coarse_loc.shape, 1)
+    right = jnp.where(gc == nx_c - 1, coarse_loc, right)
+    rep = jnp.repeat(coarse_loc, 2, axis=1)[:, :nx_f]
+    rep_r = jnp.repeat(right, 2, axis=1)[:, :nx_f]
+    a = (lax.broadcasted_iota(jnp.int32, (loc_c, nx_f), 1) % 2
+         ).astype(coarse_loc.dtype) * 0.5
+    row = rep * (1 - a) + rep_r * a
+    # y direction: "next" coarse row comes from the 1-row upper halo,
+    # clamped to itself at the global top row.
+    rowx = exchange_rows(row, axis, 1)
+    down = rowx[2:loc_c + 2, :]
+    gr_c = global_row_index(loc_c, axis) + jnp.zeros((1, nx_f), jnp.int32)
+    down = jnp.where(gr_c == gny_c - 1, row, down)
+    rep_y = jnp.repeat(row, 2, axis=0)[:loc_f, :]
+    rep_d = jnp.repeat(down, 2, axis=0)[:loc_f, :]
+    b = (lax.broadcasted_iota(jnp.int32, (loc_f, nx_f), 0) % 2
+         ).astype(coarse_loc.dtype) * 0.5
+    return rep_y * (1 - b) + rep_d * b
+
+
+def _vcycle_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards, axis, opts):
+    from ..ops.poisson import _mg_prolong, _mg_restrict, _mg_vcycle
+    p_loc = _smooth_shard(p_loc, rhs_loc, gny, nx, dx, dy,
+                          opts.mg_pre_smooth, axis)
+    if nx <= opts.mg_coarsest or gny <= opts.mg_coarsest:
+        return _smooth_shard(p_loc, rhs_loc, gny, nx, dx, dy,
+                             opts.mg_coarse_smooth, axis)
+    r_loc = _residual_shard(p_loc, rhs_loc, gny, nx, dx, dy, axis)
+    nx_c, gny_c = (nx + 1) // 2, (gny + 1) // 2
+    if gny % (2 * n_shards) == 0:
+        r_c = _restrict_shard(r_loc, gny, nx, gny_c, nx_c, axis)
+        e_c = _vcycle_shard(jnp.zeros_like(r_c), r_c, gny_c, nx_c,
+                            2 * dx, 2 * dy, n_shards, axis, opts)
+        p_loc = p_loc + _prolong_shard(e_c, gny_c, nx_c, nx, axis)
+    else:
+        # Coarse-grid agglomeration: replicate the rest of the cycle.
+        r_full = lax.all_gather(r_loc, axis, axis=0, tiled=True)
+        r_c = _mg_restrict(r_full, nx_c, gny_c)
+        e_c = _mg_vcycle(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy, opts)
+        e_f = _mg_prolong(e_c, nx, gny)
+        local = gny // n_shards
+        i0 = lax.axis_index(axis) * local
+        p_loc = p_loc + lax.dynamic_slice(e_f, (i0, 0), (local, nx))
+    return _smooth_shard(p_loc, rhs_loc, gny, nx, dx, dy,
+                         opts.mg_post_smooth, axis)
+
+
+def mg_shard_body(rhs_loc: jnp.ndarray, gny: int, nx: int, axis: str,
+                  dx: float, dy: float, n_shards: int, opts):
+    """Shard-local body of the multi-chip multigrid solve: call INSIDE
+    shard_map over a row-sharded (gny, nx) rhs. Zero-initializes p'
+    like ops.poisson.multigrid (index.html:777). Returns
+    (local p', global max |residual|)."""
+    pp_loc = jnp.zeros_like(rhs_loc)
+    for _ in range(opts.mg_cycles):
+        pp_loc = _vcycle_shard(pp_loc, rhs_loc, gny, nx, dx, dy,
+                               n_shards, axis, opts)
+    r_loc = _residual_shard(pp_loc, rhs_loc, gny, nx, dx, dy, axis)
+    err = lax.pmax(jnp.max(jnp.abs(r_loc)), axis)
+    return pp_loc, err
+
+
+def multigrid_shmap(rhs: jnp.ndarray, mesh: Mesh, dx: float, dy: float,
+                    opts, axis: str = "y"):
+    """Multi-chip multigrid solve of A p' = rhs over a row-sharded
+    (ny, nx) rhs; equals ops.poisson.multigrid bitwise. Requires
+    ny % n_shards == 0."""
+    ny, nx = rhs.shape
+    n_shards = mesh.shape[axis]
+    if ny % n_shards != 0:
+        raise ValueError(f"ny={ny} must divide over {n_shards} shards")
+
+    def shard_fn(rhs_loc):
+        return mg_shard_body(rhs_loc, ny, nx, axis, dx, dy, n_shards, opts)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(axis, None),),
+                       out_specs=(P(axis, None), P()))
+    return fn(rhs)

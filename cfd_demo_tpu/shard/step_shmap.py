@@ -30,11 +30,14 @@ kernel on the shard's halo-extended row block:
 Coverage: both semantics modes end to end -- the deterministic fast
 mode (BASELINE config 5's multi-chip throughput shape) AND the
 reference-exact adaptive modes (Rust outer corrector rounds with early
-exit; JS extrapolation + adaptive substeps + residual dt scaling).
-Jacobi pressure only; SOR/multigrid multi-chip runs go through the
-GSPMD tier (shard.mesh). Early-exit convergence checks happen at
-fused-K granularity, exactly like the single-device Pallas path
-(docs/SPEC.md "Pallas-mode semantics").
+exit; JS extrapolation + adaptive substeps + residual dt scaling) --
+with ALL THREE pressure solvers: Jacobi and red/black SOR run their
+fused-K shard kernels (shard.jacobi_shmap / shard.sor_shmap; the SOR
+halo spans 2K rows for the two color half-sweeps), multigrid runs the
+explicitly sharded V-cycle (shard.mg_shmap: 1-row halos per stencil,
+coarse-grid agglomeration below the divisibility floor). Early-exit
+convergence checks happen at fused-K granularity, exactly like the
+single-device Pallas path (docs/SPEC.md "Pallas-mode semantics").
 
 ``interpret=True`` runs the kernels in the Pallas interpreter so the
 whole composition is testable on the virtual CPU mesh
@@ -72,22 +75,35 @@ class _OffsetCtx(StencilCtx):
         return self._row0 + row_index(shape)
 
 
+def _sor_k(scene: Scene) -> int:
+    """Fused-iteration count for the SOR shard kernel: the halo spans
+    2k rows (two color rings per iteration), mirroring
+    solver.piso._solve_pressure's resolution."""
+    return max(resolve_fuse_k(scene.opts, scene.grid) // 2, 1)
+
+
 def _check_supported(scene: Scene, mesh: Mesh, axis: str):
     opts, g = scene.opts, scene.grid
     S = mesh.shape[axis]
-    if scene.params.pressure_solver != PressureSolver.JACOBI:
-        raise ValueError("step_shmap: Jacobi pressure only; use the GSPMD "
-                         "tier (shard.mesh) for SOR/multigrid")
+    solver = scene.params.pressure_solver
     from ..kernels.jacobi_pallas import _halo8
-    if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
-        raise ValueError("step_shmap: jacobi_iters must be a multiple of "
-                         "the (resolved) pallas_fuse_k")
-    min_loc = max(_HALO, _halo8(resolve_fuse_k(opts, g)))
+    if solver == PressureSolver.JACOBI:
+        if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
+            raise ValueError("step_shmap: jacobi_iters must be a multiple "
+                             "of the (resolved) pallas_fuse_k")
+        min_loc = max(_HALO, _halo8(resolve_fuse_k(opts, g)))
+    elif solver == PressureSolver.SOR:
+        if opts.jacobi_iters % _sor_k(scene) != 0:
+            raise ValueError("step_shmap: jacobi_iters must be a multiple "
+                             "of the resolved SOR fuse k")
+        min_loc = max(_HALO, _halo8(2 * _sor_k(scene)))
+    else:  # MULTIGRID: 1-row halos only; substep kernels set the floor
+        min_loc = _HALO
     if g.ny % S != 0 or (g.ny // S) % 8 != 0 or g.ny // S < min_loc:
         raise ValueError(f"step_shmap: ny={g.ny} must split into "
                          f"{S} shards of >= {min_loc} rows (multiples "
-                         f"of 8); the Jacobi halo spans the resolved "
-                         f"pallas_fuse_k iterations")
+                         f"of 8); the pressure solve's halo spans the "
+                         f"fused iteration window")
 
 
 def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
@@ -108,12 +124,30 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
     # shard-local corrector + the rounds loop + BCs.
     fast_tail = rounds == 0
 
-    def solve(pp0, rhs):
-        return jacobi_pallas_shard_body(
-            pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
-            opts.jacobi_iters, k=fuse_k, interpret=interpret,
-            cavity=cavity, tol=opts.jacobi_tol,
-            early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    solver = params.pressure_solver
+    if solver == PressureSolver.JACOBI:
+        def solve(pp0, rhs):
+            return jacobi_pallas_shard_body(
+                pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
+                opts.jacobi_iters, k=fuse_k, interpret=interpret,
+                cavity=cavity, tol=opts.jacobi_tol,
+                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    elif solver == PressureSolver.SOR:
+        from .sor_shmap import sor_pallas_shard_body
+
+        def solve(pp0, rhs):
+            return sor_pallas_shard_body(
+                pp0, rhs, ny, axis, g.dx, g.dy, opts.sor_omega,
+                opts.jacobi_iters, k=_sor_k(scene), interpret=interpret,
+                cavity=cavity, tol=opts.jacobi_tol,
+                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    else:  # MULTIGRID: zero-initializes internally (index.html:777)
+        from .mg_shmap import mg_shard_body
+        S_ = S
+
+        def solve(pp0, rhs):
+            del pp0
+            return mg_shard_body(rhs, ny, nx, axis, g.dx, g.dy, S_, opts)
 
     def correct_local(us, vs, p, pp, dt_sub, off):
         """Shard-local corrector (ops.corrector.correct on row blocks):

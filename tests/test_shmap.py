@@ -284,3 +284,147 @@ def test_step_shmap_collective_pattern():
     assert 2 * (2 + 20 // 10) <= n_perm <= 2 * (7 + 20 // 10), n_perm
     # Scalar reductions: solve error(s), res_u/res_v/max_vel, CFL.
     assert 3 <= n_red <= 14, n_red
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_sor_pallas_shmap_matches_single_device(k):
+    """Multi-chip fused red/black SOR (interpret mode on the CPU mesh)
+    must match the single-device solver (ops.poisson.sor)."""
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs, sor
+    from cfd_demo_tpu.shard.sor_shmap import sor_pallas_shmap
+    rng = np.random.default_rng(0)
+    ny = nx = 64
+    dx = dy = 1.0 / nx
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    iters = 16
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, iters,
+                         early_exit=False))(pp, rhs)
+    mesh = make_mesh()
+    got, err_got = jax.jit(
+        lambda p, r: sor_pallas_shmap(p, r, mesh, dx, dy, 1.7, iters,
+                                      k=k, interpret=True))(pp, rhs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("ny,nx", [(128, 64), (96, 96)])
+def test_multigrid_shmap_matches_single_device(ny, nx):
+    """Sharded V-cycle == single-device multigrid kit. 128x64 descends
+    fully sharded (every level divides over 8 shards); 96x96 exercises
+    the coarse-grid agglomeration fallback (24 % 16 != 0)."""
+    from cfd_demo_tpu import Semantics, solver_options_for
+    from cfd_demo_tpu.ops.poisson import multigrid
+    from cfd_demo_tpu.shard.mg_shmap import multigrid_shmap
+    rng = np.random.default_rng(2)
+    dx = dy = 1.0 / nx
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    opts = solver_options_for(Semantics.JS, pressure_impl="jnp")
+    ref, err_ref, _ = jax.jit(
+        lambda r: multigrid(jnp.zeros_like(r), r, dx, dy, opts))(rhs)
+    mesh = make_mesh()
+    got, err_got = jax.jit(
+        lambda r: multigrid_shmap(r, mesh, dx, dy, opts))(rhs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-7)
+    # The residual operator amplifies 1-ulp field differences by
+    # ~4/dx^2, so the scalar gets a correspondingly looser rtol.
+    assert np.isclose(float(err_ref), float(err_got), rtol=1e-4, atol=1e-7)
+
+
+def test_step_shmap_sor():
+    """End-to-end explicit multi-chip step with the SOR pressure
+    solver vs the single-device step."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.SOR)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=0, early_exit=False, pressure_impl="jnp",
+        substep_impl="jnp", pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 5, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 5, interpret=True)(
+        scene.init_state())
+    # The SOR kernel's reciprocal-multiplier arithmetic differs from
+    # the jnp path's divides by ~1 ulp per sweep (kernels.sor_pallas
+    # docstring); accumulated into p (magnitude ~5 near the inlet) over
+    # 5 steps x 20 iterations that reaches ~2e-5 absolute.
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=5e-5,
+            err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
+
+
+def test_step_shmap_multigrid():
+    """End-to-end explicit multi-chip step with the multigrid pressure
+    solver (JS semantics, its native habitat) vs single-device."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MULTIGRID)
+    opts = solver_options_for(
+        Semantics.JS, ramp_up_steps=5, early_exit=False,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 4, interpret=True)(
+        scene.init_state())
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=1e-6,
+            err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
+
+
+def test_step_shmap_collective_pattern_sor_mg():
+    """SOR and fully-sharded multigrid steps keep the pinned
+    communication pattern: permutes + scalar reductions, no full-field
+    all-gather / all-to-all."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.mesh import shard_state
+    from cfd_demo_tpu.shard.step_shmap import make_step_shmap
+
+    mesh = make_mesh()
+    grid = Grid(nx=64, ny=128, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    for solver in (PressureSolver.SOR, PressureSolver.MULTIGRID):
+        scene = cfd.make_scene(
+            grid, SimulationParams(dt=0.002, viscosity=1e-4,
+                                   pressure_solver=solver),
+            solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                               jacobi_tol=0.0, jacobi_iters=20,
+                               outer_corrector_rounds=0, early_exit=False))
+        step = make_step_shmap(scene, mesh, interpret=True, jit=False)
+        state = shard_state(scene.init_state(), mesh)
+        txt = jax.jit(step).lower(state).compile().as_text()
+        assert txt.count("all-gather") == 0, f"{solver}: gather crept in"
+        assert txt.count("all-to-all") == 0, solver
+        assert txt.count("collective-permute") > 0, solver
