@@ -38,6 +38,18 @@ def exchange_rows(x: jnp.ndarray, axis: str, width: int) -> jnp.ndarray:
     return jnp.concatenate([from_below, x, from_above], axis=0)
 
 
+def exchange_cols(x: jnp.ndarray, axis: str, width: int) -> jnp.ndarray:
+    """Column twin of exchange_rows for a 2-D (rows x cols) spatial
+    mesh (SURVEY.md:201 "ghost columns/rows per neighbor"): returns x
+    extended to (width + local_cols + width) columns with neighbor
+    halos; zero columns at the physical domain edges. Shard 0 owns the
+    leftmost columns."""
+    n = lax.axis_size(axis)
+    from_left = lax.ppermute(x[:, -width:], axis, _perm_up(n))
+    from_right = lax.ppermute(x[:, :width], axis, _perm_down(n))
+    return jnp.concatenate([from_left, x, from_right], axis=1)
+
+
 def global_row_index(local_rows: int, axis: str, halo: int = 0):
     """Global row index of each row of a (halo + local + halo) block."""
     shard = lax.axis_index(axis)

@@ -28,6 +28,7 @@ from ..solver.piso import Scene, step_fn
 
 
 ROW_AXIS = "y"
+COL_AXIS = "x"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = ROW_AXIS) -> Mesh:
@@ -36,10 +37,30 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = ROW_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh2d_spatial(n_rows: int, n_cols: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """2-D SPATIAL device mesh: grid rows over 'y' x grid columns over
+    'x' (SURVEY.md:201 "ghost columns/rows per neighbor"). Where the
+    1-D row split degenerates at high device counts (halo bytes scale
+    with full nx; ny/S row floors), a rows x cols decomposition keeps
+    shards square-ish: per-shard halo bytes scale with nx/n_cols +
+    ny/n_rows and the row floor applies per row-tier only. GSPMD
+    inserts the column halos exactly like the row halos -- every
+    stencil is a shifted view, every boundary write an iota
+    mask-select, so nothing in the step distinguishes the axes."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_rows * n_cols != len(devices):
+        raise ValueError(f"{n_rows}x{n_cols} != {len(devices)} devices")
+    return Mesh(np.array(devices).reshape(n_rows, n_cols),
+                (ROW_AXIS, COL_AXIS))
+
+
 def state_shardings(mesh: Mesh, axis: str = ROW_AXIS) -> State:
-    """A State-shaped pytree of NamedShardings: fields row-sharded,
-    scalars replicated."""
-    row = NamedSharding(mesh, P(axis, None))
+    """A State-shaped pytree of NamedShardings: fields row-sharded
+    (and column-sharded too on a make_mesh2d_spatial mesh), scalars
+    replicated."""
+    col = COL_AXIS if COL_AXIS in mesh.axis_names else None
+    row = NamedSharding(mesh, P(axis, col))
     rep = NamedSharding(mesh, P())
     return State(
         u=row, v=row, p=row, p_prime=row,
@@ -89,6 +110,101 @@ def _example_diag():
     from ..solver.piso import StepDiagnostics
     return StepDiagnostics(step=0, t=0, dt=0, res_u=0, res_v=0, res_p=0,
                            substeps=0)
+
+
+# ---------------------------------------------------------------------------
+# 2-D spatial (rows x cols) decomposition -- the sixth layout
+# ---------------------------------------------------------------------------
+#
+# Explicit in/out shardings must divide array dims evenly, and u has
+# nx+1 columns while every other field has nx -- so the 2-D tier splits
+# u's LAST column off at the jit boundary (carried column-replicated;
+# it is one lane of ny floats) and re-joins it inside the program.
+# GSPMD handles the uneven (ny, nx+1) intermediate with internal
+# padding; only the boundary must be even. Pure layout adapter: fields
+# are bitwise those of the unsharded step.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Split2D:
+    """State with u (and u_prev) trimmed to nx columns + the trimmed
+    last columns carried separately."""
+    core: State
+    u_last: jax.Array                      # (ny, 1)
+    u_prev_last: Optional[jax.Array]       # JS semantics only
+
+
+def split_u(state: State) -> Split2D:
+    core = dataclasses.replace(
+        state, u=state.u[:, :-1],
+        u_prev=None if state.u_prev is None else state.u_prev[:, :-1])
+    return Split2D(core=core, u_last=state.u[:, -1:],
+                   u_prev_last=(None if state.u_prev is None
+                                else state.u_prev[:, -1:]))
+
+
+def join_u(s: Split2D) -> State:
+    import jax.numpy as jnp
+    return dataclasses.replace(
+        s.core, u=jnp.concatenate([s.core.u, s.u_last], axis=1),
+        u_prev=(None if s.core.u_prev is None else
+                jnp.concatenate([s.core.u_prev, s.u_prev_last], axis=1)))
+
+
+def _split_shardings(mesh: Mesh, state: State) -> Split2D:
+    row_col = NamedSharding(mesh, P(ROW_AXIS, COL_AXIS))
+    row = NamedSharding(mesh, P(ROW_AXIS, None))
+    core_sh = dataclasses.replace(
+        _match(state_shardings(mesh), state),
+        u=row_col, v=row_col, p=row_col, p_prime=row_col,
+        u_prev=row_col if state.u_prev is not None else None,
+        v_prev=row_col if state.v_prev is not None else None)
+    return Split2D(core=core_sh, u_last=row,
+                   u_prev_last=row if state.u_prev is not None else None)
+
+
+def shard_state_2d(state: State, mesh: Mesh) -> Split2D:
+    """Place a State on a make_mesh2d_spatial mesh in split-u form."""
+    s = split_u(state)
+    sh = _split_shardings(mesh, state)
+    return jax.tree.map(lambda x, sp: jax.device_put(x, sp), s, sh,
+                        is_leaf=lambda x: x is None)
+
+
+def make_sharded_step_2d(scene: Scene, mesh: Mesh, n_steps: int = 1):
+    """jit step (or n_steps-scan) with 2-D rows x cols GSPMD
+    decomposition: Split2D -> (Split2D, diag). Use shard_state_2d /
+    join_u around it. Requires nx % mesh['x'] == 0 and
+    ny % mesh['y'] == 0."""
+    g = scene.grid
+    if g.nx % mesh.shape[COL_AXIS] or g.ny % mesh.shape[ROW_AXIS]:
+        raise ValueError(
+            f"grid {g.ny}x{g.nx} must divide over the "
+            f"{mesh.shape[ROW_AXIS]}x{mesh.shape[COL_AXIS]} mesh")
+    if scene.opts.pressure_impl != "jnp" or scene.opts.substep_impl != "jnp":
+        scene = dataclasses.replace(
+            scene, opts=dataclasses.replace(scene.opts, pressure_impl="jnp",
+                                            substep_impl="jnp"))
+    example = scene.init_state()
+    sh = _split_shardings(mesh, example)
+    diag_sh = jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                           _example_diag())
+
+    def fn(s: Split2D):
+        state = join_u(s)
+        if n_steps == 1:
+            state, diag = step_fn(scene, state)
+        else:
+            from jax import lax
+
+            def body(st, _):
+                return step_fn(scene, st)
+
+            state, diag = lax.scan(body, state, None, length=n_steps)
+        return split_u(state), diag
+
+    return jax.jit(fn, in_shardings=(sh,), out_shardings=(sh, diag_sh))
 
 
 BATCH_AXIS = "b"

@@ -275,3 +275,79 @@ def test_vmap_js_semantics_per_element_exact():
         np.testing.assert_array_equal(np.asarray(batched.p[k]),
                                       np.asarray(st.p), err_msg=f"p[{k}]")
         assert int(batched.substeps[k]) == int(st.substeps), k
+
+
+def test_spatial_2d_mesh_matches_single_device():
+    """Sixth layout: 2-D rows x cols spatial decomposition
+    (make_mesh2d_spatial). u's odd last column is split off at the jit
+    boundary (Split2D adapter), so every boundary array divides evenly;
+    fields must equal the single-device step bitwise."""
+    from cfd_demo_tpu.shard.mesh import (join_u, make_mesh2d_spatial,
+                                         make_sharded_step_2d,
+                                         shard_state_2d)
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=5)
+    scene = make_scene(grid, params, opts)
+
+    step1 = make_step(scene, donate=False)
+    s1 = scene.init_state()
+    for mesh_shape in ((2, 4), (4, 2)):
+        mesh = make_mesh2d_spatial(*mesh_shape)
+        stepN = make_sharded_step_2d(scene, mesh)
+        sN = shard_state_2d(scene.init_state(), mesh)
+        r1 = s1
+        for _ in range(3):
+            r1, _ = step1(r1)
+            sN, _ = stepN(sN)
+        full = join_u(sN)
+        for name in ("u", "v", "p", "p_prime"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r1, name)),
+                np.asarray(getattr(full, name)),
+                err_msg=f"{mesh_shape} field {name}")
+
+
+def test_spatial_2d_mesh_collective_pattern():
+    """2-D spatial tier communication: column+row halo permutes and
+    scalar reductions; no all-to-all, and the only gathers are the
+    one-lane u_last re-joins (bounded small count)."""
+    from cfd_demo_tpu.shard.mesh import (make_mesh2d_spatial,
+                                         make_sharded_step_2d,
+                                         shard_state_2d)
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = make_scene(grid, SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    mesh = make_mesh2d_spatial(2, 4)
+    step = make_sharded_step_2d(scene, mesh)
+    txt = step.lower(shard_state_2d(scene.init_state(), mesh)
+                     ).compile().as_text()
+    assert txt.count("all-to-all") == 0
+    assert txt.count("collective-permute") > 0
+    assert txt.count("all-gather") <= 6
+
+
+def test_spatial_2d_mesh_js_semantics():
+    """JS semantics (u_prev extrapolation buffers also carry a split
+    last column) through the 2-D spatial tier, scan-fused."""
+    from cfd_demo_tpu.shard.mesh import (join_u, make_mesh2d_spatial,
+                                         make_sharded_step_2d,
+                                         shard_state_2d)
+    from cfd_demo_tpu import make_run
+    grid = Grid(nx=64, ny=32, lx=4.0, ly=2.0)
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(Semantics.JS, ramp_up_steps=5,
+                              substeps_adaptive=False, substeps_init=1,
+                              extrapolate=True)
+    scene = make_scene(grid, params, opts)
+    ref, _ = make_run(scene, 4, donate=False)(scene.init_state())
+    mesh = make_mesh2d_spatial(2, 4)
+    run = make_sharded_step_2d(scene, mesh, n_steps=4)
+    got, _ = run(shard_state_2d(scene.init_state(), mesh))
+    full = join_u(got)
+    for name in ("u", "v", "p", "u_prev", "v_prev"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
+                                      np.asarray(getattr(full, name)),
+                                      err_msg=name)

@@ -428,3 +428,36 @@ def test_step_shmap_collective_pattern_sor_mg():
         assert txt.count("all-gather") == 0, f"{solver}: gather crept in"
         assert txt.count("all-to-all") == 0, solver
         assert txt.count("collective-permute") > 0, solver
+
+
+def test_exchange_cols():
+    """Column-halo primitive for the 2-D spatial mesh."""
+    from cfd_demo_tpu.shard.halo import exchange_cols
+    from jax.sharding import Mesh, PartitionSpec as P
+    n = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    cols = 4 * n
+    x = jnp.arange(8 * cols, dtype=jnp.float32).reshape(8, cols)
+
+    def f(loc):
+        return exchange_cols(loc, "x", 2)
+
+    out = jax.shard_map(f, mesh=mesh, in_specs=P(None, "x"),
+                        out_specs=P(None, "x"))(x)
+    out = np.asarray(out)
+    local = cols // n
+    ref = np.asarray(x)
+    for s in range(n):
+        blk = out[:, s * (local + 4):(s + 1) * (local + 4)]
+        np.testing.assert_array_equal(blk[:, 2:-2],
+                                      ref[:, s * local:(s + 1) * local])
+        if s > 0:
+            np.testing.assert_array_equal(
+                blk[:, :2], ref[:, s * local - 2:s * local])
+        else:
+            np.testing.assert_array_equal(blk[:, :2], 0)
+        if s < n - 1:
+            np.testing.assert_array_equal(
+                blk[:, -2:], ref[:, (s + 1) * local:(s + 1) * local + 2])
+        else:
+            np.testing.assert_array_equal(blk[:, -2:], 0)
