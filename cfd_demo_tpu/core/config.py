@@ -188,6 +188,12 @@ class SolverOptions:
     jacobi_tol: float = 1e-4
     jacobi_iters: int = 50
     sor_omega: float = 1.7
+    # "redblack" (the parallel redesign, every device path) or
+    # "lexicographic" (the JS twin's exact in-place sweep order,
+    # index.html:747-760 -- inherently sequential, honored by the
+    # NumPy oracle only; docs/SPEC.md deviation 4 records the measured
+    # gap between the two orderings).
+    sor_ordering: str = "redblack"
     mg_cycles: int = 3
     mg_pre_smooth: int = 5
     mg_post_smooth: int = 5

@@ -301,6 +301,38 @@ class NumpyModel:
                 break
         return pp, max_error
 
+    def _sor_lexicographic(self, pp, rhs):
+        """JS-exact in-place lexicographic SOR (index.html:747-773):
+        the sweep mutates pp in row-major order so each cell reads
+        already-updated west/south neighbors; the per-cell |new - old|
+        error accumulates DURING the sweep, before the post-sweep BCs.
+        Inherently sequential -- this is the ordering the red/black
+        redesign (docs/SPEC.md deviation 4) deviates from; it exists
+        to MEASURE that deviation (tests/test_sor_ordering.py)."""
+        g, opts = self.grid, self.opts
+        nx, ny = g.nx, g.ny
+        dx2 = F(g.dx) * F(g.dx)
+        dy2 = F(g.dy) * F(g.dy)
+        denom = 2.0 / dx2 + 2.0 / dy2
+        omega = F(opts.sor_omega)
+        max_error = F(0.0)
+        for _ in range(opts.jacobi_iters):
+            max_error = F(0.0)
+            for j in range(1, ny - 1):
+                for i in range(1, nx - 1):
+                    p_old = pp[j, i]
+                    upd = ((pp[j, i + 1] + pp[j, i - 1]) / dx2
+                           + (pp[j + 1, i] + pp[j - 1, i]) / dy2
+                           - rhs[j, i]) / denom
+                    pp[j, i] = (1.0 - omega) * p_old + omega * upd
+                    err = abs(pp[j, i] - p_old)
+                    if err > max_error:
+                        max_error = err
+            self._pp_bcs(pp)
+            if max_error < opts.jacobi_tol:
+                break
+        return pp, max_error
+
     # -- multigrid (scalar transcription of index.html:1344-1470) --
 
     def _mg_smooth(self, p, rhs, nx, ny, dx, dy, iters):
@@ -386,6 +418,8 @@ class NumpyModel:
         if solver == PressureSolver.JACOBI:
             return self._jacobi(pp, rhs)
         if solver == PressureSolver.SOR:
+            if self.opts.sor_ordering == "lexicographic":
+                return self._sor_lexicographic(pp, rhs)
             return self._sor_redblack(pp, rhs)
         return self._multigrid(pp, rhs)
 

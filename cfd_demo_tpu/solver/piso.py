@@ -228,6 +228,12 @@ def _solve_pressure(scene: Scene, pp0, rhs):
 
         return solve(pp0, rhs)
     if solver == PressureSolver.SOR:
+        if opts.sor_ordering == "lexicographic":
+            raise ValueError(
+                "lexicographic SOR is order-sequential and exists only "
+                "in the NumPy oracle to measure the red/black deviation "
+                "(docs/SPEC.md item 4); device paths use sor_ordering="
+                "'redblack'")
         impl = opts.pressure_impl
         if impl == "auto":
             impl = ("pallas" if (g.nx * g.ny >= 2_000_000
