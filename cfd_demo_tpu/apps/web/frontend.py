@@ -92,13 +92,25 @@ INDEX_HTML = r"""<!DOCTYPE html>
 
 <script>
 let mode = 'velocity';
+let streaming = false;
 function showTab(t) {
   document.getElementById('tab-sim').classList.toggle('hidden', t !== 'sim');
   document.getElementById('tab-mesh').classList.toggle('hidden', t !== 'mesh');
 }
-function setMode(m) { mode = m; }
+// Interactive-rate frames: the server pushes PNG parts over
+// multipart/x-mixed-replace (>= 10 fps while the sim steps); the
+// 250 ms polling path below stays as the fallback if the stream dies.
+function attachStream() {
+  const tr = document.getElementById('tracers').checked ? 1 : 0;
+  const img = document.getElementById('frame');
+  img.onerror = () => { streaming = false; };
+  streaming = true;
+  img.src = `/api/stream?mode=${mode}&tracers=${tr}&t=${Date.now()}`;
+}
+function setMode(m) { mode = m; if (streaming) attachStream(); else refreshFrame(); }
 async function control(action) {
   await fetch('/api/control', {method: 'POST', body: JSON.stringify({action})});
+  if (action === 'start' && !streaming) attachStream();
 }
 async function sendParams() {
   const p = {};
@@ -147,7 +159,7 @@ async function poll() {
     const el = document.getElementById('log');
     el.scrollTop = el.scrollHeight;
     drawGraph(s.history);
-    if (s.running) refreshFrame();
+    if (s.running && !streaming) refreshFrame();
   } catch (e) {}
   setTimeout(poll, 250);
 }
@@ -217,6 +229,9 @@ document.getElementById('feature').oninput = e =>
   document.getElementById('featureval').textContent = e.target.value;
 document.getElementById('max_cell').oninput = e =>
   document.getElementById('maxval').textContent = e.target.value;
+document.getElementById('tracers').onchange = () =>
+  { if (streaming) attachStream(); };
+attachStream();
 poll();
 </script>
 </body>

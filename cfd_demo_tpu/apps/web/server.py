@@ -21,6 +21,7 @@ import io
 import json
 import math
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -151,6 +152,8 @@ class Handler(BaseHTTPRequestHandler):
             self._send(200, INDEX_HTML.encode(), "text/html")
         elif url.path == "/api/frame":
             self._frame(q)
+        elif url.path == "/api/stream":
+            self._stream(q)
         elif url.path == "/api/state":
             self._state()
         elif url.path == "/api/legend":
@@ -238,17 +241,65 @@ class Handler(BaseHTTPRequestHandler):
                 time.sleep(0.01)
             if snap is None:
                 return self._send(503, b"{}")
-            mode = VisualizationMode(q.get("mode", "velocity"))
-            grid = h._scene.grid
-            img = np.asarray(render_field(
-                np.asarray(snap.u), np.asarray(snap.v[:-1]),
-                np.asarray(snap.p), grid=grid, mode=mode))
-            img = boundary_overlay(img)
-            if q.get("tracers") == "1" and h.tracer_state is not None:
-                img = draw_tracers(img, h.tracer_state, grid)
-            # upscale 2x for display crispness (nearest)
-            img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
-            self._send(200, png_bytes(img), "image/png")
+            self._send(200, self._render_png(h, snap, q), "image/png")
+
+    @staticmethod
+    def _render_png(h, snap, q) -> bytes:
+        mode = VisualizationMode(q.get("mode", "velocity"))
+        grid = h._scene.grid
+        img = np.asarray(render_field(
+            np.asarray(snap.u), np.asarray(snap.v[:-1]),
+            np.asarray(snap.p), grid=grid, mode=mode))
+        img = boundary_overlay(img)
+        if q.get("tracers") == "1" and h.tracer_state is not None:
+            img = draw_tracers(img, h.tracer_state, grid)
+        # upscale 2x for display crispness (nearest)
+        img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        return png_bytes(img)
+
+    def _stream(self, q):
+        """Push frames at interactive rate (multipart/x-mixed-replace:
+        the browser repaints an <img> per part with zero client JS).
+        The reference renders per UI frame (src/app.rs:468-474); the
+        250 ms polling path stays as a fallback. New frames are pushed
+        as soon as the sim produces a new snapshot, capped at ~20 fps;
+        unchanged frames re-send at 1 Hz as a keep-alive."""
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "multipart/x-mixed-replace; boundary=frame")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+
+        def write_part(png: bytes):
+            self.wfile.write(b"--frame\r\nContent-Type: image/png\r\n"
+                             + f"Content-Length: {len(png)}\r\n\r\n".encode())
+            self.wfile.write(png)
+            self.wfile.write(b"\r\n")
+            self.wfile.flush()
+
+        last_step = None
+        last_emit = 0.0
+        try:
+            while True:
+                with APP.lock:
+                    h = APP.handle
+                if h is None:
+                    img = np.full((2 * APP.ny, 2 * APP.nx, 3), 24, np.uint8)
+                    write_part(png_bytes(img))
+                    last_step = None
+                    time.sleep(0.5)
+                    continue
+                h.request_snapshot()
+                snap = h.get_last_available_snapshot()
+                now = time.monotonic()
+                if snap is not None and (snap.step != last_step
+                                         or now - last_emit >= 1.0):
+                    write_part(self._render_png(h, snap, q))
+                    last_step = snap.step
+                    last_emit = now
+                time.sleep(0.05)  # ~20 fps cap
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            return
 
     def _state(self):
         with APP.lock:

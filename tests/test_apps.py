@@ -189,3 +189,57 @@ def test_driver_nan_guard():
         assert snap2.step == step_at_pause  # paused, not spinning
     finally:
         h.stop()
+
+
+def test_web_frame_stream():
+    """The /api/stream endpoint pushes multipart PNG frames at
+    interactive rate (>= several parts while the sim steps), and each
+    part is a well-formed PNG."""
+    from http.server import ThreadingHTTPServer
+    from cfd_demo_tpu.apps.web import server as websrv
+
+    websrv.APP.nx, websrv.APP.ny = 48, 24
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), websrv.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(p, body):
+        req = urllib.request.Request(base + p,
+                                     data=json.dumps(body).encode(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read()
+
+    try:
+        post("/api/control", {"action": "start"})
+        # Wait for the first steps so snapshots exist.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(base + "/api/state",
+                                        timeout=120) as r:
+                st = json.loads(r.read())
+            if st["running"] and st["history"]["step"]:
+                break
+            time.sleep(0.25)
+        with urllib.request.urlopen(
+                base + "/api/stream?mode=velocity", timeout=120) as r:
+            ctype = r.headers.get("Content-Type", "")
+            assert "multipart/x-mixed-replace" in ctype
+            buf = b""
+            t0 = time.time()
+            while buf.count(b"\x89PNG\r\n\x1a\n") < 3 and time.time() - t0 < 30:
+                buf += r.read1(65536)
+        n_frames = buf.count(b"\x89PNG\r\n\x1a\n")
+        assert n_frames >= 3, f"only {n_frames} stream frames in 30s"
+        assert b"--frame" in buf and b"Content-Type: image/png" in buf
+    finally:
+        # Clear module-level APP history so later tests' wait loops
+        # don't see this run's records.
+        try:
+            post("/api/control", {"action": "reset"})
+        except Exception:
+            pass
+        websrv.APP.stop()
+        srv.shutdown()

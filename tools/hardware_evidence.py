@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Automated hardware evidence: prove the kernel suite + benches are
+green at HEAD on the real chip, without manual steps.
+
+Runs (on the TPU, detached-friendly):
+  1. the hardware-only kernel equivalence suite (tests/test_pallas_tpu.py)
+  2. the headline bench at 512^2 / 2048^2 fast mode and 2048^2
+     reference mode (full Rust semantics)
+  3. the bf16 lane-roll toolchain probe (docs/PERF.md item 7: Mosaic
+     historically cannot lower dynamic_rotate on bf16 vectors; this
+     re-checks automatically so the blocked optimization is retried
+     every round)
+
+and writes HARDWARE_EVIDENCE.json at the repo root with the date, HEAD
+commit, and every result. Launch detached (NEVER under a short timeout
+that could kill a remote compile):
+
+    setsid python -u tools/hardware_evidence.py > /tmp/hw_evidence.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ROOT)
+
+
+def run_pallas_suite() -> dict:
+    env = dict(os.environ, CFD_TEST_PLATFORM="tpu")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_pallas_tpu.py",
+         "-q", "--no-header"],
+        cwd=ROOT, env=env, capture_output=True, text=True)
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+    return {"rc": proc.returncode, "summary": tail,
+            "seconds": round(time.time() - t0, 1)}
+
+
+def run_bench(n: int, mode: str, steps: int) -> dict:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--n", str(n), "--mode", mode,
+         "--steps", str(steps)],
+        cwd=ROOT, capture_output=True, text=True)
+    out = {"rc": proc.returncode, "seconds": round(time.time() - t0, 1)}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            out.update(json.loads(line))
+            break
+        except json.JSONDecodeError:
+            continue
+    if proc.returncode != 0:
+        out["stderr_tail"] = proc.stderr.strip().splitlines()[-3:]
+    return out
+
+
+def probe_bf16_roll() -> dict:
+    """One-line toolchain probe: can Mosaic lower a bf16 lane roll
+    (the heart of every fused sweep kernel)? docs/PERF.md item 7."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k(x_ref, o_ref):
+        o_ref[:] = pltpu.roll(x_ref[:], 1, 1)
+
+    x = jnp.ones((8, 256), jnp.bfloat16)
+    try:
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.bfloat16))(x)
+        val = float(out.astype(jnp.float32)[0, 0])  # force completion
+        return {"bf16_lane_roll": "UNBLOCKED", "value": val,
+                "note": "revisit kernel-side bf16 (docs/PERF.md item 7)"}
+    except Exception as e:  # noqa: BLE001 - record, don't crash evidence
+        return {"bf16_lane_roll": "blocked",
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
+def main():
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
+                          capture_output=True, text=True).stdout.strip()
+    import jax
+    evidence = {
+        "date": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+        "head": head,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    print("bf16 probe...", flush=True)
+    evidence["bf16_probe"] = probe_bf16_roll()
+    print(evidence["bf16_probe"], flush=True)
+    print("pallas hardware suite...", flush=True)
+    evidence["test_pallas_tpu"] = run_pallas_suite()
+    print(evidence["test_pallas_tpu"], flush=True)
+    benches = {}
+    for n, mode, steps in ((512, "fast", 200), (2048, "fast", 100),
+                           (2048, "reference", 30)):
+        key = f"{n}_{mode}"
+        print(f"bench {key}...", flush=True)
+        benches[key] = run_bench(n, mode, steps)
+        print(benches[key], flush=True)
+    evidence["bench"] = benches
+    ok = (evidence["test_pallas_tpu"]["rc"] == 0
+          and all(b.get("rc") == 0 for b in benches.values()))
+    evidence["ok"] = ok
+    path = os.path.join(ROOT, "HARDWARE_EVIDENCE.json")
+    with open(path, "w") as f:
+        json.dump(evidence, f, indent=2)
+        f.write("\n")
+    print(f"wrote {path} ok={ok}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
