@@ -233,6 +233,14 @@ class SolverOptions:
     # stencil expressions with the XLA path (ops.stencil.StencilCtx),
     # so the fields match to ~1 ulp.
     substep_impl: str = "auto"
+    # Rust outer corrector rounds implementation (model.rs:696-724):
+    # "jnp" runs each round's corrector + recompute_divergence as XLA
+    # passes between the Jacobi launch chains; "pallas" fuses them into
+    # ONE corrector+divergence launch per round
+    # (kernels.substep_pallas.correct_div_pallas); "auto" picks by
+    # measurement (docs/PERF.md: XLA's fused glue wins at 2048^2 where
+    # the round kernel's window DMA exceeds the glue cost).
+    rounds_impl: str = "auto"
 
 
 def solver_options_for(semantics: Semantics, **overrides) -> SolverOptions:

@@ -423,3 +423,120 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         p_new = p_new[:, :nx]
     return (u, v, p_new,
             jnp.max(red[:, 0]), jnp.max(red[:, 1]), jnp.max(red[:, 2]))
+
+# ---------------------------------------------------------------------------
+# Kernel C: corrector + next-round divergence (Rust outer corrector rounds)
+# ---------------------------------------------------------------------------
+
+def _kernel_round(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm,
+                  u_out, v_out, p_out, rhs_out,
+                  us_win, vs_win, p_win, pp_win, sem,
+                  *, grid, nx, nxp, wp, ny_arr, bs, halo):
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    start, out_lo = _window_start(row0, halo, ny_arr, w)
+
+    cps = [pltpu.make_async_copy(h.at[pl.ds(start, w), :],
+                                 win.at[:, :ww], sem.at[k])
+           for k, (h, win, ww) in enumerate((
+               (us_hbm, us_win, nxp), (vs_hbm, vs_win, wp),
+               (p_hbm, p_win, wp), (pp_hbm, pp_win, wp)))]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    dt_sub = scal_ref[0]
+    off = scal_ref[1].astype(jnp.int32)
+    ctx = RollCtx(off + start, w, nxp)
+    u, v, p_new = correct(us_win[:], vs_win[:], p_win[:], pp_win[:],
+                          dt_sub, grid.dx, grid.dy, ctx=ctx, nx=nx)
+    # The divergence the NEXT outer round would recompute from these
+    # corrected fields (model.rs:700-701 re-runs recompute_divergence
+    # at the top of each round): corrected u/v are valid through the
+    # window halo (the corrector stencil spans 1 row/lane, the
+    # divergence another 1 -- _HALO=8 covers both), and the zero-fill
+    # at the true top edge IS the implicit v top row.
+    rhs = divergence_rhs(u, v, dt_sub, grid.dx, grid.dy,
+                         ctx=ctx, out_shape=(w, nxp))
+    us_win[:] = u
+    vs_win[:] = v
+    p_win[:] = p_new
+    pp_win[:] = rhs
+    for win, out, ww in ((us_win, u_out, nxp), (vs_win, v_out, wp),
+                         (p_win, p_out, wp), (pp_win, rhs_out, wp)):
+        cp = pltpu.make_async_copy(win.at[pl.ds(out_lo, bs), :ww],
+                                   out.at[:, :ww], sem.at[0])
+        cp.start()
+        cp.wait()
+
+
+def correct_div_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
+                       p: jnp.ndarray, p_prime: jnp.ndarray,
+                       dt_sub, grid: Grid, block_rows: int = 256,
+                       interpret: bool = False, pad_io: bool = True,
+                       row_offset=None):
+    """Fused corrector + next-round divergence: ONE launch per Rust
+    outer corrector round (model.rs:696-724) instead of the corrector
+    and recompute_divergence XLA passes between Jacobi launch chains.
+
+    Returns (u, v, p_new, rhs_next) where rhs_next is the divergence
+    RHS the next round's pressure solve consumes (computed one round
+    early -- the fields do not change in between; the final round's
+    rhs_next is simply discarded).
+
+    ``pad_io=False`` (solver fast path, nx % 128 == 0): ``u_star``
+    arrives lane-padded to (ny, nxp) and u is returned padded, so the
+    outer-rounds while_loop carries the padded u with zero pad/slice
+    passes per round.
+    """
+    nx = grid.nx
+    ny = u_star.shape[0]
+    if row_offset is None:
+        assert ny == grid.ny
+        row_offset = 0
+    nxp = _round_up(nx + 1, 128)
+    bs, halo = _tile_rows(ny, nxp, 4, 4, 8, block_rows)
+    w = bs + 2 * halo
+    aligned = nx % 128 == 0
+    if pad_io:
+        usp = jnp.pad(u_star, ((0, 0), (0, nxp - (nx + 1))))
+    else:
+        assert aligned and u_star.shape[1] == nxp
+        usp = u_star
+    if aligned:
+        wp = nx
+        vsp, pa, ppa = v_star, p, p_prime
+    else:
+        wp = nxp
+        pad_p = ((0, 0), (0, nxp - nx))
+        vsp = jnp.pad(v_star, pad_p)
+        pa = jnp.pad(p, pad_p)
+        ppa = jnp.pad(p_prime, pad_p)
+    scal = jnp.stack([jnp.asarray(dt_sub, jnp.float32),
+                      jnp.asarray(row_offset, jnp.float32)])
+    kern = functools.partial(_kernel_round, grid=grid, nx=nx, nxp=nxp,
+                             wp=wp, ny_arr=ny, bs=bs, halo=halo)
+    u, v, p_new, rhs = pl.pallas_call(
+        kern,
+        grid=(ny // bs,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((bs, wp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), u_star.dtype)]
+        + [jax.ShapeDtypeStruct((ny, wp), u_star.dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM((w, nxp), u_star.dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+    )(scal, usp, vsp, pa, ppa)
+    if pad_io:
+        u = u[:, :nx + 1]
+    if not aligned:
+        v = v[:, :nx]
+        p_new = p_new[:, :nx]
+        rhs = rhs[:, :nx]
+    return u, v, p_new, rhs

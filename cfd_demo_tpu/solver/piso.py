@@ -452,9 +452,49 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
                 opts.semantics, block_rows=opts.pallas_block_rows)
         return u, v, p, pp, err, (res_u, res_v, max_vel)
 
+    from ..core.masks import masks_traced
+    rounds_impl = opts.rounds_impl
+    if rounds_impl == "auto":
+        # Measured (v5e, 2048^2 reference mode): the round kernel's
+        # window DMA costs MORE than XLA's fused corrector+divergence
+        # glue between the Jacobi launch chains, so auto stays on jnp
+        # (docs/PERF.md negative result); "pallas" remains a forceable
+        # tier for future toolchains.
+        rounds_impl = "jnp"
+    if rounds > 0 and opts.early_exit and rounds_impl == "pallas":
+        # Fused outer rounds (model.rs:696-724): each round is the
+        # Jacobi launch chain plus ONE corrector+divergence launch --
+        # the next round's recompute_divergence is produced inside the
+        # corrector kernel, so no XLA glue passes run between rounds.
+        from ..kernels.substep_pallas import correct_div_pallas
+        cd = partial(correct_div_pallas, dt_sub=dt_sub, grid=g,
+                     block_rows=opts.pallas_block_rows,
+                     pad_io=not aligned)
+        u, v, p, rhs = cd(u_star, v_star, p, pp)
+
+        def cond(carry):
+            *_, err_c, it = carry
+            return jnp.logical_and(it < rounds,
+                                   err_c >= opts.outer_corrector_tol)
+
+        def body(carry):
+            u, v, p, pp, rhs, _, it = carry
+            pp, err_b, _ = _solve_pressure(scene, pp, rhs)
+            u, v, p, rhs = cd(u, v, p, pp)
+            return u, v, p, pp, rhs, err_b, it + 1
+
+        u, v, p, pp, rhs, err, _ = lax.while_loop(
+            cond, body,
+            (u, v, p, pp, rhs, err, jnp.asarray(0, jnp.int32)))
+        if aligned:
+            u = u[:, :nx + 1]
+        _, _, mask_u_bc, mask_v_bc = masks_traced(g, opts.semantics,
+                                                  u.dtype)
+        u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
+                         mask_u_bc, mask_v_bc, scene.params.flow_case)
+        return u, v, p, pp, err, None
     if aligned:
         u_star = u_star[:, :nx + 1]  # back to storage shape for the jnp path
-    from ..core.masks import masks_traced
     _, _, mask_u_bc, mask_v_bc = masks_traced(g, opts.semantics, u.dtype)
     u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
     u, v, p, pp, err = _outer_rounds(scene, u, v, p, pp, err, dt_sub)

@@ -285,3 +285,36 @@ def test_vmap_ensemble_kernel_matches_jnp():
         sk, _ = step_k(sk)
     np.testing.assert_allclose(np.asarray(b.u[3]), np.asarray(sk.u),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nx,ny", [(2048, 1024),   # lane-aligned fast path
+                                   (1400, 1536)])  # pad_io round trip
+def test_fused_outer_rounds_matches_jnp(nx, ny):
+    """Reference-mode outer corrector rounds (model.rs:696-724) through
+    the fused corrector+divergence round kernel vs the XLA round loop.
+    tol=0 everywhere pins both paths to the same fixed schedule, so the
+    comparison is exact up to fp contraction noise."""
+    import jax.numpy as jnp
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+
+    grid = Grid(nx=nx, ny=ny, lx=30.0, ly=15.0,
+                obstacles=(Cylinder(7.5, 7.5, 0.75),))
+    params = SimulationParams(dt=0.001, viscosity=1e-4)
+    states = {}
+    for impl in ("jnp", "auto"):
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0,
+            jacobi_iters=10, outer_corrector_rounds=3,
+            outer_corrector_tol=0.0, early_exit=True,
+            pressure_impl=impl, substep_impl=impl,
+            rounds_impl="pallas" if impl == "auto" else "jnp")
+        scene = cfd.make_scene(grid, params, opts)
+        st, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())
+        float(st.res_u)
+        states[impl] = st
+    a, b = states["jnp"], states["auto"]
+    for f in ("u", "v", "p"):
+        err = float(jnp.max(jnp.abs(getattr(a, f) - getattr(b, f))))
+        assert err < 1e-4, (nx, ny, f, err)

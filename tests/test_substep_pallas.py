@@ -182,3 +182,39 @@ def test_shape_sweep(rng, ny, nx):
     assert_close(r[3], k[0])
     assert_close(r[4], k[1])
     assert_close(r[5], k[2])
+
+
+@pytest.mark.parametrize("nx,ny,block_rows", [
+    (96, 64, 16),    # unaligned width, multi-window
+    (96, 64, 256),   # unaligned, single block
+    (128, 64, 16),   # lane-aligned width (the pad_io=False fast path)
+    (100, 88, 24),   # odd width, non-dyadic rows
+])
+def test_correct_div_matches_jnp(rng, nx, ny, block_rows):
+    """Fused corrector + next-round divergence (the per-outer-round
+    launch, model.rs:696-724) vs the XLA correct + divergence_rhs."""
+    from cfd_demo_tpu.kernels.substep_pallas import correct_div_pallas
+    grid = Grid(nx=nx, ny=ny, lx=3.0, ly=2.0,
+                obstacles=(Cylinder(0.8, 1.0, 0.3),))
+    u, v, p, pp = fields(rng, grid)
+
+    @jax.jit
+    def ref(u, v, p, pp):
+        u2, v2, p2 = correct(u, v, p, pp, DT, grid.dx, grid.dy)
+        return u2, v2, p2, divergence_rhs(u2, v2, DT, grid.dx, grid.dy)
+
+    r = ref(u, v, p, pp)
+    aligned = nx % 128 == 0
+    if aligned:
+        nxp = -(-(nx + 1) // 128) * 128
+        up = jnp.pad(u, ((0, 0), (0, nxp - (nx + 1))))
+        k = correct_div_pallas(up, v, p, pp, DT, grid,
+                               block_rows=block_rows, interpret=True,
+                               pad_io=False)
+        assert k[0].shape == (ny, nxp)
+        k = (k[0][:, :nx + 1],) + k[1:]
+    else:
+        k = correct_div_pallas(u, v, p, pp, DT, grid,
+                               block_rows=block_rows, interpret=True)
+    for a, b in zip(r, k):
+        assert_close(a, b)
