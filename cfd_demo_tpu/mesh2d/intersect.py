@@ -20,9 +20,21 @@ Pt = Tuple[float, float]
 
 
 def orientation(p: Pt, q: Pt, r: Pt) -> int:
-    """0 = collinear (|cross| < machine eps), 1 = clockwise, 2 = ccw."""
-    val = (q[1] - p[1]) * (r[0] - q[0]) - (q[0] - p[0]) * (r[1] - q[1])
-    if abs(val) < EPS:
+    """0 = collinear, 1 = clockwise, 2 = ccw.
+
+    The reference tests |cross| < f64::EPSILON (intersection.rs), an
+    ABSOLUTE threshold: with O(1)-magnitude coordinates the rounding
+    error of the cross itself can exceed it, making the reported sign
+    depend on argument order (e.g. 3.0 - 2.2e-16 rounds back to 3.0,
+    so one ordering sees exactly 0 and the reverse sees +-eps --
+    found by tests/test_mesh2d_properties.py). A Shewchuk-style static
+    error filter fixes that: when |cross| is below the roundoff bound
+    of its own terms, the float sign is meaningless, so report
+    collinear -- consistently in every argument order."""
+    t1 = (q[1] - p[1]) * (r[0] - q[0])
+    t2 = (q[0] - p[0]) * (r[1] - q[1])
+    val = t1 - t2
+    if abs(val) <= 4.0 * EPS * (abs(t1) + abs(t2)) + EPS:
         return 0
     return 1 if val > 0.0 else 2
 
@@ -33,8 +45,26 @@ def _on_segment(p: Pt, q: Pt, r: Pt) -> bool:
             and min(p[1], r[1]) - EPS <= q[1] <= max(p[1], r[1]) + EPS)
 
 
+def _canon(p: Pt, q: Pt) -> Tuple[Pt, Pt]:
+    return (q, p) if (float(q[0]), float(q[1])) < (float(p[0]),
+                                                   float(p[1])) else (p, q)
+
+
 def segments_intersect(p: Pt, q: Pt, a: Pt, b: Pt) -> bool:
-    """Do segments p-q and a-b intersect (incl. touching/collinear)?"""
+    """Do segments p-q and a-b intersect (incl. touching/collinear)?
+
+    Endpoints and segments are canonicalized (lexicographic) before
+    the orientation tests: float orientation is only approximate, so
+    without a canonical evaluation order the answer near degenerate
+    configurations could depend on argument order (each ordering
+    evaluates differently-rounded expressions -- found by
+    tests/test_mesh2d_properties.py). Canonical order makes the
+    result exactly invariant under endpoint/segment swaps."""
+    p, q = _canon(p, q)
+    a, b = _canon(a, b)
+    if (float(a[0]), float(a[1]), float(b[0]), float(b[1])) < (
+            float(p[0]), float(p[1]), float(q[0]), float(q[1])):
+        p, q, a, b = a, b, p, q
     o1 = orientation(p, q, a)
     o2 = orientation(p, q, b)
     o3 = orientation(a, b, p)

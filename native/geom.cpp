@@ -66,10 +66,18 @@ Poly make_poly(const double* ring_xy, const int64_t* ring_offsets,
 }
 
 // Segment intersection test (intersection.rs:3-39 semantics).
+// Like mesh2d/intersect.py orientation(): the reference's absolute
+// epsilon-collinearity misclassifies near-degenerate crosses whose
+// rounding error exceeds kEps; the static error filter on the terms'
+// magnitudes reports collinear whenever the float sign is not
+// trustworthy.
 inline int orient(double px, double py, double qx, double qy, double rx,
                   double ry) {
-    const double v = (qy - py) * (rx - qx) - (qx - px) * (ry - qy);
-    if (std::fabs(v) < kEps) return 0;
+    const double t1 = (qy - py) * (rx - qx);
+    const double t2 = (qx - px) * (ry - qy);
+    const double v = t1 - t2;
+    if (std::fabs(v) <= 4.0 * kEps * (std::fabs(t1) + std::fabs(t2)) + kEps)
+        return 0;
     return v > 0.0 ? 1 : 2;
 }
 
