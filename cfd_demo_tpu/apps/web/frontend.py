@@ -49,11 +49,13 @@ INDEX_HTML = r"""<!DOCTYPE html>
       <option value="quick">QUICK</option></select></label>
     <label>profile <select id="profile">
       <option value="uniform">Uniform</option>
-      <option value="parabolic">Parabolic</option></select></label>
+      <option value="parabolic">Parabolic</option>
+      <option value="parabolic-upper">Parabolic (upper half)</option></select></label>
     <label>solver <select id="solver">
       <option value="jacobi">Jacobi</option>
       <option value="sor">SOR (red/black)</option>
-      <option value="multigrid">Multigrid</option></select></label>
+      <option value="multigrid">Multigrid</option>
+      <option value="mg-production">MG (production)</option></select></label>
     <label>case <select id="flow_case">
       <option value="channel">Channel + cylinder</option>
       <option value="cavity">Lid-driven cavity</option></select></label>

@@ -330,12 +330,19 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
 
 def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                    omega: float, k: int, block_rows: int = 256,
-                   interpret: bool = False,
-                   cavity: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   interpret: bool = False, cavity: bool = False,
+                   deep: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K fused Jacobi iterations. Returns (p', last-iteration max error).
 
     Requires ny % block_rows == 0 and ny >= block_rows + 2k (the caller
     falls back to the jnp path otherwise).
+
+    ``deep``: the launch sits under outer-corrector-round control flow
+    (scan -> substep while -> rounds while). Mosaic's 16M scoped-vmem
+    accounting stacks across nested regions, so the deepest context
+    affords a smaller window budget (docs/PERF.md item 7b); False
+    (rounds == 0 -- the fast-mode shape) allows the larger 1-D window
+    that measures ~15% faster at 4096^2.
     """
     ny, nx = pp.shape
     if ny % 8 != 0:
@@ -357,8 +364,14 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         # Window budget calibrated for the *in-program* compile context
         # (scans/while loops -- the production shape; a bare standalone
         # pallas_call of the largest configs can exceed the stricter
-        # standalone scoped limit, see docs/PERF.md).
-        budget = 7 * 1024 * 1024
+        # standalone scoped limit, see docs/PERF.md). Deep contexts
+        # (under outer-round while loops) use the largest window
+        # measured to fit Mosaic's 16M scoped-vmem limit at that depth:
+        # 6,815,744 B (2048^2, bs=256) compiles there, while 7,340,032 B
+        # (4096^2, bs=128) OOMs at 17.14M scoped -- scoped accounting
+        # stacks across nested regions. Shallow (rounds == 0) contexts
+        # keep the 7 MiB budget, where 7,340,032 B is measured good.
+        budget = 6_815_744 if deep else 7 * 1024 * 1024
 
         def vmem_model(bs, bsx, ch):
             return (2 * (bs + 2 * halo) * (bsx + 2 * ch)
@@ -431,7 +444,8 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
 def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                   omega: float, tol: float, iters: int, k: int = 10,
                   block_rows: int = 256, early_exit: bool = True,
-                  interpret: bool = False, cavity: bool = False):
+                  interpret: bool = False, cavity: bool = False,
+                  deep: bool = True):
     """Drop-in replacement for ops.poisson.jacobi on the throughput path.
 
     Runs iters//k fused launches plus one iters%k remainder launch, so
@@ -445,7 +459,7 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     rem = iters % k
     step = functools.partial(jacobi_fused_k, rhs=rhs, dx=dx, dy=dy,
                              omega=omega, k=k, block_rows=block_rows,
-                             interpret=interpret, cavity=cavity)
+                             interpret=interpret, cavity=cavity, deep=deep)
 
     if early_exit and tol > 0.0 and n_full > 0:
         def cond(carry):
@@ -479,7 +493,7 @@ def jacobi_pallas(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     if rem:
         pp, err = jacobi_fused_k(pp, rhs, dx, dy, omega, rem,
                                  block_rows=block_rows, interpret=interpret,
-                                 cavity=cavity)
+                                 cavity=cavity, deep=deep)
         n_run = n_run + rem
     return pp, err, n_run
 

@@ -344,6 +344,87 @@ def _mg_vcycle(p, rhs, dx, dy, opts):
     return _mg_smooth_auto(p, rhs, dx, dy, opts.mg_post_smooth, opts)
 
 
+# ---------------------------------------------------------------------------
+# Production projection (addition beyond the reference, docs/SPEC.md
+# item 12): BC-aware multigrid with a divergence-calibrated exit.
+# ---------------------------------------------------------------------------
+
+def _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc):
+    """Damped-Jacobi smoothing with the reference p' BCs re-applied
+    every sweep (_jacobi_sweep) -- unlike the parity kit's interior-
+    only undamped sweeps, this smooths the operator the projection
+    actually needs, so coarse corrections are not polluted by
+    boundary-inconsistent fine values."""
+    for _ in range(iterations):
+        p, _ = _jacobi_sweep(p, rhs, dx, dy, omega, bc=bc)
+    return p
+
+
+def _mgp_smooth_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
+    """Fine-level smoothing through the fused BC-folded Jacobi kernel
+    on TPU (it implements exactly _jacobi_sweep + bc: damped sweep with
+    the reference p' BCs -- equivalence pinned by test_pallas_tpu);
+    coarse levels and other backends keep the XLA sweeps."""
+    import jax as _jax
+    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
+            and _jax.default_backend() in ("tpu", "axon")
+            and p.dtype == jnp.float32
+            and p.shape[0] % 8 == 0
+            and p.shape[0] * p.shape[1] >= 2_000_000
+            and type(p).__name__ != "BatchTracer"):
+        from ..kernels.jacobi_pallas import jacobi_fused_k
+        p, _ = jacobi_fused_k(p, rhs, dx, dy, omega, iterations,
+                              cavity=(bc is _apply_pprime_bcs_cavity))
+        return p
+    return _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc)
+
+
+def _mgp_vcycle(p, rhs, dx, dy, opts, bc):
+    """One BC-aware V-cycle. The correction e on every coarse level
+    satisfies the same homogeneous BC types as p' (Neumann copies /
+    Dirichlet-0 outlet / cavity gauge pin), so the SAME bc function
+    applies at every level; restriction/prolongation reuse the parity
+    kit's shard-safe stencils."""
+    ny, nx = p.shape
+    omega, nu = opts.jacobi_omega, opts.mgp_smooth
+    p = _mgp_smooth_auto(p, rhs, dx, dy, omega, nu, bc, opts)
+    if nx <= opts.mg_coarsest or ny <= opts.mg_coarsest:
+        return _mgp_smooth(p, rhs, dx, dy, omega,
+                           opts.mg_coarse_smooth, bc)
+    r = _mg_residual(p, rhs, dx, dy)
+    nx_c, ny_c = (nx + 1) // 2, (ny + 1) // 2
+    r_c = _mg_restrict(r, nx_c, ny_c)
+    e_c = _mgp_vcycle(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy, opts, bc)
+    p = bc(p + _mg_prolong(e_c, nx, ny))
+    return _mgp_smooth_auto(p, rhs, dx, dy, omega, opts.mgp_smooth, bc,
+                            opts)
+
+
+def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
+                         dx: float, dy: float, opts, tol_r,
+                         bc=_apply_pprime_bcs
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """PressureSolver.MG_PRODUCTION (addition, docs/SPEC.md item 12).
+
+    V-cycles until max|rhs - A p'| <= ``tol_r``; since the corrector
+    subtracts dt*grad(p') and rhs = div(u*)/dt, the post-correction
+    divergence satisfies max|div(u)| = dt * max|residual|, so
+    tol_r = projection_div_tol / dt_sub makes the exit a direct bound
+    on the quantity the projection exists to control. Warm-started
+    from the previous substep's p' (temporal coherence; the parity kit
+    zero-initializes per the JS source, index.html:777).
+
+    Returns (p', max|residual|, cycles_run); vmap-safe via the masked
+    convergence loop (each batch element freezes at its own exit).
+    """
+    def cycle(p):
+        p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
+        err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+        return p, err
+
+    return _masked_while(cycle, bc(pp0), tol_r, opts.mgp_max_cycles)
+
+
 def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
               opts) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """3 V-cycles + final residual report (index.html:775-795).

@@ -79,7 +79,8 @@ def _sor_k(scene: Scene) -> int:
     """Fused-iteration count for the SOR shard kernel: the halo spans
     2k rows (two color rings per iteration), mirroring
     solver.piso._solve_pressure's resolution."""
-    return max(resolve_fuse_k(scene.opts, scene.grid) // 2, 1)
+    return max(resolve_fuse_k(scene.opts, scene.grid,
+                          divide=scene.opts.jacobi_iters) // 2, 1)
 
 
 def _check_supported(scene: Scene, mesh: Mesh, axis: str):
@@ -88,10 +89,12 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
     solver = scene.params.pressure_solver
     from ..kernels.jacobi_pallas import _halo8
     if solver == PressureSolver.JACOBI:
-        if opts.jacobi_iters % resolve_fuse_k(opts, g) != 0:
+        if opts.jacobi_iters % resolve_fuse_k(
+                opts, g, divide=opts.jacobi_iters) != 0:
             raise ValueError("step_shmap: jacobi_iters must be a multiple "
                              "of the (resolved) pallas_fuse_k")
-        min_loc = max(_HALO, _halo8(resolve_fuse_k(opts, g)))
+        min_loc = max(_HALO, _halo8(resolve_fuse_k(
+            opts, g, divide=opts.jacobi_iters)))
     elif solver == PressureSolver.SOR:
         if opts.jacobi_iters % _sor_k(scene) != 0:
             raise ValueError("step_shmap: jacobi_iters must be a multiple "
@@ -118,7 +121,7 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
     cavity = params.flow_case == FlowCase.CAVITY
     js = opts.semantics == Semantics.JS
     rounds = opts.outer_corrector_rounds
-    fuse_k = resolve_fuse_k(opts, g)
+    fuse_k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
     # Fused corrector+BC+reduction kernel only when no outer rounds
     # follow (it is the substep's last act); otherwise the plain
     # shard-local corrector + the rounds loop + BCs.

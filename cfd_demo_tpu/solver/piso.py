@@ -140,25 +140,50 @@ def _use_fused_substep(scene: "Scene", dtype, example=None) -> bool:
     return (impl == "pallas" and _pallas_ok(scene, example)
             and dtype == jnp.float32)
 
-def resolve_fuse_k(opts: SolverOptions, grid: Grid) -> int:
+def resolve_fuse_k(opts: SolverOptions, grid: Grid,
+                   divide: int = 0) -> int:
     """pallas_fuse_k == 0 means size-tuned auto (docs/PERF.md).
 
-    Measured (v5e, 512^2 single-block fixed schedule): k in {5, 10, 25}
-    is flat within noise and k = iters (one whole-solve launch) is ~9%
-    SLOWER -- a long serial fori_loop in one program loses the
-    inter-launch DMA/compute overlap that the k-launch chain gets for
-    free, so the "fuse everything" shortcut is a negative result there.
+    Auto picks k = 16: halo8(16) == halo8(10) == 16, so a 16-iteration
+    launch has the same window/redundancy as 10 but runs 50 iterations
+    in 4 launches instead of 5 -- measured 5% faster at 2048^2
+    reference mode and 4% at 4096^2 fast (v5e). Also measured: k in
+    {5, 10, 25} flat within noise at 512^2 single-block; k = iters
+    (one whole-solve launch) ~9% SLOWER (a long serial fori_loop in
+    one program loses the inter-launch DMA/compute overlap); k = 25
+    at 2048^2 loses 20% to halo redundancy (halo8(25) = 32 forces
+    bs = 128).
+
+    ``divide`` > 0 (the explicit shard_map step, whose per-shard chain
+    has no remainder launch) constrains auto to the largest k <= base
+    that divides ``divide``; an explicit pallas_fuse_k is returned
+    as-is and step_shmap's divisibility check still raises on misuse.
     """
     if opts.pallas_fuse_k:
         return opts.pallas_fuse_k
-    return 25 if grid.nx * grid.ny >= 48_000_000 else 10
+    base = 25 if grid.nx * grid.ny >= 48_000_000 else 16
+    if divide:
+        while base > 1 and divide % base != 0:
+            base -= 1
+    return base
 
 
-def _solve_pressure(scene: Scene, pp0, rhs):
+def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
     g, opts = scene.grid, scene.opts
     solver = scene.params.pressure_solver
     from ..ops.poisson import pprime_bc_fn
     bc = pprime_bc_fn(scene.params.flow_case)
+    if solver == PressureSolver.MG_PRODUCTION:
+        # Addition (docs/SPEC.md item 12): divergence-calibrated exit.
+        # tol_r = div_tol / dt bounds the post-correction max|div(u)|
+        # by div_tol; without dt (no caller context) the tol is used
+        # in raw residual units.
+        from ..ops.poisson import multigrid_production
+        tol_r = opts.projection_div_tol
+        if dt_sub is not None:
+            tol_r = tol_r / dt_sub
+        return multigrid_production(pp0, rhs, g.dx, g.dy, opts, tol_r,
+                                    bc=bc)
     if solver == PressureSolver.JACOBI:
         from ..core.config import FlowCase
         cavity = scene.params.flow_case == FlowCase.CAVITY
@@ -182,7 +207,13 @@ def _solve_pressure(scene: Scene, pp0, rhs):
                                      k=resolve_fuse_k(opts, g),
                                      block_rows=opts.pallas_block_rows,
                                      early_exit=opts.early_exit,
-                                     cavity=cavity)
+                                     cavity=cavity,
+                                     # extra control-flow nesting around
+                                     # the solve shrinks the scoped-vmem
+                                     # headroom (jacobi_fused_k deep=)
+                                     deep=(opts.outer_corrector_rounds > 0
+                                           or opts.substeps_adaptive
+                                           or opts.substeps_max > 1))
             return jacobi(pp0_, rhs_, g.dx, g.dy, opts.jacobi_omega,
                           opts.jacobi_tol, opts.jacobi_iters,
                           early_exit=opts.early_exit, bc=bc)
@@ -268,7 +299,7 @@ def _outer_rounds(scene: Scene, u, v, p, pp, err, dt_sub):
 
     def round_body(u, v, p, pp):
         rhs = divergence_rhs(u, v, dt_sub, g.dx, g.dy)
-        pp, err, _ = _solve_pressure(scene, pp, rhs)
+        pp, err, _ = _solve_pressure(scene, pp, rhs, dt_sub)
         u, v, p = correct(u, v, p, pp, dt_sub, g.dx, g.dy)
         return u, v, p, pp, err
 
@@ -339,7 +370,7 @@ def _substep_jnp(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
         u, v, p, pp, err = solve_correct_rounds_pallas(
             u_star, v_star, p, pp0, rhs, dt_sub, inlet, scene)
         return u, v, p, pp, err
-    pp, err, _ = _solve_pressure(scene, pp0, rhs)
+    pp, err, _ = _solve_pressure(scene, pp0, rhs, dt_sub)
     u, v, p = correct(u_star, v_star, p, pp, dt_sub, g.dx, g.dy)
     u, v, p, pp, err = _outer_rounds(scene, u, v, p, pp, err, dt_sub)
     u, v = apply_bcs(u, v, g, scene.params.inlet_profile, inlet,
@@ -429,7 +460,7 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
             u, v, dt_sub, nu, g, scheme, opts.semantics,
             block_rows=opts.pallas_block_rows)
     pp0 = p_prime if opts.semantics == Semantics.RUST else jnp.zeros_like(p_prime)
-    pp, err, _ = _solve_pressure(scene, pp0, rhs)
+    pp, err, _ = _solve_pressure(scene, pp0, rhs, dt_sub)
 
     if rounds == 0 and entry is not None:
         from ..kernels.substep_pallas import correct_bc_pallas
@@ -479,7 +510,7 @@ def piso_substep(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet,
 
         def body(carry):
             u, v, p, pp, rhs, _, it = carry
-            pp, err_b, _ = _solve_pressure(scene, pp, rhs)
+            pp, err_b, _ = _solve_pressure(scene, pp, rhs, dt_sub)
             u, v, p, rhs = cd(u, v, p, pp)
             return u, v, p, pp, rhs, err_b, it + 1
 

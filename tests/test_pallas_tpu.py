@@ -23,7 +23,12 @@ pytestmark = pytest.mark.skipif(
                                      # >= 16384 lanes: no full-width row
                                      # block fits; the 1-D search falls
                                      # through to the 2-D column tiling.
-                                     ((256, 16384), 10)])
+                                     ((256, 16384), 10),
+                                     # 4096 lanes route to 2-D tiles too
+                                     # (the 1-D bs=128 window OOMs the
+                                     # scoped-vmem limit at the deepest
+                                     # nesting -- docs/PERF.md item 7b).
+                                     ((4096, 4096), 10)])
 def test_fused_matches_jnp(shape, k):
     import jax.numpy as jnp
     from jax import lax
