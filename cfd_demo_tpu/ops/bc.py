@@ -29,8 +29,13 @@ def inlet_profile_column(grid: Grid, profile: InletProfile,
     y = (np.arange(grid.ny, dtype=np.float32) + 0.5) * np.float32(grid.dy)
     if profile == InletProfile.UNIFORM:
         return inlet_velocity * jnp.ones((grid.ny,), dtype)
-    center = grid.ly / 2.0
-    radius = grid.ly / 2.0
+    if profile == InletProfile.PARABOLIC_UPPER:
+        # Sudden-expansion inlet: parabola over [ly/2, ly]; the clamp
+        # below zeroes the lower half exactly.
+        center, radius = 3.0 * grid.ly / 4.0, grid.ly / 4.0
+    else:
+        center = grid.ly / 2.0
+        radius = grid.ly / 2.0
     shape_fn = jnp.asarray(1.0 - ((y - center) / radius) ** 2, dtype)
     # The reference clamps the final value, not the shape (model.rs:842-847).
     return jnp.maximum(inlet_velocity * shape_fn, 0.0)
@@ -47,8 +52,12 @@ def inlet_profile_traced(grid: Grid, profile: InletProfile,
         grid.dy, dtype)
     if profile == InletProfile.UNIFORM:
         return jnp.broadcast_to(jnp.asarray(inlet_velocity, dtype), y.shape)
-    center = jnp.asarray(grid.ly / 2.0, dtype)
-    radius = jnp.asarray(grid.ly / 2.0, dtype)
+    if profile == InletProfile.PARABOLIC_UPPER:
+        center = jnp.asarray(3.0 * grid.ly / 4.0, dtype)
+        radius = jnp.asarray(grid.ly / 4.0, dtype)
+    else:
+        center = jnp.asarray(grid.ly / 2.0, dtype)
+        radius = jnp.asarray(grid.ly / 2.0, dtype)
     shape_fn = 1.0 - ((y - center) / radius) ** 2
     return jnp.maximum(inlet_velocity * shape_fn, 0.0)
 

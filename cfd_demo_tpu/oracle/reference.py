@@ -463,8 +463,14 @@ class NumpyModel:
                 val = self.inlet
             else:
                 y = (F(j) + 0.5) * dy
-                center = F(g.ly) / 2.0
-                radius = F(g.ly) / 2.0
+                if profile == InletProfile.PARABOLIC_UPPER:
+                    # Documented addition (docs/SPEC.md): sudden-
+                    # expansion inlet for the backward-facing step.
+                    center = F(3.0) * F(g.ly) / 4.0
+                    radius = F(g.ly) / 4.0
+                else:
+                    center = F(g.ly) / 2.0
+                    radius = F(g.ly) / 2.0
                 val = self.inlet * (1.0 - ((y - center) / radius) ** 2)
                 if val < 0:
                     val = F(0.0)

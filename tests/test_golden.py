@@ -53,6 +53,7 @@ CONFIGS = [
     ("js-first-jacobi", Semantics.JS, VelocityScheme.FIRST, PressureSolver.JACOBI, InletProfile.UNIFORM),
     ("js-second-jacobi", Semantics.JS, VelocityScheme.SECOND, PressureSolver.JACOBI, InletProfile.UNIFORM),
     ("js-quick-jacobi", Semantics.JS, VelocityScheme.QUICK, PressureSolver.JACOBI, InletProfile.PARABOLIC),
+    ("rust-first-jacobi-upper", Semantics.RUST, VelocityScheme.FIRST, PressureSolver.JACOBI, InletProfile.PARABOLIC_UPPER),
     ("js-first-sor", Semantics.JS, VelocityScheme.FIRST, PressureSolver.SOR, InletProfile.UNIFORM),
     ("js-first-multigrid", Semantics.JS, VelocityScheme.FIRST, PressureSolver.MULTIGRID, InletProfile.UNIFORM),
 ]
