@@ -25,7 +25,13 @@ def main():
     # amortize it so the metric reflects device work (docs/PERF.md
     # "Measurement traps").
     ap.add_argument("--n", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="steps per timed scan; 0 = auto-scale so device "
+                         "work dominates the ~20-30 ms fixed axon call "
+                         "cost at every size (at 512^2, 100 steps are "
+                         "~35 ms total, i.e. mostly tunnel overhead -- "
+                         "the metric would reflect the tunnel, not the "
+                         "chip)")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--mode", choices=["fast", "reference"], default="fast",
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
@@ -36,6 +42,9 @@ def main():
                     help="pressure-solve implementation; auto picks the "
                          "fused-K Pallas kernel above ~6M cells and the "
                          "XLA-fused scan below (docs/PERF.md)")
+    ap.add_argument("--fuse-k", type=int, default=0,
+                    help="override the fused-Jacobi launch granularity "
+                         "(0 = size-tuned auto, solver.piso.resolve_fuse_k)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +53,8 @@ def main():
                               solver_options_for)
 
     n = args.n
+    if not args.steps:
+        args.steps = min(2000, max(100, round(100 * (2048 / n) ** 2)))
     grid = Grid(nx=n, ny=n, lx=30.0, ly=30.0,
                 obstacles=(Cylinder(7.5, 15.0, 0.75),))
     params = SimulationParams(dt=0.002, viscosity=1e-4)
@@ -51,10 +62,12 @@ def main():
         opts = solver_options_for(
             Semantics.RUST, ramp_up_steps=10,
             jacobi_tol=0.0, jacobi_iters=50, outer_corrector_rounds=0,
-            early_exit=False, pressure_impl=args.impl)
+            early_exit=False, pressure_impl=args.impl,
+            pallas_fuse_k=args.fuse_k)
     else:
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
-                                  pressure_impl=args.impl)
+                                  pressure_impl=args.impl,
+                                  pallas_fuse_k=args.fuse_k)
     scene = cfd.make_scene(grid, params, opts)
 
     state = scene.init_state()

@@ -99,7 +99,10 @@ def main():
     evidence["test_pallas_tpu"] = run_pallas_suite()
     print(evidence["test_pallas_tpu"], flush=True)
     benches = {}
-    for n, mode, steps in ((512, "fast", 200), (2048, "fast", 100),
+    # steps=0: bench.py auto-scales so device work dominates the fixed
+    # ~20-30 ms axon call cost (at 512^2, 200 steps were still ~40%
+    # tunnel overhead and the metric under-reported the chip by ~2x).
+    for n, mode, steps in ((512, "fast", 0), (2048, "fast", 0),
                            (2048, "reference", 30)):
         key = f"{n}_{mode}"
         print(f"bench {key}...", flush=True)
