@@ -425,6 +425,206 @@ def _vcycle_int(p_int, rhs_int, dx, dy, s, ncx, ncy, opts, interpret):
                          interpret)
 
 
+# ---------------------------------------------------------------------------
+# MG_PRODUCTION (docs/SPEC.md item 12): BC-aware damped smoother +
+# interleaved V-cycle. Same transfer kernels as the parity kit (the
+# restricted field is an interior-masked residual either way); only the
+# smoother changes -- damped, with the reference p' BCs every sweep.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_smooth_mgp(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem, *,
+                       nyr, ncx, nxp, s, bs, halo, k, dx2, dy2, omega,
+                       cavity):
+    """k damped-Jacobi sweeps WITH the p' BCs at lane stride s
+    (ops.poisson._mgp_smooth on the interleaved representation).
+
+    Boundary-read folding (see jacobi_pallas._kernel): interior points
+    adjacent to a Neumann edge read their own value (exactly what the
+    per-sweep BC copy would have put there) and the Dirichlet outlet
+    reads 0, so the sweeps never read boundary lanes/rows and ONE BC
+    refresh at the end of the launch reproduces the XLA
+    bc o (sweep+bc)^k chain exactly -- for ANY input boundary values,
+    which also absorbs the bc(p + prolong(e)) the XLA path applies
+    between prolongation and post-smoothing (ops.poisson._mgp_vcycle).
+    """
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, nyr - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(p_hbm.at[pl.ds(start, w), :], p_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
+    gl = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    last = (ncx - 1) * s
+    interior = ((gr >= 1) & (gr <= nyr - 2)
+                & ((gl & (s - 1)) == 0)
+                & (gl >= s) & (gl <= last - s))
+    is_bot = gr == 0
+    is_top = gr == nyr - 1
+    is_left = gl == 0
+    is_right = gl == last
+    adj_bot = gr == 1
+    adj_top = gr == nyr - 2
+    adj_left = gl == s
+    adj_right = gl == last - s
+
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    rhs = ar * rhs_win[:]
+
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - s, 1)
+
+    def west(a):
+        return pltpu.roll(a, s, 1)
+
+    def body(_, c):
+        pp = p_win[:]
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
+        p_win[:] = jnp.where(interior, new, pp)
+        return c
+
+    lax.fori_loop(0, k, body, 0)
+
+    # The single BC refresh: rows then columns (corner order matters,
+    # ops.poisson._apply_pprime_bcs / _apply_pprime_bcs_cavity).
+    pp = p_win[:]
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    p_win[:] = pp
+    out_cp = pltpu.make_async_copy(p_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
+def mgp_smooth_int(p, rhs, dx, dy, s, ncx, iterations, omega, cavity,
+                   block_rows=256, interpret=False):
+    """k BC-aware damped sweeps on an interleaved (nyr, nxp) level."""
+    nyr, nxp = p.shape
+    bs, halo = _tile(nyr, nxp, iterations, block_rows, n_temps=6)
+    w = bs + 2 * halo
+    kern = functools.partial(_kernel_smooth_mgp, nyr=nyr, ncx=ncx,
+                             nxp=nxp, s=s, bs=bs, halo=halo, k=iterations,
+                             dx2=dx * dx, dy2=dy * dy, omega=omega,
+                             cavity=cavity)
+    return pl.pallas_call(
+        kern,
+        grid=(nyr // bs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nyr, nxp), p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), p.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(p, rhs)
+
+
+def _vcycle_mgp_int(p_int, rhs_int, dx, dy, s, ncx, ncy, opts, bc,
+                    cavity, interpret):
+    """One BC-aware V-cycle (ops.poisson._mgp_vcycle) on interleaved
+    level arrays; levels that fail _level_ok hand the remaining
+    sub-V-cycle to the XLA path on compact arrays."""
+    from ..ops.poisson import _mgp_vcycle
+    nyr, nxp = p_int.shape
+    ksmooth = max(opts.mgp_smooth, opts.mg_coarse_smooth)
+    if not _level_ok(nyr, ncx, ncy, s, nxp, ksmooth):
+        pc = _compact(p_int, s, ncx, ncy)
+        rc = _compact(rhs_int, s, ncx, ncy)
+        out = _mgp_vcycle(pc, rc, dx, dy, opts, bc)
+        return _interleave(out, s, nxp)
+    omega = opts.jacobi_omega
+    br = opts.pallas_block_rows
+    p_int = mgp_smooth_int(p_int, rhs_int, dx, dy, s, ncx,
+                           opts.mgp_smooth, omega, cavity, br, interpret)
+    if ncx <= opts.mg_coarsest or ncy <= opts.mg_coarsest:
+        return mgp_smooth_int(p_int, rhs_int, dx, dy, s, ncx,
+                              opts.mg_coarse_smooth, omega, cavity, br,
+                              interpret)
+    r_c = mg_residual_restrict_int(p_int, rhs_int, dx, dy, s, ncx, br,
+                                   interpret)
+    ncx2, ncy2 = (ncx + 1) // 2, (ncy + 1) // 2
+    e_c = _vcycle_mgp_int(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy,
+                          2 * s, ncx2, ncy2, opts, bc, cavity, interpret)
+    p_int = mg_prolong_add_int(e_c, p_int, s, ncx, br, interpret)
+    # No explicit bc(p + prolong) pass: the post-smoother's boundary-
+    # read folding makes it bitwise-equivalent (see _kernel_smooth_mgp).
+    return mgp_smooth_int(p_int, rhs_int, dx, dy, s, ncx,
+                          opts.mgp_smooth, omega, cavity, br, interpret)
+
+
+def multigrid_production_pallas_ok(ny: int, nx: int, opts) -> bool:
+    """Gate for the interleaved-kernel MG_PRODUCTION V-cycle (same
+    shape conditions as the parity kit, with its smoother depth)."""
+    nxp = _round_up(nx, 128)
+    ksmooth = max(opts.mgp_smooth, opts.mg_coarse_smooth)
+    return (ny % 8 == 0 and ny * nx >= 65_536
+            and _level_ok(ny, nx, ny, 1, nxp, ksmooth))
+
+
+def multigrid_production_pallas(pp0, rhs, dx, dy, opts, tol_r,
+                                cavity=False, interpret=False):
+    """Drop-in for ops.poisson.multigrid_production on TPU: V-cycles
+    until max|rhs - A p'| <= tol_r, warm-started, whole cycle as the
+    interleaved Pallas kernels with the BC-aware damped smoother."""
+    from ..ops.poisson import (_apply_pprime_bcs, _apply_pprime_bcs_cavity,
+                               _masked_while, _mg_residual)
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    ny, nx = pp0.shape
+    nxp = _round_up(nx, 128)
+    pad = ((0, 0), (0, nxp - nx))
+    rhs_w = jnp.pad(rhs, pad) if nxp != nx else rhs
+
+    def cycle(p):
+        p = _vcycle_mgp_int(p, rhs_w, dx, dy, 1, nx, ny, opts, bc,
+                            cavity, interpret)
+        err = jnp.max(jnp.abs(_mg_residual(p[:, :nx], rhs, dx, dy)))
+        return p, err
+
+    p0 = jnp.pad(bc(pp0), pad) if nxp != nx else bc(pp0)
+    p, err, n = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+    return p[:, :nx], err, n
+
+
 def multigrid_pallas_ok(ny: int, nx: int) -> bool:
     """Gate for the interleaved-kernel V-cycle: the fine level must be
     even-dimensioned, tile-friendly and large enough that the kernels

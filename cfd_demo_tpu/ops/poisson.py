@@ -416,7 +416,25 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
 
     Returns (p', max|residual|, cycles_run); vmap-safe via the masked
     convergence loop (each batch element freezes at its own exit).
+
+    On TPU at scale the whole V-cycle runs as the interleaved-level
+    Pallas kernels with the BC-aware damped smoother
+    (kernels.mg_pallas.multigrid_production_pallas; same numerics).
     """
+    import jax as _jax
+    if (opts.pressure_impl in ("auto", "pallas")
+            and _jax.default_backend() in ("tpu", "axon")
+            and pp0.dtype == jnp.float32
+            and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
+            and type(pp0).__name__ != "BatchTracer"):
+        from ..kernels.mg_pallas import (multigrid_production_pallas,
+                                         multigrid_production_pallas_ok)
+        if multigrid_production_pallas_ok(pp0.shape[0], pp0.shape[1],
+                                          opts):
+            return multigrid_production_pallas(
+                pp0, rhs, dx, dy, opts, tol_r,
+                cavity=(bc is _apply_pprime_bcs_cavity))
+
     def cycle(p):
         p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
         err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))

@@ -74,3 +74,92 @@ def test_multigrid_pallas_kernel_pieces():
     ref_p = p_c + _mg_prolong(e_c, ncx, ncy)
     np.testing.assert_allclose(np.asarray(_compact(pa, s, ncx, ncy)),
                                np.asarray(ref_p), rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("cavity", [False, True])
+def test_mgp_smooth_int_matches_xla(cavity):
+    """BC-aware damped smoother at stride 2 vs ops.poisson._mgp_smooth.
+
+    The input's boundary entries are deliberately garbage: the kernel's
+    boundary-read folding must reproduce _mgp_smooth(bc(p)) for ANY
+    input boundary values (that equivalence is what lets the V-cycle
+    drop the explicit bc(p + prolong(e)) pass)."""
+    from cfd_demo_tpu.kernels.mg_pallas import (_compact, _interleave,
+                                                mgp_smooth_int)
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                          _apply_pprime_bcs_cavity,
+                                          _mgp_smooth)
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    rng = np.random.default_rng(2)
+    ncy, ncx, s, nxp = 32, 48, 2, 128
+    dx = dy = 1.0
+    p_c = jnp.asarray(rng.standard_normal((ncy, ncx)), jnp.float32)
+    r_c = jnp.asarray(rng.standard_normal((ncy, ncx)), jnp.float32)
+    got = mgp_smooth_int(_interleave(p_c, s, nxp),
+                         _interleave(r_c, s, nxp), dx, dy, s, ncx,
+                         iterations=4, omega=0.75, cavity=cavity,
+                         interpret=True)
+    ref = _mgp_smooth(bc(p_c), r_c, dx, dy, 0.75, 4, bc)
+    np.testing.assert_allclose(np.asarray(_compact(got, s, ncx, ncy)),
+                               np.asarray(ref), rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,cavity", [((64, 200), False),
+                                          ((64, 64), True)])
+def test_mgp_vcycle_int_matches_xla(shape, cavity):
+    """One full BC-aware V-cycle on interleaved arrays vs
+    ops.poisson._mgp_vcycle (warm-started, non-zero p): covers the
+    smoother at every level, the shared transfer kernels and the
+    folded bc(p + prolong(e)); eager interpret keeps it cheap (the
+    jitted while-loop solve is compile-heavy on CPU -- one case of
+    that below)."""
+    from cfd_demo_tpu.kernels.mg_pallas import (_round_up,
+                                                _vcycle_mgp_int)
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                          _apply_pprime_bcs_cavity,
+                                          _mg_residual, _mgp_vcycle)
+    ny, nx = shape
+    dx, dy = 1.0 / nx, 1.0 / ny
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = bc(jnp.asarray(0.1 * rng.standard_normal((ny, nx)),
+                         jnp.float32))
+    opts = solver_options_for(Semantics.RUST)
+    ref = _mgp_vcycle(pp0, rhs, dx, dy, opts, bc)
+    nxp = _round_up(nx, 128)
+    pad = ((0, 0), (0, nxp - nx))
+    got = _vcycle_mgp_int(jnp.pad(pp0, pad), jnp.pad(rhs, pad), dx, dy,
+                          1, nx, ny, opts, bc, cavity,
+                          interpret=True)[:, :nx]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-5)
+    # The cycle must actually solve: residual drops vs the rhs norm.
+    err = float(jnp.max(jnp.abs(_mg_residual(got, rhs, dx, dy))))
+    assert err < float(jnp.max(jnp.abs(rhs))) / dx / dx
+
+
+def test_multigrid_production_pallas_matches_xla():
+    """Full warm-started MG_PRODUCTION solve under jit: same cycle
+    count as the XLA path, fields to 1e-5, exit residual equal."""
+    from cfd_demo_tpu.kernels.mg_pallas import multigrid_production_pallas
+    from cfd_demo_tpu.ops.poisson import multigrid_production
+    ny, nx = 32, 96
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(4)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32)
+    opts = solver_options_for(Semantics.RUST)
+    tol_r = 30.0  # a few cycles at this size; exit actually reached
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: multigrid_production(p, r, dx, dy, opts,
+                                          tol_r))(pp0, rhs)
+    got, err_got, n_got = jax.jit(
+        lambda p, r: multigrid_production_pallas(
+            p, r, dx, dy, opts, tol_r, interpret=True))(pp0, rhs)
+    assert int(n_ref) == int(n_got)
+    assert int(n_ref) < opts.mgp_max_cycles  # the exit fired
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-5)
+    assert np.isclose(float(err_ref), float(err_got),
+                      rtol=1e-3, atol=1e-6)

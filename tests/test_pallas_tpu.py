@@ -151,6 +151,40 @@ def test_alt_solver_pallas_step_matches_jnp(solver):
     assert np.isclose(float(a.res_p), float(b.res_p), rtol=1e-3, atol=1e-7)
 
 
+def test_mg_production_pallas_step_matches_jnp():
+    """Full PISO steps with the MG_PRODUCTION projection running as the
+    interleaved BC-aware V-cycle kernels vs the pure-XLA path, on the
+    real chip (docs/SPEC.md item 12). Cycle counts must agree exactly
+    (the divergence-calibrated exit is part of the semantics)."""
+    import numpy as np
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=2048, ny=2048, lx=30.0, ly=30.0,
+                obstacles=(Cylinder(7.5, 15.0, 0.75),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    states = {}
+    for impl in ("jnp", "pallas"):
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=10,
+            outer_corrector_rounds=0, pressure_impl=impl,
+            substep_impl="jnp")
+        scene = cfd.make_scene(grid, params, opts)
+        run = cfd.make_run(scene, 3, donate=False)
+        state, _ = run(scene.init_state())
+        float(state.res_u)
+        states[impl] = state
+    a, b = states["jnp"], states["pallas"]
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=0, atol=1e-4, err_msg=f)
+    assert np.isclose(float(a.res_p), float(b.res_p), rtol=1e-3,
+                      atol=1e-7)
+
+
 def test_fused_substep_js_mode_matches_jnp():
     """JS semantics through the fused kernels: fixed 3 substeps under
     the dynamic fori_loop, extrapolated initial guess, JS face-position
