@@ -33,10 +33,13 @@ def main():
                          "the metric would reflect the tunnel, not the "
                          "chip)")
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--mode", choices=["fast", "reference"], default="fast",
+    ap.add_argument("--mode", choices=["fast", "reference", "production"],
+                    default="fast",
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
-                         "corrector rounds")
+                         "corrector rounds; production: MG_PRODUCTION "
+                         "projection (divergence-calibrated V-cycles, "
+                         "docs/SPEC.md item 12)")
     ap.add_argument("--impl", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="pressure-solve implementation; auto picks the "
@@ -64,6 +67,14 @@ def main():
             jacobi_tol=0.0, jacobi_iters=50, outer_corrector_rounds=0,
             early_exit=False, pressure_impl=args.impl,
             pallas_fuse_k=args.fuse_k)
+    elif args.mode == "production":
+        from cfd_demo_tpu import PressureSolver
+        params = SimulationParams(dt=0.002, viscosity=1e-4,
+                                  pressure_solver=PressureSolver.MG_PRODUCTION)
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
+                                  outer_corrector_rounds=0,
+                                  pressure_impl=args.impl,
+                                  pallas_fuse_k=args.fuse_k)
     else:
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
                                   pressure_impl=args.impl,

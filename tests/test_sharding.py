@@ -95,6 +95,38 @@ def test_sharded_multigrid_step():
                                rtol=0, atol=1e-5)
 
 
+def test_sharded_mg_production_step():
+    """MG_PRODUCTION (BC-aware V-cycles + divergence-calibrated
+    masked-while exit, docs/SPEC.md item 12) under GSPMD row sharding
+    must match single-device: every op in the cycle (smoother,
+    interior-masked residual, restrict/prolong, bc selects) is built
+    from shifted views + iota masks, and the exit reduction is a
+    global max."""
+    from cfd_demo_tpu import PressureSolver
+    grid = Grid(nx=48, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                              outer_corrector_rounds=0)
+    scene = make_scene(grid, params, opts)
+    s1 = scene.init_state()
+    step1 = make_step(scene, donate=False)
+    mesh = make_mesh()
+    sN = shard_state(scene.init_state(), mesh)
+    stepN = make_sharded_step(scene, mesh)
+    for _ in range(3):
+        s1, _ = step1(s1)
+        sN, _ = stepN(sN)
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(sN.u),
+                               rtol=0, atol=1e-6)
+    # p accumulates p' over warm-started adaptive solves; the sharded
+    # max-reductions reassociate, so allow ~1e-5 relative drift.
+    np.testing.assert_allclose(np.asarray(s1.p), np.asarray(sN.p),
+                               rtol=0, atol=1e-4)
+    assert np.isclose(float(s1.res_p), float(sN.res_p), atol=1e-5)
+
+
 def test_vmap_ensemble():
     """BASELINE config 5: vmap over a batch of scenes (different
     viscosities/inlets) -- the step must be batchable."""

@@ -103,7 +103,8 @@ def main():
     # ~20-30 ms axon call cost (at 512^2, 200 steps were still ~40%
     # tunnel overhead and the metric under-reported the chip by ~2x).
     for n, mode, steps in ((512, "fast", 0), (2048, "fast", 0),
-                           (2048, "reference", 30)):
+                           (2048, "reference", 30),
+                           (2048, "production", 200)):
         key = f"{n}_{mode}"
         print(f"bench {key}...", flush=True)
         benches[key] = run_bench(n, mode, steps)
