@@ -155,6 +155,123 @@ def _vcycle_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards, axis, opts):
                          opts.mg_post_smooth, axis)
 
 
+# ---------------------------------------------------------------------------
+# MG_PRODUCTION (docs/SPEC.md item 12) under explicit sharding: BC-aware
+# damped smoother + warm start + divergence-calibrated masked-while exit.
+# ---------------------------------------------------------------------------
+
+
+def _bc_shard(p_loc, gny, nx, axis, cavity):
+    """The reference p' BCs on a row-sharded block
+    (ops.poisson._apply_pprime_bcs / _apply_pprime_bcs_cavity): rows
+    first, then columns (corner order). The row-neighbor values come
+    from a 1-row halo exchange so the copy works even at 1 local row
+    per shard (the deepest sharded levels)."""
+    local = p_loc.shape[0]
+    shape = (local, nx)
+    px = exchange_rows(p_loc, axis, 1)
+    north = px[2:local + 2, :]   # global row r+1
+    south = px[0:local, :]       # global row r-1
+    gr = global_row_index(local, axis) + jnp.zeros((1, nx), jnp.int32)
+    gc = lax.broadcasted_iota(jnp.int32, shape, 1)
+    p = jnp.where(gr == 0, north, p_loc)
+    p = jnp.where(gr == gny - 1, south, p)
+    p = jnp.where(gc == 0, shifted(p, shape, 0, 1), p)
+    if cavity:
+        p = jnp.where(gc == nx - 1, shifted(p, shape, 0, -1), p)
+        p = jnp.where((gr == 0) & (gc == 0), 0.0, p)
+    else:
+        p = jnp.where(gc == nx - 1, 0.0, p)
+    return p
+
+
+def _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega, iterations,
+                      axis, cavity):
+    """Damped Jacobi WITH the p' BCs every sweep
+    (ops.poisson._mgp_smooth) on a row-sharded block; one 1-row halo
+    exchange per iteration."""
+    if iterations == 0:
+        return p_loc
+    local = p_loc.shape[0]
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    gr = global_row_index(local, axis) + jnp.zeros((1, nx), jnp.int32)
+    gc = lax.broadcasted_iota(jnp.int32, (local, nx), 1)
+    interior = _interior(gr, gc, gny, nx)
+    shape = (local, nx)
+    for _ in range(iterations):
+        px = exchange_rows(p_loc, axis, 1)
+        update = ((shifted(p_loc, shape, 0, 1) + shifted(p_loc, shape, 0, -1))
+                  / dx2
+                  + (px[2:local + 2, :] + px[0:local, :]) / dy2
+                  - rhs_loc) / denom
+        new = omega * update + (1.0 - omega) * p_loc
+        p_loc = jnp.where(interior, new, p_loc)
+        p_loc = _bc_shard(p_loc, gny, nx, axis, cavity)
+    return p_loc
+
+
+def _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards, axis,
+                      opts, cavity):
+    """One BC-aware V-cycle (ops.poisson._mgp_vcycle) on row-sharded
+    blocks; coarse-grid agglomeration once rows stop splitting evenly
+    over the mesh axis (same descent rule as the parity V-cycle)."""
+    from ..ops.poisson import (_apply_pprime_bcs, _apply_pprime_bcs_cavity,
+                               _mg_prolong, _mg_restrict, _mgp_vcycle)
+    omega = opts.jacobi_omega
+    p_loc = _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
+                              opts.mgp_smooth, axis, cavity)
+    if nx <= opts.mg_coarsest or gny <= opts.mg_coarsest:
+        return _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
+                                 opts.mg_coarse_smooth, axis, cavity)
+    r_loc = _residual_shard(p_loc, rhs_loc, gny, nx, dx, dy, axis)
+    nx_c, gny_c = (nx + 1) // 2, (gny + 1) // 2
+    if gny % (2 * n_shards) == 0:
+        r_c = _restrict_shard(r_loc, gny, nx, gny_c, nx_c, axis)
+        e_c = _vcycle_mgp_shard(jnp.zeros_like(r_c), r_c, gny_c, nx_c,
+                                2 * dx, 2 * dy, n_shards, axis, opts,
+                                cavity)
+        p_loc = _bc_shard(
+            p_loc + _prolong_shard(e_c, gny_c, nx_c, nx, axis),
+            gny, nx, axis, cavity)
+    else:
+        bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+        r_full = lax.all_gather(r_loc, axis, axis=0, tiled=True)
+        r_c = _mg_restrict(r_full, nx_c, gny_c)
+        e_c = _mgp_vcycle(jnp.zeros_like(r_c), r_c, 2 * dx, 2 * dy, opts,
+                          bc)
+        e_f = _mg_prolong(e_c, nx, gny)
+        local = gny // n_shards
+        i0 = lax.axis_index(axis) * local
+        p_loc = _bc_shard(
+            p_loc + lax.dynamic_slice(e_f, (i0, 0), (local, nx)),
+            gny, nx, axis, cavity)
+    return _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
+                             opts.mgp_smooth, axis, cavity)
+
+
+def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
+                   nx: int, axis: str, dx: float, dy: float,
+                   n_shards: int, opts, cavity: bool, tol_r):
+    """Shard-local MG_PRODUCTION solve (ops.poisson.multigrid_production
+    under explicit sharding): warm-started BC-aware V-cycles until the
+    globally pmax'd max|rhs - A p'| <= tol_r, at most mgp_max_cycles.
+    Returns (local p', global max|residual|)."""
+    from ..ops.poisson import _masked_while
+
+    def cycle(p_loc):
+        p_loc = _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy,
+                                  n_shards, axis, opts, cavity)
+        r_loc = _residual_shard(p_loc, rhs_loc, gny, nx, dx, dy, axis)
+        # Global reduction: every shard must agree on the exit.
+        err = lax.pmax(jnp.max(jnp.abs(r_loc)), axis)
+        return p_loc, err
+
+    p0 = _bc_shard(pp0_loc, gny, nx, axis, cavity)
+    p_loc, err, _ = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+    return p_loc, err
+
+
 def mg_shard_body(rhs_loc: jnp.ndarray, gny: int, nx: int, axis: str,
                   dx: float, dy: float, n_shards: int, opts):
     """Shard-local body of the multi-chip multigrid solve: call INSIDE

@@ -31,11 +31,13 @@ Coverage: both semantics modes end to end -- the deterministic fast
 mode (BASELINE config 5's multi-chip throughput shape) AND the
 reference-exact adaptive modes (Rust outer corrector rounds with early
 exit; JS extrapolation + adaptive substeps + residual dt scaling) --
-with ALL THREE pressure solvers: Jacobi and red/black SOR run their
+with ALL FOUR pressure solvers: Jacobi and red/black SOR run their
 fused-K shard kernels (shard.jacobi_shmap / shard.sor_shmap; the SOR
-halo spans 2K rows for the two color half-sweeps), multigrid runs the
-explicitly sharded V-cycle (shard.mg_shmap: 1-row halos per stencil,
-coarse-grid agglomeration below the divisibility floor). Early-exit
+halo spans 2K rows for the two color half-sweeps), multigrid and
+MG_PRODUCTION run explicitly sharded V-cycles (shard.mg_shmap: 1-row
+halos per stencil, coarse-grid agglomeration below the divisibility
+floor; MG_PRODUCTION adds the shard-local p' BCs per sweep and the
+globally pmax'd divergence-calibrated exit). Early-exit
 convergence checks happen at fused-K granularity, exactly like the
 single-device Pallas path (docs/SPEC.md "Pallas-mode semantics").
 
@@ -100,7 +102,8 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
             raise ValueError("step_shmap: jacobi_iters must be a multiple "
                              "of the resolved SOR fuse k")
         min_loc = max(_HALO, _halo8(2 * _sor_k(scene)))
-    else:  # MULTIGRID: 1-row halos only; substep kernels set the floor
+    else:  # MULTIGRID / MG_PRODUCTION: 1-row halos; substep kernels
+        # set the floor (>= 8 rows also covers the local BC pairing).
         min_loc = _HALO
     if g.ny % S != 0 or (g.ny // S) % 8 != 0 or g.ny // S < min_loc:
         raise ValueError(f"step_shmap: ny={g.ny} must split into "
@@ -129,7 +132,8 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
 
     solver = params.pressure_solver
     if solver == PressureSolver.JACOBI:
-        def solve(pp0, rhs):
+        def solve(pp0, rhs, dt_sub):
+            del dt_sub
             return jacobi_pallas_shard_body(
                 pp0, rhs, ny, axis, g.dx, g.dy, opts.jacobi_omega,
                 opts.jacobi_iters, k=fuse_k, interpret=interpret,
@@ -138,18 +142,29 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
     elif solver == PressureSolver.SOR:
         from .sor_shmap import sor_pallas_shard_body
 
-        def solve(pp0, rhs):
+        def solve(pp0, rhs, dt_sub):
+            del dt_sub
             return sor_pallas_shard_body(
                 pp0, rhs, ny, axis, g.dx, g.dy, opts.sor_omega,
                 opts.jacobi_iters, k=_sor_k(scene), interpret=interpret,
                 cavity=cavity, tol=opts.jacobi_tol,
                 early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    elif solver == PressureSolver.MG_PRODUCTION:
+        from .mg_shmap import mgp_shard_body
+        S_ = S
+
+        def solve(pp0, rhs, dt_sub):
+            # solver.piso._solve_pressure: tol_r = div_tol / dt_sub
+            # bounds post-correction max|div(u)| by div_tol.
+            tol_r = opts.projection_div_tol / dt_sub
+            return mgp_shard_body(pp0, rhs, ny, nx, axis, g.dx, g.dy,
+                                  S_, opts, cavity, tol_r)
     else:  # MULTIGRID: zero-initializes internally (index.html:777)
         from .mg_shmap import mg_shard_body
         S_ = S
 
-        def solve(pp0, rhs):
-            del pp0
+        def solve(pp0, rhs, dt_sub):
+            del pp0, dt_sub
             return mg_shard_body(rhs, ny, nx, axis, g.dx, g.dy, S_, opts)
 
     def correct_local(us, vs, p, pp, dt_sub, off):
@@ -193,7 +208,7 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             rhs = rhs_e[_HALO:_HALO + loc, :]
             # 3: Jacobi (Rust warm start model.rs:682; JS zero init).
             pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
-            pp_new, err = solve(pp0, rhs)
+            pp_new, err = solve(pp0, rhs, dt_sub)
             if fast_tail:
                 # 4a: fused corrector + BCs + reductions. p' needs real
                 # neighbor halos (the v correction reads p'[j-1]); u*,
@@ -223,7 +238,7 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             def round_body(carry):
                 u, v, p, pp, _, it = carry
                 rhs = div_local(u, v, dt_sub)
-                pp, err = solve(pp, rhs)
+                pp, err = solve(pp, rhs, dt_sub)
                 u, v, p = correct_local(u, v, p, pp, dt_sub, off)
                 return u, v, p, pp, err, it + 1
 

@@ -402,6 +402,50 @@ def test_step_shmap_multigrid():
                           rtol=1e-4, atol=1e-8), f
 
 
+def test_step_shmap_mg_production():
+    """End-to-end explicit multi-chip step with the MG_PRODUCTION
+    projection (docs/SPEC.md item 12) vs single-device: BC-aware
+    sharded smoothing, warm starts, and the globally pmax'd
+    divergence-calibrated exit must reproduce the XLA path exactly
+    (max is an exact reduction, so cycle counts agree)."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 4, interpret=True)(
+        scene.init_state())
+    # Bitwise-equal through step 2; from step 3 FMA-contraction /
+    # reassociation ulps between the two lowered programs accumulate
+    # through MGP's many warm-started smoothing sweeps (measured at
+    # step 4: u 5.6e-7, p'/p ~4e-6 relative, res_p 1.3e-4 relative).
+    np.testing.assert_allclose(np.asarray(ref_state.u),
+                               np.asarray(got_state.u),
+                               rtol=0, atol=1e-5, err_msg="u")
+    np.testing.assert_allclose(np.asarray(ref_state.v),
+                               np.asarray(got_state.v),
+                               rtol=0, atol=1e-5, err_msg="v")
+    for f in ("p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)),
+            rtol=1e-4, atol=1e-6, err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-3, atol=1e-8), f
+
+
 def test_step_shmap_collective_pattern_sor_mg():
     """SOR and fully-sharded multigrid steps keep the pinned
     communication pattern: permutes + scalar reductions, no full-field
@@ -415,7 +459,8 @@ def test_step_shmap_collective_pattern_sor_mg():
     mesh = make_mesh()
     grid = Grid(nx=64, ny=128, lx=4.0, ly=4.0,
                 obstacles=(Cylinder(1.0, 2.0, 0.4),))
-    for solver in (PressureSolver.SOR, PressureSolver.MULTIGRID):
+    for solver in (PressureSolver.SOR, PressureSolver.MULTIGRID,
+                   PressureSolver.MG_PRODUCTION):
         scene = cfd.make_scene(
             grid, SimulationParams(dt=0.002, viscosity=1e-4,
                                    pressure_solver=solver),
