@@ -46,21 +46,23 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="2048^2 only")
     args = ap.parse_args()
-    cases = [(1024, 200), (2048, 100), (4096, 50), (8192, 20),
-             (16384, 10)]
+    # Step counts auto-scaled so device work dominates the fixed
+    # ~20-30 ms axon per-call cost (docs/PERF.md item 9).
+    cases = [(512, 1600), (1024, 400), (2048, 100), (4096, 50),
+             (8192, 20), (16384, 10)]
     if args.quick:
         cases = [(2048, 100)]
-    print(f"{'grid':>6} {'solver':>10} {'impl':>7} {'cu/s':>10} {'ms/step':>9}")
+    print(f"{'grid':>6} {'solver':>12} {'impl':>7} {'cu/s':>10} {'ms/step':>9}")
     for n, steps in cases:
-        for solver in ("jacobi", "sor"):
+        for solver in ("jacobi", "sor", "mg-production"):
             for impl in ("auto", "jnp"):
                 try:
                     rate, per = bench_case(n, steps, solver, impl, impl)
-                    print(f"{n:>6} {solver:>10} {impl:>7} "
-                          f"{rate/1e9:>9.3f}e9 {per*1e3:>8.2f}")
+                    print(f"{n:>6} {solver:>12} {impl:>7} "
+                          f"{rate/1e9:>9.3f}e9 {per*1e3:>8.2f}", flush=True)
                 except Exception as e:
-                    print(f"{n:>6} {solver:>10} {impl:>7}   FAIL "
-                          f"{type(e).__name__}")
+                    print(f"{n:>6} {solver:>12} {impl:>7}   FAIL "
+                          f"{type(e).__name__}", flush=True)
     return 0
 
 
