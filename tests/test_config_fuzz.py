@@ -46,7 +46,8 @@ def _random_case(k):
         target_inlet_velocity=float(rng.uniform(0.0, 2.0)),
         velocity_scheme=VelocityScheme(rng.choice(["first", "second", "quick"])),
         inlet_profile=InletProfile(rng.choice(["uniform", "parabolic"])),
-        pressure_solver=PressureSolver(rng.choice(["jacobi", "sor", "multigrid"])),
+        pressure_solver=PressureSolver(rng.choice(
+            ["jacobi", "sor", "multigrid", "mg-production"])),
         flow_case=flow_case)
     semantics = Semantics.JS if rng.rand() < 0.4 else Semantics.RUST
     opts = solver_options_for(

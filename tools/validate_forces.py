@@ -34,6 +34,10 @@ def main():
                     help="square obstacle (side 1.5) instead of the cylinder")
     ap.add_argument("--scheme", default="first",
                     help="convection scheme: first|second|quick")
+    ap.add_argument("--solver", default="jacobi",
+                    help="pressure solver: jacobi|sor|multigrid|"
+                         "mg-production (validates the production "
+                         "projection reproduces the same physics)")
     ap.add_argument("--grid", default=None, metavar="NXxNY",
                     help="override the 800x264 default (same 30x10 "
                          "domain), e.g. 1600x528 for a D/dx=80 "
@@ -64,10 +68,11 @@ def main():
         grid = Grid(nx=grid.nx, ny=grid.ny, lx=grid.lx, ly=grid.ly,
                     obstacles=(Box(7.5, 5.0, 0.75, 0.75),))
     nu = U * D / args.re
-    from cfd_demo_tpu import VelocityScheme
+    from cfd_demo_tpu import PressureSolver, VelocityScheme
     scene = cfd.make_scene(
         grid, SimulationParams(dt=0.004, viscosity=nu,
-                               velocity_scheme=VelocityScheme(args.scheme)),
+                               velocity_scheme=VelocityScheme(args.scheme),
+                               pressure_solver=PressureSolver(args.solver)),
         solver_options_for(Semantics.RUST))
     cv = default_control_volume(grid, margin=1.5)
     print(f"Re={args.re} nu={nu:.4g} cv={cv} "
