@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--fuse-k", type=int, default=0,
                     help="override the fused-Jacobi launch granularity "
                          "(0 = size-tuned auto, solver.piso.resolve_fuse_k)")
+    ap.add_argument("--mgp-rtol", type=float, default=0.0,
+                    help="production mode only: relative-reduction exit "
+                         "(max|r| <= rtol * warm-start residual, combined "
+                         "with the absolute div-calibrated tol); makes the "
+                         "V-cycle count resolution-independent at >= 4096^2 "
+                         "where the absolute tol alone needs ever more "
+                         "cycles (docs/PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +81,8 @@ def main():
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
                                   outer_corrector_rounds=0,
                                   pressure_impl=args.impl,
-                                  pallas_fuse_k=args.fuse_k)
+                                  pallas_fuse_k=args.fuse_k,
+                                  mgp_rtol=args.mgp_rtol)
     else:
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
                                   pressure_impl=args.impl,

@@ -221,6 +221,15 @@ class SolverOptions:
     projection_div_tol: float = 1e-3
     mgp_smooth: int = 3
     mgp_max_cycles: int = 30
+    # > 0 adds a relative exit: cycles stop once max|residual| falls to
+    # mgp_rtol x the warm-start residual (combined as
+    # max(abs_tol, rtol * r0) -- whichever is reached first wins).
+    # Multigrid contracts the residual by a ~constant factor per
+    # V-cycle, so this makes the cycle count resolution-independent;
+    # the pure-absolute exit (rtol = 0, default) needs ever more
+    # cycles as dx shrinks because the residual scale grows ~1/dx^2
+    # while projection_div_tol stays fixed (docs/PERF.md).
+    mgp_rtol: float = 0.0
     outer_corrector_rounds: int = 20  # Rust only (model.rs:696); JS has 0
     outer_corrector_tol: float = 1e-4  # model.rs:721
     ramp_up_steps: int = 100

@@ -420,8 +420,19 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
     On TPU at scale the whole V-cycle runs as the interleaved-level
     Pallas kernels with the BC-aware damped smoother
     (kernels.mg_pallas.multigrid_production_pallas; same numerics).
+
+    ``opts.mgp_rtol`` > 0 widens the exit to
+    max(tol_r, rtol * max|rhs - A p'_0|): a relative-reduction
+    criterion against the warm-start residual, computed here so every
+    implementation tier (XLA, whole-cycle Pallas, explicit shard_map)
+    shares the identical threshold.
     """
     import jax as _jax
+    p0 = bc(pp0)
+    if getattr(opts, "mgp_rtol", 0.0) > 0.0:
+        err0 = jnp.max(jnp.abs(_mg_residual(p0, rhs, dx, dy)))
+        tol_r = jnp.maximum(jnp.asarray(tol_r, pp0.dtype),
+                            opts.mgp_rtol * err0)
     if (opts.pressure_impl in ("auto", "pallas")
             and _jax.default_backend() in ("tpu", "axon")
             and pp0.dtype == jnp.float32
@@ -440,7 +451,7 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
         err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
         return p, err
 
-    return _masked_while(cycle, bc(pp0), tol_r, opts.mgp_max_cycles)
+    return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
 
 
 def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,

@@ -256,7 +256,9 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
     """Shard-local MG_PRODUCTION solve (ops.poisson.multigrid_production
     under explicit sharding): warm-started BC-aware V-cycles until the
     globally pmax'd max|rhs - A p'| <= tol_r, at most mgp_max_cycles.
-    Returns (local p', global max|residual|)."""
+    opts.mgp_rtol > 0 widens tol_r to max(tol_r, rtol * r0) exactly as
+    ops.poisson.multigrid_production does, with r0 the globally pmax'd
+    warm-start residual. Returns (local p', global max|residual|)."""
     from ..ops.poisson import _masked_while
 
     def cycle(p_loc):
@@ -268,6 +270,11 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
         return p_loc, err
 
     p0 = _bc_shard(pp0_loc, gny, nx, axis, cavity)
+    if getattr(opts, "mgp_rtol", 0.0) > 0.0:
+        r0 = _residual_shard(p0, rhs_loc, gny, nx, dx, dy, axis)
+        err0 = lax.pmax(jnp.max(jnp.abs(r0)), axis)
+        tol_r = jnp.maximum(jnp.asarray(tol_r, pp0_loc.dtype),
+                            opts.mgp_rtol * err0)
     p_loc, err, _ = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
     return p_loc, err
 

@@ -54,7 +54,8 @@ def _random_case(k):
         semantics, ramp_up_steps=int(rng.randint(1, 20)),
         jacobi_iters=int(rng.randint(3, 20)),
         outer_corrector_rounds=int(rng.choice([0, 1, 3])),
-        early_exit=bool(rng.rand() < 0.5))
+        early_exit=bool(rng.rand() < 0.5),
+        mgp_rtol=float(rng.choice([0.0, 1e-2])))
     return grid, params, opts
 
 

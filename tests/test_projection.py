@@ -86,6 +86,50 @@ def test_divergence_bound_after_projection():
     assert mgp_max < jac_max
 
 
+def test_rtol_exit_bounds_relative_reduction():
+    """mgp_rtol > 0 widens the exit to max(abs, rtol * warm-start
+    residual): with a far-out-of-reach absolute tol the solve exits on
+    the relative criterion in a resolution-independent handful of
+    cycles (multigrid contracts the residual ~constant factor/cycle),
+    and the final residual really is <= rtol * r0."""
+    rng = np.random.default_rng(3)
+    cycles = []
+    for ny, nx in ((32, 32), (64, 64), (128, 128)):
+        dx = dy = 1.0 / nx
+        rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+        pp0 = jnp.zeros((ny, nx), jnp.float32)
+        r0 = float(jnp.max(jnp.abs(_mg_residual(
+            _apply_pprime_bcs(pp0), rhs, dx, dy))))
+        pp, err, n = jax.jit(lambda p, r, d=dx: multigrid_production(
+            p, r, d, d, _opts(mgp_rtol=1e-2), 1e-30))(pp0, rhs)
+        assert float(err) <= 1e-2 * r0 * 1.0001, (ny, nx)
+        cycles.append(int(n))
+    # Near-resolution-independent cycle count (random rhs gives a few
+    # cycles of drift between tiers; the absolute-tol mode by contrast
+    # grows ~4x per refinement and hits the 30-cycle cap -- PERF.md).
+    assert max(cycles) <= min(cycles) + 4, cycles
+    assert max(cycles) < _opts().mgp_max_cycles, cycles
+
+
+def test_rtol_inactive_when_absolute_dominates():
+    """A tiny mgp_rtol leaves the combined threshold equal to the
+    absolute tol_r, reproducing the default-mode solve exactly
+    (cycle count and bits)."""
+    ny, nx = 64, 96
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(4)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = jnp.zeros((ny, nx), jnp.float32)
+    tol_r = 1e-2 * float(jnp.max(jnp.abs(rhs)))
+    base = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(), tol_r))(pp0, rhs)
+    tiny = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(mgp_rtol=1e-12), tol_r))(pp0, rhs)
+    np.testing.assert_array_equal(np.asarray(base[0]),
+                                  np.asarray(tiny[0]))
+    assert int(base[2]) == int(tiny[2])
+
+
 def test_vmap_batch_freezes_per_element():
     """Masked convergence under vmap: each batch element's solve stops
     at its own tolerance crossing (matches unbatched)."""

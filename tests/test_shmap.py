@@ -446,6 +446,40 @@ def test_step_shmap_mg_production():
                           rtol=1e-3, atol=1e-8), f
 
 
+def test_step_shmap_mg_production_rtol():
+    """The relative-reduction exit (opts.mgp_rtol, widening tol_r to
+    max(abs, rtol * warm-start residual)) must agree between the
+    explicit sharded solve (pmax'd r0, shard/mg_shmap.py) and the
+    single-device path -- including the per-substep cycle counts that
+    the shared threshold determines."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        pressure_impl="jnp", substep_impl="jnp", mgp_rtol=5e-2)
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())
+    got_state, _ = make_run_shmap(scene, make_mesh(), 3, interpret=True)(
+        scene.init_state())
+    np.testing.assert_allclose(np.asarray(ref_state.u),
+                               np.asarray(got_state.u),
+                               rtol=0, atol=1e-5, err_msg="u")
+    np.testing.assert_allclose(np.asarray(ref_state.p),
+                               np.asarray(got_state.p),
+                               rtol=1e-4, atol=1e-6, err_msg="p")
+    for f in ("res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-3, atol=1e-8), f
+
+
 def test_step_shmap_collective_pattern_sor_mg():
     """SOR and fully-sharded multigrid steps keep the pinned
     communication pattern: permutes + scalar reductions, no full-field
