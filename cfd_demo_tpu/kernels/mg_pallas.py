@@ -59,6 +59,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HALO = 8  # 8-row halos keep every DMA start sublane-aligned
 
+# Mosaic's scoped-VMEM budget shared by every tiling search below
+# (monkeypatched small by tests to force the 2-D fall-through path on
+# CPU-sized grids).
+_VMEM_LIMIT = 14 * 1024 * 1024
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
@@ -113,11 +118,101 @@ def _kernel_smooth(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem,
     out_cp.wait()
 
 
+def _kernel_smooth2d(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem,
+                     *, nyr, ncx, nxp, s, bs, bsx, halo, ch, k, dx2,
+                     dy2):
+    """Column-tiled variant of _kernel_smooth for levels too wide for
+    any full-width row block: lane windows carry a ch-lane halo
+    (>= k*s, so k sweeps of wrap-garbage never reach the owned tile;
+    masks stay global-index-based so every block applies exactly the
+    rows/lanes it owns)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * ch
+    row0 = i * bs
+    col0 = j * bsx
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, nyr - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - ch, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cp1 = pltpu.make_async_copy(
+        p_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], p_win, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], rhs_win,
+        sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gl = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    interior = ((gr >= 1) & (gr <= nyr - 2)
+                & ((gl & (s - 1)) == 0)
+                & (gl >= s) & (gl <= (ncx - 2) * s))
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    rhs = br * rhs_win[:]
+
+    def body(_, c):
+        p = p_win[:]
+        update = (bx * (pltpu.roll(p, cw - s, 1) + pltpu.roll(p, s, 1))
+                  + by * (pltpu.roll(p, w - 1, 0) + pltpu.roll(p, 1, 0))
+                  - rhs)
+        p_win[:] = jnp.where(interior, update, p)
+        return c
+
+    lax.fori_loop(0, k, body, 0)
+    out_cp = pltpu.make_async_copy(
+        p_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
+        sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
 def mg_smooth_int(p, rhs, dx, dy, s, ncx, iterations, block_rows=256,
-                  interpret=False):
-    """k interior sweeps on an interleaved (nyr, nxp) level."""
+                  interpret=False, tiling="auto"):
+    """k interior sweeps on an interleaved (nyr, nxp) level.
+
+    ``tiling``: "auto" uses full-width row blocks when any fit VMEM and
+    falls through to 2-D column tiles (wide levels); "1d"/"2d" force a
+    path (tests, A/B)."""
     nyr, nxp = p.shape
-    bs, halo = _tile(nyr, nxp, iterations, block_rows, n_temps=6)
+    if tiling == "1d":
+        tiles = ("1d",) + _tile(nyr, nxp, iterations, block_rows, 6)
+    elif tiling == "2d":
+        tiles = ("2d",) + _tile2d(nyr, nxp, iterations, iterations * s,
+                                  8, block_rows)
+    else:
+        tiles = _smooth_tiles(nyr, nxp, iterations, s, block_rows)
+    if tiles[0] == "2d":
+        _, bs, halo, bsx, ch = tiles
+        w = bs + 2 * halo
+        cw = bsx + 2 * ch
+        kern = functools.partial(_kernel_smooth2d, nyr=nyr, ncx=ncx,
+                                 nxp=nxp, s=s, bs=bs, bsx=bsx, halo=halo,
+                                 ch=ch, k=iterations, dx2=dx * dx,
+                                 dy2=dy * dy)
+        return pl.pallas_call(
+            kern,
+            grid=(nyr // bs, nxp // bsx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nyr, nxp), p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.VMEM((w, cw), rhs.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(p, rhs)
+    _, bs, halo = tiles
     w = bs + 2 * halo
     kern = functools.partial(_kernel_smooth, nyr=nyr, ncx=ncx, nxp=nxp,
                              s=s, bs=bs, halo=halo, k=iterations,
@@ -140,7 +235,7 @@ def mg_smooth_int(p, rhs, dx, dy, s, ncx, iterations, block_rows=256,
 
 
 def _tile(nyr: int, width: int, k: int, block_rows: int, n_temps: int):
-    limit = 14 * 1024 * 1024
+    limit = _VMEM_LIMIT
 
     def fits(bs, halo):
         w = bs + 2 * halo
@@ -155,6 +250,92 @@ def _tile(nyr: int, width: int, k: int, block_rows: int, n_temps: int):
             return bs, halo
         bs //= 2
     raise ValueError(f"no mg tiling for nyr={nyr}, k={k}")
+
+
+def _tile2d(nyp: int, width: int, k_rows: int, reach_lanes: int,
+            n_bufs: int, block_rows: int):
+    """2-D (row x column) tiling for levels too wide for any full-width
+    row block (>= 8192 lanes; the packed transfer windows are 2x lane
+    width): column windows carry a lane halo covering the kernel's
+    full lane reach, rounded to the 128-lane DMA alignment. Returns
+    (bs, halo, bsx, ch); picks the feasible tile with the least
+    window-read redundancy. Raises ValueError when none exists."""
+    halo = _round_up(max(k_rows, _HALO), 8)
+    ch = _round_up(max(reach_lanes, 128), 128)
+
+    def fits(bs, bsx):
+        return ((n_bufs * (bs + 2 * halo) * (bsx + 2 * ch)
+                 + bs * bsx) * 4 <= _VMEM_LIMIT)
+
+    best = None
+    bs = block_rows
+    while bs >= 8:
+        if nyp % bs == 0 and nyp >= bs + 2 * halo:
+            bsx = width // 2
+            while bsx >= 128:
+                if (bsx % 128 == 0 and width % bsx == 0
+                        and width >= bsx + 2 * ch and fits(bs, bsx)):
+                    # window area per owned cell
+                    cost = ((bs + 2 * halo) * (bsx + 2 * ch)) / (bs * bsx)
+                    if best is None or cost < best[0]:
+                        best = (cost, bs, halo, bsx, ch)
+                    break  # larger bsx always beats smaller at this bs
+                bsx //= 2
+        bs //= 2
+    if best is None:
+        raise ValueError(
+            f"no 2-D mg tiling for nyp={nyp}, width={width}, "
+            f"reach={reach_lanes}")
+    return best[1:]
+
+
+# Per-kernel tiling resolution: 1-D full-width row blocks vs 2-D
+# column tiles by least window-read redundancy (window cells DMA'd per
+# owned cell): a wide grid that only affords tiny full-width row
+# blocks pays more in halo re-reads than a 2-D column tile does.
+# Shared by the wrappers and the _level_ok gate so they never disagree.
+
+def _resolve_tiles(one_d, two_d):
+    t1 = None
+    try:
+        t1 = one_d()
+    except ValueError:
+        pass
+    if t1 is not None and t1[1] == 0:
+        return ("1d",) + t1  # whole level in one window: optimal
+    try:
+        t2 = two_d()
+    except ValueError:
+        if t1 is not None:
+            return ("1d",) + t1
+        raise
+    if t1 is not None:
+        cost1 = (t1[0] + 2 * t1[1]) / t1[0]
+        cost2 = ((t2[0] + 2 * t2[1]) * (t2[2] + 2 * t2[3])
+                 / (t2[0] * t2[2]))
+        if cost1 <= cost2:
+            return ("1d",) + t1
+    return ("2d",) + t2
+
+
+def _smooth_tiles(nyr, nxp, k, s, block_rows):
+    return _resolve_tiles(
+        lambda: _tile(nyr, nxp, k, block_rows, n_temps=6),
+        lambda: _tile2d(nyr, nxp, k, k * s, 8, block_rows))
+
+
+def _restrict_tiles(nyp, nxp, s, block_rows):
+    # Packed-row reach: residual reads +-1 packed row, the row
+    # weighting one more below -> 2; lane reach: residual s + rx s.
+    return _resolve_tiles(
+        lambda: _tile(nyp, 2 * nxp, 1, block_rows, n_temps=8),
+        lambda: _tile2d(nyp, nxp, 2, 2 * s, 12, block_rows))
+
+
+def _prolong_tiles(nyc, nxp, s, block_rows):
+    return _resolve_tiles(
+        lambda: _tile(nyc, 2 * nxp, 1, block_rows, n_temps=8),
+        lambda: _tile2d(nyc, nxp, 1, s, 10, block_rows))
 
 
 # ---------------------------------------------------------------------------
@@ -240,15 +421,129 @@ def _kernel_restrict(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem,
     out_cp.wait()
 
 
+def _kernel_restrict2d(pk_hbm, rk_hbm, out_ref, pE_win, pO_win, rE_win,
+                       rO_win, sem, *, nyr, ncx, nxp, s, bs, bsx, halo,
+                       ch, dx2, dy2):
+    """Column-tiled variant of _kernel_restrict: the even/odd fine-row
+    planes are DMA'd as two lane windows of the packed array (plane E =
+    packed lanes [l, l+cw), plane O = [nxp+l, nxp+l+cw)), so no window
+    ever spans the full 2*nxp packed width. Lane halo ch >= 2s covers
+    the residual + weighting reach."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * ch
+    nyp = nyr // 2  # packed rows
+    row0 = i * bs
+    col0 = j * bsx
+    start = pl.multiple_of(jnp.clip(row0 - halo, 0, nyp - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - ch, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cps = [pltpu.make_async_copy(
+               pk_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], pE_win,
+               sem.at[0]),
+           pltpu.make_async_copy(
+               pk_hbm.at[pl.ds(start, w), pl.ds(nxp + cstart, cw)],
+               pO_win, sem.at[1]),
+           pltpu.make_async_copy(
+               rk_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], rE_win,
+               sem.at[2]),
+           pltpu.make_async_copy(
+               rk_hbm.at[pl.ds(start, w), pl.ds(nxp + cstart, cw)],
+               rO_win, sem.at[3])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    pE, pO = pE_win[:], pO_win[:]
+    rhE, rhO = rE_win[:], rO_win[:]
+    gp = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gl = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    lane_ok = (((gl & (s - 1)) == 0)
+               & (gl >= s) & (gl <= (ncx - 2) * s))
+    denom = jnp.float32(2.0 / dx2 + 2.0 / dy2)
+    idx2 = jnp.float32(1.0 / dx2)
+    idy2 = jnp.float32(1.0 / dy2)
+
+    def up(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def down(a):
+        return pltpu.roll(a, 1, 0)
+
+    def lap_x(a):
+        return idx2 * (pltpu.roll(a, cw - s, 1) + pltpu.roll(a, s, 1))
+
+    intE = lane_ok & (gp >= 1)
+    intO = lane_ok & (gp <= nyr // 2 - 2)
+    apE = lap_x(pE) + idy2 * (pO + down(pO)) - denom * pE
+    apO = lap_x(pO) + idy2 * (up(pE) + pE) - denom * pO
+    rE = jnp.where(intE, rhE - apE, 0.0)
+    rO = jnp.where(intO, rhO - apO, 0.0)
+
+    def rx(a):
+        return (0.5 * a
+                + 0.25 * (pltpu.roll(a, cw - s, 1) + pltpu.roll(a, s, 1)))
+
+    rxE = rx(rE)
+    rxO = rx(rO)
+    w9 = 0.5 * rxE + 0.25 * (rxO + down(rxO))
+    s2 = 2 * s
+    ncx2 = (ncx + 1) // 2
+    nyc = (nyr + 1) // 2
+    core = (((gl & (s2 - 1)) == 0)
+            & (gl >= s2) & (gl <= (ncx2 - 2) * s2)
+            & (gp >= 1) & (gp <= nyc - 2))
+    pE_win[:] = jnp.where(core, w9, 0.0)
+    out_cp = pltpu.make_async_copy(
+        pE_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
+        sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
 def mg_residual_restrict_int(p, rhs, dx, dy, s, ncx, block_rows=256,
-                             interpret=False):
+                             interpret=False, tiling="auto"):
     """Fine interleaved level (nyr, nxp; stride s) -> coarse rhs
     (nyr//2, nxp; stride 2s). Requires even nyr and even ncx."""
     nyr, nxp = p.shape
     nyc = nyr // 2
     pk = p.reshape(nyc, 2 * nxp)      # free: row-major bitcast
     rk = rhs.reshape(nyc, 2 * nxp)
-    bs, halo = _tile(nyc, 2 * nxp, 1, block_rows, n_temps=8)
+    if tiling == "1d":
+        tiles = ("1d",) + _tile(nyc, 2 * nxp, 1, block_rows, 8)
+    elif tiling == "2d":
+        tiles = ("2d",) + _tile2d(nyc, nxp, 2, 2 * s, 12, block_rows)
+    else:
+        tiles = _restrict_tiles(nyc, nxp, s, block_rows)
+    if tiles[0] == "2d":
+        _, bs, halo, bsx, ch = tiles
+        w = bs + 2 * halo
+        cw = bsx + 2 * ch
+        kern = functools.partial(_kernel_restrict2d, nyr=nyr, ncx=ncx,
+                                 nxp=nxp, s=s, bs=bs, bsx=bsx, halo=halo,
+                                 ch=ch, dx2=dx * dx, dy2=dy * dy)
+        return pl.pallas_call(
+            kern,
+            grid=(nyc // bs, nxp // bsx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nyc, nxp), p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.VMEM((w, cw), rhs.dtype),
+                pltpu.VMEM((w, cw), rhs.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(pk, rk)
+    _, bs, halo = tiles
     w = bs + 2 * halo
     kern = functools.partial(_kernel_restrict, nyr=nyr, ncx=ncx, nxp=nxp,
                              s=s, bs=bs, halo=halo, dx2=dx * dx,
@@ -327,14 +622,103 @@ def _kernel_prolong(e_hbm, p_hbm, out_ref, e_win, p_win, sem,
     o2.wait()
 
 
-def mg_prolong_add_int(e, p, s, ncx, block_rows=256, interpret=False):
+def _kernel_prolong2d(e_hbm, pk_hbm, out_hbm, e_win, pE_win, pO_win,
+                      sem, *, nyr, ncx, nxp, s, bs, bsx, halo, ch):
+    """Column-tiled variant of _kernel_prolong: the packed fine planes
+    arrive as two lane windows (see _kernel_restrict2d) and the output
+    planes leave as two manually-DMA'd lane slices of the packed
+    (nyc, 2*nxp) output. Lane halo ch >= s covers the x-interpolation
+    reach."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * ch
+    nyc = nyr // 2
+    row0 = pl.multiple_of(i * bs, 8)
+    col0 = pl.multiple_of(j * bsx, 128)
+    start = pl.multiple_of(jnp.clip(row0 - halo, 0, nyc - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - ch, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cps = [pltpu.make_async_copy(
+               e_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], e_win,
+               sem.at[0]),
+           pltpu.make_async_copy(
+               pk_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], pE_win,
+               sem.at[1]),
+           pltpu.make_async_copy(
+               pk_hbm.at[pl.ds(start, w), pl.ds(nxp + cstart, cw)],
+               pO_win, sem.at[2])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    e = e_win[:]
+    gc = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gl = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    s2 = 2 * s
+    left = pltpu.roll(e, s, 1)
+    right = pltpu.roll(e, cw - s, 1)
+    odd_lane = (gl & (s2 - 1)) == s
+    last_odd = gl == (ncx - 1) * s
+    xrow = jnp.where(odd_lane, 0.5 * (left + right), e)
+    xrow = jnp.where(last_odd, left, xrow)
+    xup = pltpu.roll(xrow, w - 1, 0)
+    po = jnp.where(gc == nyc - 1, xrow, 0.5 * (xrow + xup))
+    e_win[:] = xrow + pE_win[:]
+    pE_win[:] = po + pO_win[:]
+    o1 = pltpu.make_async_copy(
+        e_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)],
+        out_hbm.at[pl.ds(row0, bs), pl.ds(col0, bsx)], sem.at[0])
+    o2 = pltpu.make_async_copy(
+        pE_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)],
+        out_hbm.at[pl.ds(row0, bs), pl.ds(nxp + col0, bsx)], sem.at[1])
+    o1.start()
+    o2.start()
+    o1.wait()
+    o2.wait()
+
+
+def mg_prolong_add_int(e, p, s, ncx, block_rows=256, interpret=False,
+                       tiling="auto"):
     """p + prolong(e): e is the coarse (nyc, nxp; stride 2s) level,
     p the fine interleaved (nyr, nxp; stride s) level."""
     nyr, nxp = p.shape
     nyc = nyr // 2
     assert e.shape == (nyc, nxp)
     pk = p.reshape(nyc, 2 * nxp)
-    bs, halo = _tile(nyc, 2 * nxp, 1, block_rows, n_temps=8)
+    if tiling == "1d":
+        tiles = ("1d",) + _tile(nyc, 2 * nxp, 1, block_rows, 8)
+    elif tiling == "2d":
+        tiles = ("2d",) + _tile2d(nyc, nxp, 1, s, 10, block_rows)
+    else:
+        tiles = _prolong_tiles(nyc, nxp, s, block_rows)
+    if tiles[0] == "2d":
+        _, bs, halo, bsx, ch = tiles
+        w = bs + 2 * halo
+        cw = bsx + 2 * ch
+        kern = functools.partial(_kernel_prolong2d, nyr=nyr, ncx=ncx,
+                                 nxp=nxp, s=s, bs=bs, bsx=bsx,
+                                 halo=halo, ch=ch)
+        out = pl.pallas_call(
+            kern,
+            grid=(nyc // bs, nxp // bsx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((nyc, 2 * nxp), p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((w, cw), e.dtype),
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            interpret=interpret,
+        )(e, pk)
+        return out.reshape(nyr, nxp)
+    _, bs, halo = tiles
     w = bs + 2 * halo
     kern = functools.partial(_kernel_prolong, nyr=nyr, ncx=ncx, nxp=nxp,
                              s=s, bs=bs, halo=halo)
@@ -379,7 +763,9 @@ def _interleave(x, s, nxp):
 
 
 def _level_ok(nyr, ncx, ncy, s, nxp, ksmooth):
-    """Use the Pallas kernels at this level?"""
+    """Use the Pallas kernels at this level? (1-D full-width row blocks
+    or, for wide levels, 2-D column tiles -- whichever the wrappers
+    would resolve to.)"""
     if nyr % 8 != 0 or nyr < 16:
         return False
     if ncx % 2 or ncy % 2 or ncx <= 4 or ncy <= 4:
@@ -387,8 +773,9 @@ def _level_ok(nyr, ncx, ncy, s, nxp, ksmooth):
     if s > nxp // 8:
         return False
     try:
-        _tile(nyr // 2, 2 * nxp, 1, 256, n_temps=8)
-        _tile(nyr, nxp, ksmooth, 256, n_temps=6)
+        _smooth_tiles(nyr, nxp, ksmooth, s, 256)
+        _restrict_tiles(nyr // 2, nxp, s, 256)
+        _prolong_tiles(nyr // 2, nxp, s, 256)
         return True
     except ValueError:
         return False
@@ -532,11 +919,139 @@ def _kernel_smooth_mgp(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem, *,
     out_cp.wait()
 
 
+def _kernel_smooth_mgp2d(p_hbm, rhs_hbm, out_ref, p_win, rhs_win, sem,
+                         *, nyr, ncx, nxp, s, bs, bsx, halo, ch, k,
+                         dx2, dy2, omega, cavity):
+    """Column-tiled variant of _kernel_smooth_mgp (see
+    _kernel_smooth2d for the windowing): ch >= k*s lanes of halo, all
+    BC-folding masks on global indices. The final BC refresh only
+    *applies* at global boundary rows/lanes, which occur exclusively in
+    edge-clamped windows where the window edge IS the array edge, so
+    its neighbor reads are always within the valid region."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * ch
+    row0 = i * bs
+    col0 = j * bsx
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, nyr - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - ch, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cp1 = pltpu.make_async_copy(
+        p_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], p_win, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], rhs_win,
+        sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gl = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    last = (ncx - 1) * s
+    interior = ((gr >= 1) & (gr <= nyr - 2)
+                & ((gl & (s - 1)) == 0)
+                & (gl >= s) & (gl <= last - s))
+    is_bot = gr == 0
+    is_top = gr == nyr - 1
+    is_left = gl == 0
+    is_right = gl == last
+    adj_bot = gr == 1
+    adj_top = gr == nyr - 2
+    adj_left = gl == s
+    adj_right = gl == last - s
+
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    rhs = ar * rhs_win[:]
+
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, cw - s, 1)
+
+    def west(a):
+        return pltpu.roll(a, s, 1)
+
+    def body(_, c):
+        pp = p_win[:]
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
+        p_win[:] = jnp.where(interior, new, pp)
+        return c
+
+    lax.fori_loop(0, k, body, 0)
+
+    pp = p_win[:]
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    p_win[:] = pp
+    out_cp = pltpu.make_async_copy(
+        p_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
+        sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
 def mgp_smooth_int(p, rhs, dx, dy, s, ncx, iterations, omega, cavity,
-                   block_rows=256, interpret=False):
+                   block_rows=256, interpret=False, tiling="auto"):
     """k BC-aware damped sweeps on an interleaved (nyr, nxp) level."""
     nyr, nxp = p.shape
-    bs, halo = _tile(nyr, nxp, iterations, block_rows, n_temps=6)
+    if tiling == "1d":
+        tiles = ("1d",) + _tile(nyr, nxp, iterations, block_rows, 6)
+    elif tiling == "2d":
+        tiles = ("2d",) + _tile2d(nyr, nxp, iterations, iterations * s,
+                                  8, block_rows)
+    else:
+        tiles = _smooth_tiles(nyr, nxp, iterations, s, block_rows)
+    if tiles[0] == "2d":
+        _, bs, halo, bsx, ch = tiles
+        w = bs + 2 * halo
+        cw = bsx + 2 * ch
+        kern = functools.partial(_kernel_smooth_mgp2d, nyr=nyr, ncx=ncx,
+                                 nxp=nxp, s=s, bs=bs, bsx=bsx, halo=halo,
+                                 ch=ch, k=iterations, dx2=dx * dx,
+                                 dy2=dy * dy, omega=omega, cavity=cavity)
+        return pl.pallas_call(
+            kern,
+            grid=(nyr // bs, nxp // bsx),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nyr, nxp), p.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((w, cw), p.dtype),
+                pltpu.VMEM((w, cw), rhs.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(p, rhs)
+    _, bs, halo = tiles
     w = bs + 2 * halo
     kern = functools.partial(_kernel_smooth_mgp, nyr=nyr, ncx=ncx,
                              nxp=nxp, s=s, bs=bs, halo=halo, k=iterations,

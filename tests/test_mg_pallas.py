@@ -163,3 +163,100 @@ def test_multigrid_production_pallas_matches_xla():
                                rtol=0, atol=1e-5)
     assert np.isclose(float(err_ref), float(err_got),
                       rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("ncx,s", [(500, 1), (200, 2)])
+def test_mg_kernels_2d_tiling_match_1d(ncx, s):
+    """Column-tiled (2-D) kernel variants vs the full-width 1-D path on
+    a wide level: parity smoother, restrict and prolong must agree to
+    float noise (the 2-D path is what unlocks >= 8192-lane levels,
+    where the packed transfer windows exceed any full-width row
+    block -- docs/PERF.md)."""
+    from cfd_demo_tpu.kernels.mg_pallas import (
+        _interleave, mg_prolong_add_int, mg_residual_restrict_int,
+        mg_smooth_int)
+    rng = np.random.default_rng(7)
+    ncy, nxp = 64, 512
+    dx = dy = 1.0
+    p_i = _interleave(jnp.asarray(
+        rng.standard_normal((ncy, ncx)), jnp.float32), s, nxp)
+    r_i = _interleave(jnp.asarray(
+        rng.standard_normal((ncy, ncx)), jnp.float32), s, nxp)
+
+    sm1 = mg_smooth_int(p_i, r_i, dx, dy, s, ncx, 5, interpret=True,
+                        tiling="1d")
+    sm2 = mg_smooth_int(p_i, r_i, dx, dy, s, ncx, 5, interpret=True,
+                        tiling="2d")
+    np.testing.assert_allclose(np.asarray(sm1), np.asarray(sm2),
+                               rtol=0, atol=1e-6)
+
+    rr1 = mg_residual_restrict_int(p_i, r_i, dx, dy, s, ncx,
+                                   interpret=True, tiling="1d")
+    rr2 = mg_residual_restrict_int(p_i, r_i, dx, dy, s, ncx,
+                                   interpret=True, tiling="2d")
+    np.testing.assert_allclose(np.asarray(rr1), np.asarray(rr2),
+                               rtol=0, atol=1e-6)
+
+    e_i = _interleave(jnp.asarray(
+        rng.standard_normal(((ncy + 1) // 2, (ncx + 1) // 2)),
+        jnp.float32), 2 * s, nxp)
+    pa1 = mg_prolong_add_int(e_i, p_i, s, ncx, interpret=True,
+                             tiling="1d")
+    pa2 = mg_prolong_add_int(e_i, p_i, s, ncx, interpret=True,
+                             tiling="2d")
+    np.testing.assert_allclose(np.asarray(pa1), np.asarray(pa2),
+                               rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("cavity", [False, True])
+def test_mgp_smooth_2d_tiling_matches_1d(cavity):
+    """BC-aware damped smoother through the 2-D column tiles, with
+    garbage boundary input (the folding contract must hold in every
+    window position, including the edge-clamped ones)."""
+    from cfd_demo_tpu.kernels.mg_pallas import _interleave, mgp_smooth_int
+    rng = np.random.default_rng(8)
+    ncy, ncx, s, nxp = 64, 500, 1, 512
+    p_i = _interleave(jnp.asarray(
+        rng.standard_normal((ncy, ncx)), jnp.float32), s, nxp)
+    r_i = _interleave(jnp.asarray(
+        rng.standard_normal((ncy, ncx)), jnp.float32), s, nxp)
+    got1 = mgp_smooth_int(p_i, r_i, 1.0, 1.0, s, ncx, iterations=4,
+                          omega=0.75, cavity=cavity, interpret=True,
+                          tiling="1d")
+    got2 = mgp_smooth_int(p_i, r_i, 1.0, 1.0, s, ncx, iterations=4,
+                          omega=0.75, cavity=cavity, interpret=True,
+                          tiling="2d")
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(got2),
+                               rtol=0, atol=1e-6)
+
+
+def test_mgp_vcycle_forced_2d_matches_xla(monkeypatch):
+    """A full BC-aware V-cycle with every level forced through the 2-D
+    column tiles (falling back to 1-D only where no 2-D tiling exists)
+    vs ops.poisson._mgp_vcycle -- pins the composed transfer chain on
+    the wide-grid code path end to end."""
+    from cfd_demo_tpu.kernels import mg_pallas
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs, _mgp_vcycle
+
+    def force_2d(one_d, two_d):
+        try:
+            return ("2d",) + two_d()
+        except ValueError:
+            return ("1d",) + one_d()
+
+    monkeypatch.setattr(mg_pallas, "_resolve_tiles", force_2d)
+    ny, nx = 64, 500
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(9)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = _apply_pprime_bcs(
+        jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    opts = solver_options_for(Semantics.RUST)
+    ref = _mgp_vcycle(pp0, rhs, dx, dy, opts, _apply_pprime_bcs)
+    nxp = mg_pallas._round_up(nx, 128)
+    pad = ((0, 0), (0, nxp - nx))
+    got = mg_pallas._vcycle_mgp_int(
+        jnp.pad(pp0, pad), jnp.pad(rhs, pad), dx, dy, 1, nx, ny, opts,
+        _apply_pprime_bcs, False, interpret=True)[:, :nx]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-5)
