@@ -267,20 +267,23 @@ def _tile2d(nyp: int, width: int, k_rows: int, reach_lanes: int,
         return ((n_bufs * (bs + 2 * halo) * (bsx + 2 * ch)
                  + bs * bsx) * 4 <= _VMEM_LIMIT)
 
+    # Column tiles must be 128-aligned divisors of the (128-aligned)
+    # width -- which need not be a power of two (e.g. nxp = 8064 =
+    # 128 * 63), so enumerate divisors rather than halving.
+    nlanes = width // 128
+    cands = [d * 128 for d in range(nlanes // 2, 0, -1)
+             if nlanes % d == 0]
     best = None
     bs = block_rows
     while bs >= 8:
         if nyp % bs == 0 and nyp >= bs + 2 * halo:
-            bsx = width // 2
-            while bsx >= 128:
-                if (bsx % 128 == 0 and width % bsx == 0
-                        and width >= bsx + 2 * ch and fits(bs, bsx)):
+            for bsx in cands:
+                if width >= bsx + 2 * ch and fits(bs, bsx):
                     # window area per owned cell
                     cost = ((bs + 2 * halo) * (bsx + 2 * ch)) / (bs * bsx)
                     if best is None or cost < best[0]:
                         best = (cost, bs, halo, bsx, ch)
                     break  # larger bsx always beats smaller at this bs
-                bsx //= 2
         bs //= 2
     if best is None:
         raise ValueError(

@@ -383,3 +383,82 @@ def test_fused_outer_rounds_matches_jnp(nx, ny):
     for f in ("u", "v", "p"):
         err = float(jnp.max(jnp.abs(getattr(a, f) - getattr(b, f))))
         assert err < 1e-4, (nx, ny, f, err)
+
+
+def test_mg_kernels_2d_tiling_on_hardware():
+    """Interleaved multigrid kernels through the 2-D column tiles at an
+    8192-lane level on the real chip, vs the XLA ops on compact arrays
+    (no full-width 1-D restrict/prolong tiling exists at this width --
+    unlocking it is the point of the 2-D path); plus the composed
+    BC-aware MGP V-cycle vs the XLA kit at the same width."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.core.config import Semantics, solver_options_for
+    from cfd_demo_tpu.kernels.mg_pallas import (
+        _compact, _interleave, _round_up, _vcycle_mgp_int,
+        mg_prolong_add_int, mg_residual_restrict_int, mg_smooth_int,
+        mgp_smooth_int)
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs, _mg_prolong,
+                                          _mg_residual, _mg_restrict,
+                                          _mg_smooth, _mgp_smooth,
+                                          _mgp_vcycle)
+
+    rng = np.random.default_rng(11)
+    ncy, ncx, s = 256, 8000, 1
+    nxp = _round_up(ncx, 128)
+    dx = dy = 1.0
+    p_c = jnp.asarray(rng.standard_normal((ncy, ncx)), jnp.float32)
+    r_c = jnp.asarray(rng.standard_normal((ncy, ncx)), jnp.float32)
+    p_i = _interleave(p_c, s, nxp)
+    r_i = _interleave(r_c, s, nxp)
+
+    sm = jax.jit(lambda: mg_smooth_int(p_i, r_i, dx, dy, s, ncx, 5,
+                                       tiling="2d"))()
+    ref = _mg_smooth(p_c, r_c, dx, dy, 5)
+    np.testing.assert_allclose(
+        np.asarray(_compact(sm, s, ncx, ncy)), np.asarray(ref),
+        rtol=0, atol=1e-5)
+
+    smp = jax.jit(lambda: mgp_smooth_int(p_i, r_i, dx, dy, s, ncx, 4,
+                                         0.75, False, tiling="2d"))()
+    refp = _mgp_smooth(_apply_pprime_bcs(p_c), r_c, dx, dy, 0.75, 4,
+                       _apply_pprime_bcs)
+    np.testing.assert_allclose(
+        np.asarray(_compact(smp, s, ncx, ncy)), np.asarray(refp),
+        rtol=0, atol=1e-5)
+
+    rr = jax.jit(lambda: mg_residual_restrict_int(p_i, r_i, dx, dy, s,
+                                                  ncx, tiling="2d"))()
+    ref_r = _mg_restrict(_mg_residual(p_c, r_c, dx, dy),
+                         (ncx + 1) // 2, (ncy + 1) // 2)
+    np.testing.assert_allclose(
+        np.asarray(_compact(rr, 2 * s, (ncx + 1) // 2, (ncy + 1) // 2)),
+        np.asarray(ref_r), rtol=1e-5, atol=1e-5)
+
+    e_c = jnp.asarray(
+        rng.standard_normal(((ncy + 1) // 2, (ncx + 1) // 2)),
+        jnp.float32)
+    e_i = _interleave(e_c, 2 * s, nxp)
+    pa = jax.jit(lambda: mg_prolong_add_int(e_i, p_i, s, ncx,
+                                            tiling="2d"))()
+    ref_p = p_c + _mg_prolong(e_c, ncx, ncy)
+    np.testing.assert_allclose(
+        np.asarray(_compact(pa, s, ncx, ncy)), np.asarray(ref_p),
+        rtol=0, atol=1e-5)
+
+    # Composed BC-aware V-cycle (auto tiling: 2-D at this width) vs XLA.
+    ny, nx = ncy, ncx
+    dxf, dyf = 1.0 / nx, 1.0 / ny
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = _apply_pprime_bcs(jnp.asarray(
+        0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    opts = solver_options_for(Semantics.RUST)
+    ref = np.asarray(jax.jit(
+        lambda: _mgp_vcycle(pp0, rhs, dxf, dyf, opts,
+                            _apply_pprime_bcs))())
+    pad = ((0, 0), (0, nxp - nx))
+    got = np.asarray(jax.jit(
+        lambda: _vcycle_mgp_int(jnp.pad(pp0, pad), jnp.pad(rhs, pad),
+                                dxf, dyf, 1, nx, ny, opts,
+                                _apply_pprime_bcs, False,
+                                False))())[:, :nx]
+    np.testing.assert_allclose(ref, got, rtol=0, atol=2e-5)
