@@ -230,6 +230,17 @@ class SolverOptions:
     # cycles as dx shrinks because the residual scale grows ~1/dx^2
     # while projection_div_tol stays fixed (docs/PERF.md).
     mgp_rtol: float = 0.0
+    # Noise-floor exit: the f32 evaluation of max|rhs - A p| cannot
+    # resolve below ~eps * (denom * max|p| + max|rhs|) (measured 1.4-
+    # 1.8x that formula across grids/scales), and at fine resolutions
+    # that floor sits ABOVE the absolute divergence-calibrated
+    # tolerance (8192^2: tol_r = 0.5 vs a floor of several), where the
+    # mgp_max_cycles cap would otherwise bind every solve for zero
+    # accuracy gain. mgp_floor > 0 widens the exit to
+    # max(tol_r, mgp_floor * eps * (denom * max|p| + max|rhs|)),
+    # recomputed each cycle -- i.e. stop once the residual is within a
+    # small multiple of its own rounding noise. 0 disables.
+    mgp_floor: float = 4.0
     outer_corrector_rounds: int = 20  # Rust only (model.rs:696); JS has 0
     outer_corrector_tol: float = 1e-4  # model.rs:721
     ramp_up_steps: int = 100

@@ -1125,7 +1125,8 @@ def multigrid_production_pallas(pp0, rhs, dx, dy, opts, tol_r,
     until max|rhs - A p'| <= tol_r, warm-started, whole cycle as the
     interleaved Pallas kernels with the BC-aware damped smoother."""
     from ..ops.poisson import (_apply_pprime_bcs, _apply_pprime_bcs_cavity,
-                               _masked_while, _mg_residual)
+                               _masked_while, _mg_residual,
+                               _mgp_noise_floor)
     bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
     ny, nx = pp0.shape
     nxp = _round_up(nx, 128)
@@ -1139,6 +1140,20 @@ def multigrid_production_pallas(pp0, rhs, dx, dy, opts, tol_r,
         return p, err
 
     p0 = jnp.pad(bc(pp0), pad) if nxp != nx else bc(pp0)
+    floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)
+    if floor is not None:
+        rhs_max = jnp.max(jnp.abs(rhs))
+        inner = cycle
+
+        def cycle(p):  # noqa: F811 -- floor-augmented variant
+            p, err = inner(p)
+            # Padded lanes can hold transfer-kernel junk; the valid
+            # fine level is [:, :nx].
+            return p, err, floor(jnp.max(jnp.abs(p[:, :nx])), rhs_max)
+
+        p, err, n = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
+                                  dynamic_tol=True)
+        return p[:, :nx], err, n
     p, err, n = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
     return p[:, :nx], err, n
 

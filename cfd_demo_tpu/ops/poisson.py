@@ -135,7 +135,7 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     return pp, err, n
 
 
-def _masked_while(sweep, pp0, tol, iters):
+def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False):
     """Masked-update convergence loop.
 
     Semantically identical to exact early exit, but the per-element
@@ -145,6 +145,11 @@ def _masked_while(sweep, pp0, tol, iters):
     stops updating exactly when its own residual crosses tol, and the
     whole batch exits once all are done (the 64-scene ensemble relies
     on this).
+
+    ``dynamic_tol``: sweep returns (pp, err, tol_extra) and the exit
+    threshold becomes max(tol, tol_extra), re-evaluated each sweep --
+    used by MG_PRODUCTION's f32-noise-floor exit, whose floor depends
+    on the current solution scale (opts.mgp_floor).
     """
     def cond(carry):
         _, _, done, _, it = carry
@@ -154,11 +159,16 @@ def _masked_while(sweep, pp0, tol, iters):
 
     def body(carry):
         pp, err, done, n, it = carry
-        pp2, err2 = sweep(pp)
+        if dynamic_tol:
+            pp2, err2, tol2 = sweep(pp)
+            tol_eff = jnp.maximum(jnp.asarray(tol, err2.dtype), tol2)
+        else:
+            pp2, err2 = sweep(pp)
+            tol_eff = tol
         pp = jnp.where(done, pp, pp2)
         err = jnp.where(done, err, err2)
         n = n + jnp.where(done, 0, 1).astype(jnp.int32)
-        done = jnp.logical_or(done, err < tol)
+        done = jnp.logical_or(done, err < tol_eff)
         return pp, err, done, n, it + 1
 
     pp, err, _, n, _ = lax.while_loop(
@@ -400,6 +410,27 @@ def _mgp_vcycle(p, rhs, dx, dy, opts, bc):
                             opts)
 
 
+def _mgp_noise_floor(opts, dx, dy, dtype):
+    """Per-cycle exit floor for MG_PRODUCTION (opts.mgp_floor): the f32
+    evaluation of max|rhs - A p| cannot resolve below
+    ~eps * (denom * max|p| + max|rhs|) (measured 1.4-1.8x that formula;
+    docs/PERF.md), so cycling past a small multiple of it buys nothing.
+    Returns floor(p_abs_max, rhs_abs_max) -> tol_extra, or None when
+    disabled. Shared by the XLA, whole-cycle-Pallas and explicit
+    shard_map tiers so every tier exits on the identical criterion."""
+    f = getattr(opts, "mgp_floor", 0.0)
+    if not f:
+        return None
+    eps = float(jnp.finfo(dtype).eps)
+    denom = 2.0 / (dx * dx) + 2.0 / (dy * dy)
+
+    def floor(p_abs_max, rhs_abs_max):
+        return jnp.asarray(f * eps, dtype) * (
+            jnp.asarray(denom, dtype) * p_abs_max + rhs_abs_max)
+
+    return floor
+
+
 def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
                          dx: float, dy: float, opts, tol_r,
                          bc=_apply_pprime_bcs
@@ -446,12 +477,24 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
                 pp0, rhs, dx, dy, opts, tol_r,
                 cavity=(bc is _apply_pprime_bcs_cavity))
 
+    floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)
+    if floor is None:
+        def cycle(p):
+            p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
+            err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+            return p, err
+
+        return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+
+    rhs_max = jnp.max(jnp.abs(rhs))
+
     def cycle(p):
         p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
         err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
-        return p, err
+        return p, err, floor(jnp.max(jnp.abs(p)), rhs_max)
 
-    return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+    return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
+                         dynamic_tol=True)
 
 
 def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,

@@ -259,7 +259,7 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
     opts.mgp_rtol > 0 widens tol_r to max(tol_r, rtol * r0) exactly as
     ops.poisson.multigrid_production does, with r0 the globally pmax'd
     warm-start residual. Returns (local p', global max|residual|)."""
-    from ..ops.poisson import _masked_while
+    from ..ops.poisson import _masked_while, _mgp_noise_floor
 
     def cycle(p_loc):
         p_loc = _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy,
@@ -275,6 +275,23 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
         err0 = lax.pmax(jnp.max(jnp.abs(r0)), axis)
         tol_r = jnp.maximum(jnp.asarray(tol_r, pp0_loc.dtype),
                             opts.mgp_rtol * err0)
+    floor = _mgp_noise_floor(opts, dx, dy, pp0_loc.dtype)
+    if floor is not None:
+        # Globally pmax'd scales, so every shard computes the identical
+        # floor and fires the exit on the same cycle (same criterion as
+        # ops.poisson.multigrid_production).
+        rhs_max = lax.pmax(jnp.max(jnp.abs(rhs_loc)), axis)
+        inner = cycle
+
+        def cycle(p_loc):  # noqa: F811 -- floor-augmented variant
+            p_loc, err = inner(p_loc)
+            p_max = lax.pmax(jnp.max(jnp.abs(p_loc)), axis)
+            return p_loc, err, floor(p_max, rhs_max)
+
+        p_loc, err, _ = _masked_while(cycle, p0, tol_r,
+                                      opts.mgp_max_cycles,
+                                      dynamic_tol=True)
+        return p_loc, err
     p_loc, err, _ = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
     return p_loc, err
 

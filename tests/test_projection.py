@@ -147,3 +147,51 @@ def test_vmap_batch_freezes_per_element():
         np.testing.assert_allclose(np.asarray(batched[0][b]),
                                    np.asarray(single[0]), atol=1e-6)
         assert int(batched[2][b]) == int(single[2])
+
+
+def test_noise_floor_exit_beats_cycle_cap():
+    """With an unreachable absolute tolerance (tol_r = 0), the
+    f32-noise-floor exit (opts.mgp_floor) stops cycling once the
+    residual is within a small multiple of its own rounding noise
+    ~eps * (denom * max|p| + max|rhs|), instead of burning the whole
+    cycle cap for no accuracy (which is what every solve at 8192^2
+    did: the floor sits above the calibrated tol there --
+    docs/PERF.md)."""
+    ny, nx = 96, 128
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(5)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = jnp.zeros((ny, nx), jnp.float32)
+    pp_s, err_s, n_s = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(mgp_max_cycles=100), 0.0))(pp0, rhs)
+    assert int(n_s) < 100  # fired before the cap
+    # Disabling it (pre-round-2 behavior) runs to the cap...
+    pp_c, err_c, n_c = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(mgp_max_cycles=100, mgp_floor=0.0),
+        0.0))(pp0, rhs)
+    assert int(n_c) == 100
+    # ...and the extra cycles only chase rounding noise: the floor
+    # exit's residual is within a small factor of the cap-bound one
+    # (the measured hard floor here is ~1.4x the formula; the exit
+    # fires at 4x it).
+    assert float(err_s) <= 8.0 * float(err_c)
+
+
+def test_noise_floor_exit_does_not_fire_mid_convergence():
+    """With a reachable tolerance the solve must exit by tol, at the
+    same cycle count and residual as with the floor disabled (the
+    floor sits ~2 decades below any calibrated tolerance at this
+    scale)."""
+    ny, nx = 96, 128
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(6)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    pp0 = jnp.zeros((ny, nx), jnp.float32)
+    tol_r = 1e-2 * float(jnp.max(jnp.abs(rhs)))
+    _, err_a, n_a = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(), tol_r))(pp0, rhs)
+    _, err_b, n_b = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, _opts(mgp_floor=0.0), tol_r))(pp0, rhs)
+    assert int(n_a) == int(n_b)
+    assert float(err_a) == float(err_b)
+    assert float(err_a) <= tol_r
