@@ -131,17 +131,19 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i, 0] = err
 
 
+COL_HALO = 128  # lane-tile-aligned column halo for the 2-D tiling
+_N_TEMPS = 7    # live window temporaries of the two color half-sweeps
+_LIMIT = 14 * 1024 * 1024
+
+
 def _tile(ny: int, nxp: int, k: int, block_rows: int):
     """(bs, halo) or None when no VMEM-feasible row tiling exists.
     Models ~7 window-sized live temporaries (the two color half-sweeps
     keep more values alive than the Jacobi body) against the 16 MB
     scoped-VMEM limit."""
-    n_temps = 7
-    limit = 14 * 1024 * 1024
-
     def fits(bs, halo):
         w = bs + 2 * halo
-        return ((2 + n_temps) * w + bs) * nxp * 4 <= limit
+        return ((2 + _N_TEMPS) * w + bs) * nxp * 4 <= _LIMIT
 
     if ny % 8 == 0 and fits(ny, 0):
         return ny, 0
@@ -154,23 +156,239 @@ def _tile(ny: int, nxp: int, k: int, block_rows: int):
     return None
 
 
+def _tile2d(ny: int, nxp: int, k: int, block_rows: int):
+    """2-D (row x column) tiling for grids too wide for any full-width
+    row block (same fall-through as kernels.jacobi_pallas /
+    mg_pallas._resolve_tiles). The fixed 128-lane column halo must
+    cover the TWO validity rings each red/black iteration consumes,
+    hence the 2k <= COL_HALO gate. Returns (bs, halo, bsx) with the
+    least window-read redundancy, or None."""
+    if 2 * k > COL_HALO:
+        return None
+    halo = _halo8(2 * k)
+
+    # Calibrated against Mosaic's scoped-vmem accounting IN-SCAN (the
+    # production context): a (w=144, cw=2304) window compiled to 18.23M
+    # scoped -- ~13.7 window-sized buffers -- where the 1-D model's 9
+    # predicted 13.0M. 16 gives margin across k.
+    n_bufs = 16
+
+    def fits(bs, bsx):
+        w, cw = bs + 2 * halo, bsx + 2 * COL_HALO
+        return (n_bufs * w * cw + bs * bsx) * 4 <= _LIMIT
+
+    nlanes = nxp // 128
+    cands = [d * 128 for d in range(nlanes // 2, 0, -1)
+             if nlanes % d == 0]
+    best = None
+    bs = block_rows
+    while bs >= 8:
+        if ny % bs == 0 and ny >= bs + 2 * halo:
+            for bsx in cands:
+                if nxp >= bsx + 2 * COL_HALO and fits(bs, bsx):
+                    cost = ((bs + 2 * halo) * (bsx + 2 * COL_HALO)
+                            / (bs * bsx))
+                    if best is None or cost < best[0]:
+                        best = (cost, bs, halo, bsx)
+                    break  # larger bsx always beats smaller at this bs
+        bs //= 2
+    return None if best is None else best[1:]
+
+
+def _tiles(ny: int, nxp: int, k: int, block_rows: int, tiling="auto"):
+    """("1d", bs, halo) | ("2d", bs, halo, bsx) | None -- least
+    window-read redundancy wins (mirror of mg_pallas._resolve_tiles).
+    ``tiling`` forces one family ("1d"/"2d", for tests/benchmarks);
+    auto only considers 2-D at >= 4096 lanes (below that the 1-D
+    windows always fit with less redundancy)."""
+    t1 = _tile(ny, nxp, k, block_rows) if tiling != "2d" else None
+    if tiling == "1d":
+        return None if t1 is None else ("1d",) + t1
+    if t1 is not None and t1[1] == 0:
+        return ("1d",) + t1
+    if tiling == "auto" and nxp < 4096:
+        return None if t1 is None else ("1d",) + t1
+    t2 = _tile2d(ny, nxp, k, block_rows)
+    if t2 is None:
+        return None if t1 is None else ("1d",) + t1
+    if t1 is not None:
+        cost1 = (t1[0] + 2 * t1[1]) / t1[0]
+        cost2 = ((t2[0] + 2 * t2[1]) * (t2[2] + 2 * COL_HALO)
+                 / (t2[0] * t2[2]))
+        if cost1 <= cost2:
+            return ("1d",) + t1
+    return ("2d",) + t2
+
+
+def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
+              *, ny, nx, nxp, bs, bsx, halo, k, ncb, dx2, dy2, omega,
+              cavity):
+    """2-D (row x column) tile variant of _kernel for wide grids where
+    no full-width row block fits VMEM. Same numerics; the column
+    windows carry a fixed 128-lane halo (>= 2k, so the two validity
+    rings each iteration consumes never reach the owned tile)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    w = bs + 2 * halo
+    cw = bsx + 2 * COL_HALO
+    row0 = i * bs
+    col0 = j * bsx
+    start = pl.multiple_of(
+        jnp.clip(((row0 - 2 * k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    cstart = pl.multiple_of(jnp.clip(col0 - COL_HALO, 0, nxp - cw), 128)
+    out_cl = pl.multiple_of(col0 - cstart, 128)
+
+    cp1 = pltpu.make_async_copy(
+        pp_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], pp_win, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        rhs_hbm.at[pl.ds(start, w), pl.ds(cstart, cw)], rhs_win, sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
+    gc = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = (interior & (gr >= row0) & (gr < row0 + bs)
+             & (gc >= col0) & (gc < col0 + bsx))
+    red = interior & (((gr + gc) % 2) == 0)
+    black = interior & (((gr + gc) % 2) == 1)
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    om = jnp.float32(omega)
+    rhs = br * rhs_win[:]
+
+    def half(pp, mask, fold_rows=True, fold_cols=True):
+        E = pltpu.roll(pp, cw - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        if fold_rows:
+            S = jnp.where(adj_bot, pp, S)
+            N = jnp.where(adj_top, pp, N)
+        if fold_cols:
+            W = jnp.where(adj_left, pp, W)
+            E = (jnp.where(adj_right, pp, E) if cavity
+                 else jnp.where(adj_right, 0.0, E))
+        update = bx * (E + W) + by * (N + S) - rhs
+        new = (1.0 - om) * pp + om * update
+        return jnp.where(mask, new, pp)
+
+    def iterate(want_err, fold_rows=True, fold_cols=True):
+        old = pp_win[:]
+        pp = half(old, red, fold_rows, fold_cols)
+        pp = half(pp, black, fold_rows, fold_cols)
+        err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
+               if want_err else jnp.float32(0.0))
+        pp_win[:] = pp
+        return err
+
+    # Interior-window specialization, COARSER than the Jacobi 2-D
+    # kernel's 2x2 variants: only fully-interior windows (the vast
+    # majority at the widths this kernel serves) drop the fold
+    # selects. The SOR body keeps more live temporaries than Jacobi's
+    # and Mosaic's scoped-vmem accounting STACKS the pl.when regions,
+    # so four variants blew the 16M scoped limit in-scan at 8192^2
+    # where two fit.
+    inner = jnp.logical_and(
+        jnp.logical_and(start >= 2, start + w <= ny - 2),
+        jnp.logical_and(cstart >= 2, cstart + cw <= nx - 2))
+
+    @pl.when(inner)
+    def _():
+        lax.fori_loop(
+            0, k - 1,
+            lambda _, c: (iterate(False, fold_rows=False,
+                                  fold_cols=False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
+    err = iterate(True)
+    # BCs once per launch (ops.poisson._apply_pprime_bcs[_cavity]).
+    pp = pp_win[:]
+    pp = jnp.where(is_bot, pltpu.roll(pp, w - 1, 0), pp)
+    pp = jnp.where(is_top, pltpu.roll(pp, 1, 0), pp)
+    pp = jnp.where(is_left, pltpu.roll(pp, cw - 1, 1), pp)
+    if cavity:
+        pp = jnp.where(is_right, pltpu.roll(pp, 1, 1), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
+    out_cp = pltpu.make_async_copy(
+        pp_win.at[pl.ds(out_lo, bs), pl.ds(out_cl, bsx)], out_ref,
+        sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    # (nrb, ncb)-shaped err -- SMEM windows pad each ROW to 512 B, so
+    # the 1-D kernels' (nblocks, 1) layout costs 512 B/scalar and blows
+    # the 1 MB SMEM cap at the block counts these tiles reach (16384^2:
+    # 2048+); one row per row-block keeps it at nrb * 512 B.
+    err_ref[i, j] = err
+
+
 def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
-                interpret=False, cavity=False):
+                interpret=False, cavity=False, tiling="auto"):
     """K fused red/black SOR iterations. Returns (p', last max err)."""
     ny, nx = pp.shape
     if ny % 8 != 0:
         raise ValueError(f"ny={ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
-    tile = _tile(ny, nxp, k, block_rows)
+    tile = _tiles(ny, nxp, k, block_rows, tiling)
     if tile is None:
         raise ValueError(f"no SOR tiling for ny={ny}, k={k}")
-    bs, halo = tile
-    nblocks = ny // bs
-    w = bs + 2 * halo
     if nxp != nx:
         pad = ((0, 0), (0, nxp - nx))
         pp = jnp.pad(pp, pad)
         rhs = jnp.pad(rhs, pad)
+    if tile[0] == "2d":
+        _, bs, halo, bsx = tile
+        nrb, ncb = ny // bs, nxp // bsx
+        w, cw = bs + 2 * halo, bsx + 2 * COL_HALO
+        kern = functools.partial(
+            _kernel2d, ny=ny, nx=nx, nxp=nxp, bs=bs, bsx=bsx, halo=halo,
+            k=k, ncb=ncb, dx2=dx * dx, dy2=dy * dy, omega=omega,
+            cavity=cavity)
+        out, err = pl.pallas_call(
+            kern,
+            grid=(nrb, ncb),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
+                                    memory_space=pltpu.VMEM),
+                       # whole-array window revisited by every program,
+                       # one row per ROW-block: see _kernel2d err note
+                       pl.BlockSpec((nrb, ncb), lambda i, j: (0, 0),
+                                    memory_space=pltpu.SMEM)],
+            out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                       jax.ShapeDtypeStruct((nrb, ncb), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((w, cw), pp.dtype),
+                pltpu.VMEM((w, cw), rhs.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(pp, rhs)
+        if nxp != nx:
+            out = out[:, :nx]
+        return out, jnp.max(err)
+    _, bs, halo = tile
+    nblocks = ny // bs
+    w = bs + 2 * halo
     kern = functools.partial(
         _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
         dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
@@ -364,7 +582,7 @@ def sor_pallas_ok(ny: int, nx: int, k: int, block_rows: int = 256) -> bool:
     if ny % 8 != 0:
         return False
     nxp = -(-nx // 128) * 128
-    return _tile(ny, nxp, k, block_rows) is not None
+    return _tiles(ny, nxp, k, block_rows) is not None
 
 
 def sor_pallas(pp0, rhs, dx, dy, omega, tol, iters, k=5,

@@ -462,3 +462,31 @@ def test_mg_kernels_2d_tiling_on_hardware():
                                 _apply_pprime_bcs, False,
                                 False))())[:, :nx]
     np.testing.assert_allclose(ref, got, rtol=0, atol=2e-5)
+
+
+def test_sor_2d_tiling_on_hardware():
+    """Fused red/black SOR through the 2-D column tiles at an
+    8192-lane width on the real chip, vs the jnp sweeps (no full-width
+    1-D row block fits VMEM at this width -- previously the auto path
+    fell back to XLA here)."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.sor_pallas import _tiles, sor_fused_k
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs, sor
+
+    ny, nx = 256, 8192
+    k = 12  # resolve_fuse_k(8192^2) // 2
+    assert _tiles(ny, nx, k, 256)[0] == "2d"
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(12)
+    pp = _apply_pprime_bcs(jnp.asarray(
+        0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, k,
+                         early_exit=False))(pp, rhs)
+    got, err = jax.jit(
+        lambda p, r: sor_fused_k(p, r, dx, dy, 1.7, k))(pp, rhs)
+    atol = 4e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)

@@ -44,6 +44,54 @@ def test_sor_fused_matches_jnp(cavity, block_rows):
     assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.parametrize("cavity", [False, True])
+def test_sor_fused_2d_tiling_matches_jnp(cavity):
+    """Forced 2-D (row x column) tile variant -- the >= 8192-lane
+    fall-through -- against the jnp sweeps on a small grid whose
+    forced tiling exercises multi-row AND multi-column blocks with
+    genuine (not full-width) column windows."""
+    from cfd_demo_tpu.kernels.sor_pallas import _tiles
+    ny, nx = 64, 768
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(1)
+    pp = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    pp = bc(pp)
+    iters = 6
+    tile = _tiles(ny, nx, iters, 256, tiling="2d")
+    assert tile is not None and tile[0] == "2d"
+    assert tile[3] < nx  # genuine column split
+    ref, err_ref, _ = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, iters,
+                         early_exit=False, bc=bc))(pp, rhs)
+    got, err = jax.jit(
+        lambda p, r: sor_fused_k(p, r, dx, dy, 1.7, iters,
+                                 interpret=True, cavity=cavity,
+                                 tiling="2d"))(pp, rhs)
+    # ~1 ulp/sweep of reciprocal-multiplier drift (module docstring);
+    # the anisotropic dx != dy stencil here carries slightly more than
+    # the square-grid 1-D case.
+    atol = 4e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+
+
+def test_sor_auto_tiling_resolves_2d_at_wide_grids():
+    """The auto resolver must pick the 2-D tiles exactly where the 1-D
+    search finds nothing (>= 8192 lanes at production k), re-enabling
+    the Pallas path that previously fell back to XLA there."""
+    from cfd_demo_tpu.kernels.sor_pallas import _tile, _tiles
+    k = 12  # resolve_fuse_k(8192)=25 -> sor k=12
+    assert _tile(8192, 8192, k, 256) is None
+    tile = _tiles(8192, 8192, k, 256)
+    assert tile is not None and tile[0] == "2d"
+    # 2048^2 keeps its 1-D tiling (less redundancy).
+    tile = _tiles(2048, 2048, 8, 256)
+    assert tile is not None and tile[0] == "1d"
+
+
 def test_sor_pallas_remainder_and_exact_count():
     n = 64
     dx = dy = 1.0 / n
