@@ -283,6 +283,19 @@ class SolverOptions:
     # measurement (docs/PERF.md: XLA's fused glue wins at 2048^2 where
     # the round kernel's window DMA exceeds the glue cost).
     rounds_impl: str = "auto"
+    # Reverse-mode-differentiable step (capability beyond the
+    # reference -- no CPU/CUDA analog exists in TSultanov/cfd-demo):
+    # every convergence loop runs as a FIXED-trip lax.scan with the
+    # same masked-update body (fields identical to the masked
+    # while_loop; lax.while_loop has no reverse-mode rule), and all
+    # Pallas kernels are bypassed (no VJPs) -- so jax.grad flows
+    # through whole rollouts. Requires early_exit=False,
+    # outer_corrector_rounds == 0 and a static single substep
+    # (validated in make_scene). make_run rematerializes each step
+    # (jax.checkpoint), so backward memory is one step's activations
+    # (~iters fields), not the rollout's. See apps/optimize.py and
+    # tests/test_diff.py.
+    differentiable: bool = False
 
 
 def solver_options_for(semantics: Semantics, **overrides) -> SolverOptions:

@@ -106,12 +106,15 @@ def _jacobi_sweep(pp, rhs, dx, dy, omega, bc=_apply_pprime_bcs):
 def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
            omega: float, tol: float, iters: int,
            early_exit: bool = True,
-           bc=_apply_pprime_bcs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+           bc=_apply_pprime_bcs,
+           fixed_trip: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (p_prime, max_error_of_last_sweep, iterations_run).
 
     Matches the reference's do-while structure: at least one sweep runs,
     and the loop exits after the first sweep whose max interior change
-    is below ``tol`` (model.rs:748-819).
+    is below ``tol`` (model.rs:748-819). ``fixed_trip`` (requires
+    early_exit=False) runs the masked loop as a reverse-differentiable
+    lax.scan (SolverOptions.differentiable).
     """
     sweep = partial(_jacobi_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega, bc=bc)
 
@@ -131,11 +134,13 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                          jnp.asarray(0, jnp.int32)))
         return pp, err, it
 
-    pp, err, n = _masked_while(sweep, pp0, tol, iters)
+    pp, err, n = _masked_while(sweep, pp0, tol, iters,
+                               fixed_trip=fixed_trip)
     return pp, err, n
 
 
-def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False):
+def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False,
+                  fixed_trip=False):
     """Masked-update convergence loop.
 
     Semantically identical to exact early exit, but the per-element
@@ -150,14 +155,15 @@ def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False):
     threshold becomes max(tol, tol_extra), re-evaluated each sweep --
     used by MG_PRODUCTION's f32-noise-floor exit, whose floor depends
     on the current solution scale (opts.mgp_floor).
-    """
-    def cond(carry):
-        _, _, done, _, it = carry
-        return jnp.logical_or(it == 0,
-                              jnp.logical_and(it < iters,
-                                              jnp.logical_not(done)))
 
-    def body(carry):
+    ``fixed_trip``: run the SAME masked body under a length-``iters``
+    lax.scan instead of the while_loop -- fields/err/n are identical
+    (converged elements stay frozen by the `done` selects; the loop
+    just cannot stop early), but the scan is reverse-mode
+    differentiable where lax.while_loop is not
+    (SolverOptions.differentiable).
+    """
+    def body_core(carry):
         pp, err, done, n, it = carry
         if dynamic_tol:
             pp2, err2, tol2 = sweep(pp)
@@ -171,10 +177,21 @@ def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False):
         done = jnp.logical_or(done, err < tol_eff)
         return pp, err, done, n, it + 1
 
-    pp, err, _, n, _ = lax.while_loop(
-        cond, body,
-        (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
-         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+    carry0 = (pp0, jnp.asarray(jnp.inf, pp0.dtype), jnp.asarray(False),
+              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+
+    if fixed_trip:
+        (pp, err, _, n, _), _ = lax.scan(
+            lambda c, _: (body_core(c), None), carry0, None, length=iters)
+        return pp, err, n
+
+    def cond(carry):
+        _, _, done, _, it = carry
+        return jnp.logical_or(it == 0,
+                              jnp.logical_and(it < iters,
+                                              jnp.logical_not(done)))
+
+    pp, err, _, n, _ = lax.while_loop(cond, body_core, carry0)
     return pp, err, n
 
 
@@ -208,7 +225,8 @@ def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask,
 def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         omega: float, tol: float, iters: int,
         early_exit: bool = True,
-        bc=_apply_pprime_bcs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        bc=_apply_pprime_bcs,
+        fixed_trip: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Red/black SOR (parallel form of index.html:741-774)."""
     _, r, c = _iota_masks(pp0.shape)
     red = (r + c) % 2 == 0
@@ -232,7 +250,8 @@ def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                          jnp.asarray(0, jnp.int32)))
         return pp, err, it
 
-    pp, err, n = _masked_while(sweep, pp0, tol, iters)
+    pp, err, n = _masked_while(sweep, pp0, tol, iters,
+                               fixed_trip=fixed_trip)
     return pp, err, n
 
 
@@ -464,7 +483,8 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
         err0 = jnp.max(jnp.abs(_mg_residual(p0, rhs, dx, dy)))
         tol_r = jnp.maximum(jnp.asarray(tol_r, pp0.dtype),
                             opts.mgp_rtol * err0)
-    if (opts.pressure_impl in ("auto", "pallas")
+    diff = getattr(opts, "differentiable", False)
+    if (opts.pressure_impl in ("auto", "pallas") and not diff
             and _jax.default_backend() in ("tpu", "axon")
             and pp0.dtype == jnp.float32
             and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
@@ -484,7 +504,8 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
             err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
             return p, err
 
-        return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+        return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
+                             fixed_trip=diff)
 
     rhs_max = jnp.max(jnp.abs(rhs))
 
@@ -494,7 +515,7 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
         return p, err, floor(jnp.max(jnp.abs(p)), rhs_max)
 
     return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
-                         dynamic_tol=True)
+                         dynamic_tol=True, fixed_trip=diff)
 
 
 def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
@@ -510,6 +531,7 @@ def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     """
     import jax as _jax
     if (opts.pressure_impl in ("auto", "pallas")
+            and not getattr(opts, "differentiable", False)
             and _jax.default_backend() in ("tpu", "axon")
             and pp0.dtype == jnp.float32
             and type(pp0).__name__ != "BatchTracer"):

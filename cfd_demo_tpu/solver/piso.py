@@ -92,8 +92,27 @@ class Scene:
 
 def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
                opts: Optional[SolverOptions] = None) -> Scene:
+    opts = opts or SolverOptions()
+    if opts.differentiable:
+        # Reverse-mode AD needs every loop to be a fixed-trip scan:
+        # exact early exits, Rust outer corrector rounds and dynamic
+        # substep counts all lower to lax.while_loop, which has no
+        # reverse rule (SolverOptions.differentiable docstring).
+        bad = []
+        if opts.early_exit:
+            bad.append("early_exit=False")
+        if opts.outer_corrector_rounds != 0:
+            bad.append("outer_corrector_rounds=0")
+        if opts.substeps_adaptive or opts.substeps_init != 1 \
+                or opts.substeps_max != 1:
+            bad.append("a static single substep "
+                       "(substeps_init=substeps_max=1, non-adaptive)")
+        if bad:
+            raise ValueError(
+                "SolverOptions.differentiable requires "
+                + ", ".join(bad))
     return Scene(grid=grid, params=params or SimulationParams(),
-                 opts=opts or SolverOptions())
+                 opts=opts)
 
 
 # ---------------------------------------------------------------------------
@@ -110,9 +129,11 @@ def _is_batched(x) -> bool:
 
 def _pallas_ok(scene: "Scene", example=None) -> bool:
     """The fused kernel targets the TPU backend and tile-friendly rows;
-    it implements both the channel and cavity pressure BC families."""
+    it implements both the channel and cavity pressure BC families.
+    Differentiable mode bypasses every kernel (no VJPs)."""
     return (jax.default_backend() in ("tpu", "axon")
             and scene.grid.ny % 8 == 0
+            and not scene.opts.differentiable
             and not _is_batched(example))
 
 
@@ -216,7 +237,14 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                                            or opts.substeps_max > 1))
             return jacobi(pp0_, rhs_, g.dx, g.dy, opts.jacobi_omega,
                           opts.jacobi_tol, opts.jacobi_iters,
-                          early_exit=opts.early_exit, bc=bc)
+                          early_exit=opts.early_exit, bc=bc,
+                          fixed_trip=opts.differentiable)
+
+        if opts.differentiable:
+            # jax.custom_batching.custom_vmap blocks reverse-mode AD;
+            # differentiable mode takes the plain jnp solve (vmap of it
+            # is the same masked fixed-trip scan per element).
+            return _solve_single(pp0, rhs)
 
         # Under vmap (the 64-scene ensemble, SURVEY.md section 2.7) the
         # solve routes to the batched whole-solve kernel: one launch
@@ -282,7 +310,8 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                                           == FlowCase.CAVITY))
         return sor(pp0, rhs, g.dx, g.dy, opts.sor_omega,
                    opts.jacobi_tol, opts.jacobi_iters,
-                   early_exit=opts.early_exit, bc=bc)
+                   early_exit=opts.early_exit, bc=bc,
+                   fixed_trip=opts.differentiable)
     if solver == PressureSolver.MULTIGRID:
         return multigrid(pp0, rhs, g.dx, g.dy, opts)
     raise ValueError(solver)
@@ -363,6 +392,7 @@ def _substep_jnp(scene: Scene, u, v, p, p_prime, dt_sub, nu, inlet):
     if (scene.params.pressure_solver == PressureSolver.JACOBI
             and opts.pressure_impl in ("auto", "pallas")
             and opts.substep_impl in ("auto", "pallas")
+            and not opts.differentiable
             and jax.default_backend() in ("tpu", "axon")
             and u.dtype == jnp.float32
             and not _is_batched(u) and not _is_batched(rhs)
@@ -386,6 +416,12 @@ def _substep_unfused(scene: Scene):
     corrector rounds -- per-element results match an unbatched run
     (the masked-iteration semantics, tests/test_sharding.py)."""
     single = partial(_substep_jnp, scene)
+    if scene.opts.differentiable:
+        # custom_vmap blocks reverse-mode AD; the jnp substep vmaps
+        # fine by itself (masked fixed-trip loops), it just forgoes
+        # the whole-scene ensemble kernel -- which differentiable mode
+        # bypasses anyway.
+        return single
     wrapped = jax.custom_batching.custom_vmap(
         lambda u, v, p, pp, dts, nu, inl: single(u, v, p, pp, dts, nu,
                                                  inl))
@@ -570,9 +606,14 @@ def dt_control(grid: Grid, opts: SolverOptions, state: State,
     (index.html:338-350)."""
     js = opts.semantics == Semantics.JS
     cap = state.dt_user if js else state.dt
+    # Safe-where: the masked-out division still runs, and at
+    # max_vel == 0 its inf primal would poison reverse-mode cotangents
+    # with 0 * inf = NaN (SolverOptions.differentiable); dividing by
+    # the guarded value keeps the primal bit-identical.
+    safe_vel = jnp.where(max_vel == 0.0, 1.0, max_vel)
     dt_cfl = jnp.where(
         max_vel == 0.0, cap,
-        jnp.minimum(opts.cfl * min(grid.dx, grid.dy) / max_vel, cap))
+        jnp.minimum(opts.cfl * min(grid.dx, grid.dy) / safe_vel, cap))
     if js and opts.residual_dt_scaling:
         ptol = opts.residual_dt_tol
         dt_pressure = jnp.where(res_p > ptol,
@@ -702,6 +743,12 @@ def make_run(scene: Scene, n_steps: int, donate="auto"):
     the whole scan (one pad before, one slice after) so no step pays a
     pad/slice pass -- the pad columns are zero and idempotent through
     the kernels (see piso_substep).
+
+    With opts.differentiable, each step is rematerialized
+    (jax.checkpoint): jax.grad through the rollout stores only the
+    per-step State carries and recomputes a step's internals during
+    the backward pass, so backward memory is one step's activations
+    (~jacobi_iters fields), not the rollout's.
     """
     g, opts = scene.grid, scene.opts
     nx = g.nx
@@ -721,6 +768,9 @@ def make_run(scene: Scene, n_steps: int, donate="auto"):
         def body(s, _):
             s, d = step_fn(scene, s, u_padded=padded)
             return s, d
+
+        if opts.differentiable:
+            body = jax.checkpoint(body)
 
         state, diags = lax.scan(body, state, None, length=n_steps)
         if padded:

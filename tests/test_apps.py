@@ -40,6 +40,24 @@ def test_re_sweep_app():
                           "--nx", "32", "--ny", "16"]) == 0
 
 
+def test_optimize_app():
+    """Tiny inverse problem end-to-end: the Adam loop over the
+    differentiable rollout must cut the loss (full recovery needs the
+    default budget; this pins gradient flow + descent)."""
+    import io
+    from contextlib import redirect_stdout
+    from cfd_demo_tpu.apps import optimize
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        optimize.main(["--nx", "32", "--ny", "16", "--steps", "4",
+                       "--iters", "8", "--jacobi-iters", "10",
+                       "--lr", "0.2"])
+    out = buf.getvalue()
+    losses = [float(line.split("loss ")[1].split()[0])
+              for line in out.splitlines() if line.startswith("iter")]
+    assert len(losses) >= 2 and losses[-1] < losses[0]
+
+
 def test_square_obstacle_app():
     from cfd_demo_tpu.apps import square_obstacle
     with tempfile.TemporaryDirectory() as d:

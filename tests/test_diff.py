@@ -1,0 +1,105 @@
+"""Reverse-mode differentiability (SolverOptions.differentiable).
+
+Capability beyond the reference (no autodiff exists in the Rust/JS
+twins): every convergence loop runs as a fixed-trip masked lax.scan,
+so jax.grad flows through whole rollouts. These tests pin
+
+1. forward parity: the fixed-trip scan produces bit-identical fields
+   to the masked while_loop it replaces,
+2. gradient correctness vs central finite differences for the
+   physical controls (viscosity, target inlet velocity),
+3. gradient flow through the SOR and MG_PRODUCTION projections,
+4. the make_scene validation of incompatible options.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cfd_demo_tpu as cfd
+from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                          SimulationParams, solver_options_for)
+
+
+def _scene(differentiable=True, solver="jacobi", **over):
+    grid = Grid(nx=64, ny=32, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    params = SimulationParams(dt=0.01, viscosity=0.01,
+                              pressure_solver=PressureSolver(solver))
+    base = dict(ramp_up_steps=5, jacobi_tol=1e-4, jacobi_iters=30,
+                outer_corrector_rounds=0, early_exit=False,
+                differentiable=differentiable)
+    base.update(over)
+    opts = solver_options_for(Semantics.RUST, **base)
+    return cfd.make_scene(grid, params, opts)
+
+
+def test_fixed_trip_forward_matches_masked_while():
+    """The fixed-trip scan is the SAME masked body as the while_loop;
+    a converging tolerance exercises the done-freeze, and the fields
+    must agree bitwise."""
+    sa = _scene(differentiable=False)
+    sb = _scene(differentiable=True)
+    runa = cfd.make_run(sa, 8, donate=False)
+    runb = cfd.make_run(sb, 8, donate=False)
+    a, _ = runa(sa.init_state())
+    b, _ = runb(sb.init_state())
+    for f in ("u", "v", "p", "p_prime", "res_p", "dt"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
+
+
+def _loss_fn(scene, n_steps):
+    run = cfd.make_run(scene, n_steps, donate=False)
+    s0 = scene.init_state()
+
+    def loss(nu, inlet):
+        s = dataclasses.replace(s0, nu=nu, target_inlet=inlet)
+        s, _ = run(s)
+        return jnp.sum(s.u * s.u)
+
+    return loss
+
+
+def test_grad_matches_finite_differences():
+    loss = _loss_fn(_scene(), 5)
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    i0 = jnp.asarray(1.0, jnp.float32)
+    gnu, gin = jax.grad(loss, argnums=(0, 1))(nu0, i0)
+    eps = 1e-3  # f32 central FD: O(eps^2) truncation vs ~1e-7/eps noise
+    fd_nu = (loss(nu0 + eps, i0) - loss(nu0 - eps, i0)) / (2 * eps)
+    fd_in = (loss(nu0, i0 + eps) - loss(nu0, i0 - eps)) / (2 * eps)
+    assert np.isclose(float(gnu), float(fd_nu), rtol=5e-3), \
+        (float(gnu), float(fd_nu))
+    assert np.isclose(float(gin), float(fd_in), rtol=5e-3), \
+        (float(gin), float(fd_in))
+
+
+@pytest.mark.parametrize("solver", ["sor", "mg-production"])
+def test_grad_flows_through_alt_projections(solver):
+    over = {"mgp_max_cycles": 6} if solver == "mg-production" else {}
+    loss = _loss_fn(_scene(solver=solver, **over), 3)
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    i0 = jnp.asarray(1.0, jnp.float32)
+    gnu, gin = jax.grad(loss, argnums=(0, 1))(nu0, i0)
+    assert np.isfinite(float(gnu)) and np.isfinite(float(gin))
+    assert float(gin) != 0.0
+    eps = 1e-3
+    fd_in = (loss(nu0, i0 + eps) - loss(nu0, i0 - eps)) / (2 * eps)
+    assert np.isclose(float(gin), float(fd_in), rtol=2e-2), \
+        (float(gin), float(fd_in))
+
+
+def test_make_scene_rejects_incompatible_options():
+    with pytest.raises(ValueError, match="early_exit"):
+        _scene(early_exit=True)
+    with pytest.raises(ValueError, match="outer_corrector_rounds"):
+        _scene(outer_corrector_rounds=20)
+    with pytest.raises(ValueError, match="substep"):
+        grid = Grid(nx=64, ny=32, lx=8.0, ly=4.0, obstacles=())
+        opts = solver_options_for(Semantics.JS, early_exit=False,
+                                  differentiable=True)
+        cfd.make_scene(grid, SimulationParams(), opts)
