@@ -93,6 +93,30 @@ def test_grad_flows_through_alt_projections(solver):
         (float(gin), float(fd_in))
 
 
+def test_drag_gradient_matches_finite_differences():
+    """Gradient of the control-volume drag force (ops/forces.py) wrt
+    viscosity, through a rollout -- the quantity an aerodynamic
+    optimization would descend. FD-validated."""
+    from cfd_demo_tpu.ops.forces import control_volume_force
+    scene = _scene()
+    run = cfd.make_run(scene, 6, donate=False)
+    s0 = scene.init_state()
+
+    def drag(nu):
+        s = dataclasses.replace(s0, nu=nu)
+        s, _ = run(s)
+        fx, _ = control_volume_force(s.u, s.v, s.p, nu, scene.grid)
+        return fx
+
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    g = jax.grad(drag)(nu0)
+    eps = 1e-3
+    fd = (drag(nu0 + eps) - drag(nu0 - eps)) / (2 * eps)
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    assert np.isclose(float(g), float(fd), rtol=1e-2), \
+        (float(g), float(fd))
+
+
 def test_make_scene_rejects_incompatible_options():
     with pytest.raises(ValueError, match="early_exit"):
         _scene(early_exit=True)
