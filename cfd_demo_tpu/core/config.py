@@ -290,8 +290,9 @@ class SolverOptions:
     # while_loop; lax.while_loop has no reverse-mode rule), and all
     # Pallas kernels are bypassed (no VJPs) -- so jax.grad flows
     # through whole rollouts. Requires early_exit=False,
-    # outer_corrector_rounds == 0 and a static single substep
-    # (validated in make_scene). make_run rematerializes each step
+    # outer_corrector_rounds == 0 and a non-adaptive substep count
+    # (static counts are unrolled; validated in make_scene).
+    # make_run rematerializes each step
     # (jax.checkpoint), so backward memory is one step's activations
     # (~iters fields), not the rollout's. See apps/optimize.py and
     # tests/test_diff.py.

@@ -103,10 +103,9 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
             bad.append("early_exit=False")
         if opts.outer_corrector_rounds != 0:
             bad.append("outer_corrector_rounds=0")
-        if opts.substeps_adaptive or opts.substeps_init != 1 \
-                or opts.substeps_max != 1:
-            bad.append("a static single substep "
-                       "(substeps_init=substeps_max=1, non-adaptive)")
+        if opts.substeps_adaptive:
+            bad.append("a static substep count (substeps_adaptive="
+                       "False; the count is unrolled)")
         if bad:
             raise ValueError(
                 "SolverOptions.differentiable requires "
@@ -685,6 +684,14 @@ def step_fn(scene: Scene, state: State,
         # Statically one substep (Rust semantics): skip the dynamic
         # fori_loop wrapper so XLA fuses across the substep boundary.
         u, v, p, pp, res_p, red = sub_body(0, carry0)
+    elif not opts.substeps_adaptive and opts.differentiable:
+        # Static substep count, unrolled: the dynamic fori_loop's
+        # traced trip count lowers to while_loop, which has no
+        # reverse-mode rule.
+        carry = carry0
+        for i in range(opts.substeps_init):
+            carry = sub_body(i, carry)
+        u, v, p, pp, res_p, red = carry
     else:
         u, v, p, pp, res_p, red = lax.fori_loop(
             0, substeps, sub_body, carry0)

@@ -151,6 +151,27 @@ def test_distributed_adjoint_matches_single_device():
     np.testing.assert_allclose(float(g8), float(g1), rtol=1e-5)
 
 
+def test_js_semantics_static_substeps_grad():
+    """JS semantics with a static multi-substep count: the unrolled
+    substep loop differentiates, and the gradient matches FD."""
+    grid = Grid(nx=64, ny=32, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    opts = solver_options_for(
+        Semantics.JS, ramp_up_steps=5, jacobi_tol=1e-6, jacobi_iters=20,
+        early_exit=False, substeps_adaptive=False, substeps_init=2,
+        substeps_max=2, differentiable=True)
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.01, viscosity=0.01), opts)
+    loss = _loss_fn(scene, 3)
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    i0 = jnp.asarray(1.0, jnp.float32)
+    gin = jax.grad(loss, argnums=1)(nu0, i0)
+    eps = 1e-3
+    fd_in = (loss(nu0, i0 + eps) - loss(nu0, i0 - eps)) / (2 * eps)
+    assert np.isclose(float(gin), float(fd_in), rtol=1e-2), \
+        (float(gin), float(fd_in))
+
+
 def test_make_scene_rejects_incompatible_options():
     with pytest.raises(ValueError, match="early_exit"):
         _scene(early_exit=True)
@@ -159,5 +180,5 @@ def test_make_scene_rejects_incompatible_options():
     with pytest.raises(ValueError, match="substep"):
         grid = Grid(nx=64, ny=32, lx=8.0, ly=4.0, obstacles=())
         opts = solver_options_for(Semantics.JS, early_exit=False,
-                                  differentiable=True)
-        cfd.make_scene(grid, SimulationParams(), opts)
+                                  differentiable=True)  # JS default is
+        cfd.make_scene(grid, SimulationParams(), opts)   # adaptive
