@@ -43,9 +43,10 @@ from ...render.png import png_bytes
 class AppState:
     """Server-side session: one simulation handle + mesh view cache."""
 
-    def __init__(self, nx=400, ny=132):
+    def __init__(self, nx=400, ny=132, chunk=0):
         self.lock = threading.Lock()
         self.nx, self.ny = nx, ny
+        self.chunk = chunk  # driver steps_per_loop; 0 = auto (start())
         self.params = SimulationParams(dt=0.005, viscosity=1e-6,
                                        target_inlet_velocity=1.0)
         self.handle: SimulationHandle | None = None
@@ -75,8 +76,14 @@ class AppState:
                  else 2 * obs.half_h)
             U = max(self.params.target_inlet_velocity, 1e-9)
             self._force_norm = (U, D)
-        self.handle = SimulationHandle(scene, tracers=True,
-                                       forces=True).start()
+        chunk = self.chunk
+        if not chunk:  # auto (resolved here, not at server bind: the
+            # backend query would stall startup on the axon tunnel)
+            import jax
+            chunk = 8 if jax.default_backend() == "axon" else 1
+        self.handle = SimulationHandle(
+            scene, tracers=True, forces=True,
+            steps_per_loop=chunk).start()
 
     def stop(self):
         if self.handle is not None:
@@ -228,31 +235,28 @@ class Handler(BaseHTTPRequestHandler):
             if h is None:
                 img = np.full((APP.ny, APP.nx, 3), 24, np.uint8)
                 return self._send(200, png_bytes(img), "image/png")
-            h.request_snapshot()
+            h.request_frame(q.get("mode", "velocity"))
             import time
-            snap = None
-            # The axon tunnel's device_get can take seconds right after
-            # a (re)start while the step is still compiling; poll long
-            # enough that the first frame succeeds rather than 503ing.
+            fr = None
+            # The axon tunnel's first render can take seconds while the
+            # step is still compiling; poll long enough that the first
+            # frame succeeds rather than 503ing.
             for _ in range(800):
-                snap = h.get_last_available_snapshot()
-                if snap is not None:
+                fr = h.get_last_available_frame()
+                if fr is not None:
                     break
                 time.sleep(0.01)
-            if snap is None:
+            if fr is None:
                 return self._send(503, b"{}")
-            self._send(200, self._render_png(h, snap, q), "image/png")
+            self._send(200, self._decorate_png(h, fr[0], q), "image/png")
 
     @staticmethod
-    def _render_png(h, snap, q) -> bytes:
-        mode = VisualizationMode(q.get("mode", "velocity"))
-        grid = h._scene.grid
-        img = np.asarray(render_field(
-            np.asarray(snap.u), np.asarray(snap.v[:-1]),
-            np.asarray(snap.p), grid=grid, mode=mode))
-        img = boundary_overlay(img)
+    def _decorate_png(h, img, q) -> bytes:
+        """Host-side decoration of a driver-rendered uint8 frame (the
+        fields never cross to the host -- see driver._render_frame)."""
+        img = boundary_overlay(np.asarray(img))
         if q.get("tracers") == "1" and h.tracer_state is not None:
-            img = draw_tracers(img, h.tracer_state, grid)
+            img = draw_tracers(img, h.tracer_state, h._scene.grid)
         # upscale 2x for display crispness (nearest)
         img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
         return png_bytes(img)
@@ -279,6 +283,7 @@ class Handler(BaseHTTPRequestHandler):
 
         last_step = None
         last_emit = 0.0
+        mode = q.get("mode", "velocity")
         try:
             while True:
                 with APP.lock:
@@ -289,13 +294,13 @@ class Handler(BaseHTTPRequestHandler):
                     last_step = None
                     time.sleep(0.5)
                     continue
-                h.request_snapshot()
-                snap = h.get_last_available_snapshot()
+                h.request_frame(mode)
+                fr = h.get_last_available_frame()
                 now = time.monotonic()
-                if snap is not None and (snap.step != last_step
-                                         or now - last_emit >= 1.0):
-                    write_part(self._render_png(h, snap, q))
-                    last_step = snap.step
+                if fr is not None and (fr[1] != last_step
+                                       or now - last_emit >= 1.0):
+                    write_part(self._decorate_png(h, fr[0], q))
+                    last_step = fr[1]
                     last_emit = now
                 time.sleep(0.05)  # ~20 fps cap
         except (BrokenPipeError, ConnectionResetError, OSError):
@@ -378,8 +383,15 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--nx", type=int, default=400)
     ap.add_argument("--ny", type=int, default=132)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="simulation steps per device dispatch "
+                         "(driver steps_per_loop); 0 = auto: 8 on the "
+                         "axon dev tunnel (whose ~20 ms/call cost "
+                         "makes per-step dispatch ~10 steps/s), 1 "
+                         "elsewhere (reference cadence)")
     args = ap.parse_args(argv)
     APP.nx, APP.ny = args.nx, args.ny
+    APP.chunk = args.chunk
     server = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
     print(f"cfd-demo-tpu web UI on http://127.0.0.1:{args.port}/")
     try:

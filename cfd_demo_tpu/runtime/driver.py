@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core.config import SimulationParams
 from ..core.state import State, set_params
-from ..solver.piso import Scene, make_scene, make_step
+from ..solver.piso import Scene, make_scene
 from .log import ResidualHistory, Residuals
 
 
@@ -49,16 +49,30 @@ class _Command:
     PAUSE = "pause"
     RESUME = "resume"
     SNAPSHOT = "snapshot"
+    FRAME = "frame"
     SET_PARAMS = "set_params"
 
 
 class SimulationHandle:
-    """Control endpoint (model.rs:65-117). Create via ``run()``."""
+    """Control endpoint (model.rs:65-117). Create via ``run()``.
+
+    ``steps_per_loop``: simulation steps fused into one device
+    dispatch per control-loop iteration (lax.scan), with every
+    diagnostic scalar returned as ONE stacked vector so the loop costs
+    a single device read. 1 (default) is the reference's cadence --
+    one step, one residual record, per loop. N > 1 amortizes
+    per-dispatch overhead N-fold (the axon dev tunnel costs ~20 ms +
+    ~20 ms per scalar read PER CALL; interactive rates there need
+    N ~ 8) at the cost of command latency <= N steps and one residual
+    record (the chunk's last step) per N.
+    """
 
     def __init__(self, scene: Scene, state: Optional[State] = None,
-                 tracers: bool = False, forces: bool = False):
+                 tracers: bool = False, forces: bool = False,
+                 steps_per_loop: int = 1):
         self._scene = scene
         self._state = state if state is not None else scene.init_state()
+        self._steps_per_loop = max(1, int(steps_per_loop))
         self._forces_enabled = forces and bool(scene.grid.obstacles)
         if self._forces_enabled:
             from ..ops.forces import default_control_volume
@@ -70,81 +84,127 @@ class SimulationHandle:
                 # valid control volume; degrade to forces-off like the
                 # obstacle-free case instead of dying at construction.
                 self._forces_enabled = False
+        self._tracers_enabled = tracers
+        self._tracer_state = None
+        if tracers:
+            self._init_tracers()
         self._step = self._build_step(scene)
         self._commands: "queue.Queue" = queue.Queue()
         self._snapshots: "queue.Queue" = queue.Queue()
         self._residuals: "queue.Queue" = queue.Queue()
+        self._frames: "queue.Queue" = queue.Queue()
+        self._frame_fns: dict = {}
         self.history = ResidualHistory()
         self._thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
         self.diverged = False
-        self._tracers_enabled = tracers
-        self._tracer_state = None
-        self._tracer_step = None
-        if tracers:
-            self._init_tracers()
+        self._last_step = int(self._state.step)
 
     def _build_step(self, scene: Scene):
-        """jit step returning (state, diag, fx, fy); with forces
-        enabled, the control-volume drag/lift is FUSED into the same
-        dispatch (a second jit call per step would double the ~20 ms
-        axon dispatch cost). fx/fy are None when disabled."""
-        if not self._forces_enabled:
-            base = make_step(scene, donate=False)
-
-            def step_plain(state):
-                s2, diag = base(state)
-                return s2, diag, None, None
-
-            return step_plain
+        """jit chunk: (state, tracer_state) -> (state', tracer_state',
+        scalars), where scalars is ONE stacked f32 device vector
+        [step, t, dt, res_u, res_v, res_p, substeps, fx, fy] (fx/fy NaN
+        when forces are disabled) -- the control loop pays a single
+        device read per iteration regardless of how many diagnostics it
+        logs. Forces (control-volume drag/lift) and tracer advection
+        are FUSED into the same dispatch; with steps_per_loop > 1 the
+        whole chunk is one lax.scan and the last step's scalars are
+        reported."""
         import jax
-        from ..ops.forces import (control_volume_force,
-                                  default_control_volume,
-                                  physical_pressure)
+        from jax import lax
         from ..solver.piso import step_fn
-        cv = default_control_volume(scene.grid)
+        n = self._steps_per_loop
+        forces = self._forces_enabled
+        tracers = self._tracers_enabled
+        grid = scene.grid
+        if forces:
+            from ..ops.forces import (control_volume_force,
+                                      default_control_volume,
+                                      physical_pressure)
+            cv = default_control_volume(grid)
+        if tracers:
+            from ..ops import tracers as trc
+        f32 = jnp.float32
 
-        def step(state):
-            p_prev, u_prev, v_prev = state.p, state.u, state.v
-            s2, diag = step_fn(scene, state)
-            P = physical_pressure(p_prev, s2.p)
-            fx, fy = control_volume_force(s2.u, s2.v, P, s2.nu,
-                                          scene.grid, cv, u_prev=u_prev,
-                                          v_prev=v_prev, dt=diag.dt)
-            # The stored p is an unbounded accumulator (it grows
-            # linearly at steady state and never feeds back into the
-            # dynamics -- docs/SPEC.md); rebase it each step so the
-            # float32 difference above keeps its mantissa bits over
-            # arbitrarily long interactive runs. Semantics-neutral for
-            # the flow; the UI's min-max colormap is shift-invariant.
-            import dataclasses as _dc
-            s2 = _dc.replace(s2, p=s2.p - jnp.mean(s2.p))
-            return s2, diag, fx, fy
+        def one(s, ts):
+            p_prev, u_prev, v_prev = s.p, s.u, s.v
+            s2, diag = step_fn(scene, s)
+            if forces:
+                P = physical_pressure(p_prev, s2.p)
+                fx, fy = control_volume_force(s2.u, s2.v, P, s2.nu,
+                                              grid, cv, u_prev=u_prev,
+                                              v_prev=v_prev, dt=diag.dt)
+                # The stored p is an unbounded accumulator (it grows
+                # linearly at steady state and never feeds back into
+                # the dynamics -- docs/SPEC.md); rebase it each step so
+                # the float32 difference above keeps its mantissa bits
+                # over arbitrarily long interactive runs. Semantics-
+                # neutral for the flow; the UI's min-max colormap is
+                # shift-invariant.
+                s2 = dataclasses.replace(s2, p=s2.p - jnp.mean(s2.p))
+            else:
+                fx = fy = jnp.asarray(jnp.nan, f32)
+            if ts is not None:
+                ts = trc.step_tracers(ts, s2.u, s2.v, grid, s2.dt,
+                                      s2.step)
+            scal = jnp.stack([
+                jnp.asarray(diag.step, f32), jnp.asarray(diag.t, f32),
+                jnp.asarray(diag.dt, f32), jnp.asarray(diag.res_u, f32),
+                jnp.asarray(diag.res_v, f32),
+                jnp.asarray(diag.res_p, f32),
+                jnp.asarray(diag.substeps, f32),
+                jnp.asarray(fx, f32), jnp.asarray(fy, f32)])
+            return s2, ts, scal
 
-        jitted = jax.jit(step)
+        if n == 1:
+            def chunk(s, ts):
+                return one(s, ts if tracers else None)
+        else:
+            def chunk(s, ts):
+                def body(carry, _):
+                    s, ts = carry
+                    s2, ts2, scal = one(s, ts)
+                    return (s2, ts2), scal
 
-        def step_forces(state):
-            s2, diag, fx, fy = jitted(state)
-            return s2, diag, float(fx), float(fy)
+                (s2, ts2), scals = lax.scan(
+                    body, (s, ts if tracers else None), None, length=n)
+                return s2, ts2, scals[-1]
 
-        return step_forces
+        return jax.jit(chunk)
+
+    def _render_frame(self, mode) -> np.ndarray:
+        """On-device colormapped frame of the CURRENT state: one jit
+        dispatch + one uint8 transfer. The SimSnapshot path moves three
+        full f32 fields host-side and re-uploads them to render -- ~8
+        tunnel round trips per frame on axon vs this path's 2."""
+        fn = self._frame_fns.get(mode)
+        if fn is None:
+            import jax
+            from ..render.colormap import VisualizationMode, render_field
+            grid = self._scene.grid
+            m = VisualizationMode(mode)
+            fn = jax.jit(lambda u, vf, p: render_field(
+                u, vf[:-1], p, grid=grid, mode=m))
+            self._frame_fns[mode] = fn
+        s = self._state
+        return np.asarray(fn(s.u, s.v_full, s.p))
 
     def _init_tracers(self):
-        import jax
         from ..ops import tracers as trc
-        grid = self._scene.grid
-        self._tracer_state = trc.init_tracers(grid)
-        self._tracer_step = jax.jit(
-            lambda ts, u, v, dt, k: trc.step_tracers(ts, u, v, grid, dt, k))
+        self._tracer_state = trc.init_tracers(self._scene.grid)
 
     def set_tracers(self, enabled: bool):
-        """Enable/disable tracer particles (index.html tracer checkbox)."""
+        """Enable/disable tracer particles (index.html tracer checkbox).
+        Advection is fused into the step dispatch, so toggling rebuilds
+        the compiled chunk."""
+        if enabled == self._tracers_enabled:
+            return
         self._tracers_enabled = enabled
         if enabled and self._tracer_state is None:
             self._init_tracers()
         if not enabled:
             self._tracer_state = None
-            self._tracer_step = None
+        self._step = self._build_step(self._scene)
 
     @property
     def tracer_state(self):
@@ -162,8 +222,9 @@ class SimulationHandle:
         paused = False
         while not self._stopped.is_set():
             snapshot_sent = False
+            frame_sent = False
             # Drain all pending commands (model.rs:1291-1315); duplicate
-            # snapshot requests are coalesced.
+            # snapshot/frame requests are coalesced.
             while True:
                 try:
                     cmd, arg = self._commands.get_nowait()
@@ -180,39 +241,54 @@ class SimulationHandle:
                 elif cmd == _Command.SNAPSHOT and not snapshot_sent:
                     self._snapshots.put(self._snapshot(paused))
                     snapshot_sent = True
+                elif cmd == _Command.FRAME and not frame_sent:
+                    # step tag from the host-tracked counter (an
+                    # int(state.step) here would be its own device
+                    # round trip per frame)
+                    self._frames.put(
+                        (self._render_frame(arg), self._last_step))
+                    frame_sent = True
             if self._stopped.is_set():
                 break
             if paused:
                 time.sleep(0.016)  # model.rs:1322
                 continue
             t0 = time.perf_counter()
-            self._state, diag, fx, fy = self._step(self._state)
-            if self._tracers_enabled and self._tracer_state is not None:
-                s = self._state
-                self._tracer_state = self._tracer_step(
-                    self._tracer_state, s.u, s.v, s.dt, s.step)
+            self._state, ts2, scal = self._step(self._state,
+                                                self._tracer_state)
+            if ts2 is not None:
+                self._tracer_state = ts2
+            # ONE device read for every diagnostic scalar (each float()
+            # of a separate device scalar is its own ~20 ms round trip
+            # on the axon tunnel).
+            (step_i, t_sim, dtv, res_u, res_v, res_p, substeps,
+             fx, fy) = (float(x) for x in np.asarray(scal))
+            self._last_step = int(step_i)
             # Failure detection (SURVEY.md section 5): the reference can
             # and does diverge numerically with nothing noticing; a
             # non-finite residual here auto-pauses instead of burning
             # the device on NaNs.
             import math as _math
-            if not (_math.isfinite(float(diag.res_u))
-                    and _math.isfinite(float(diag.res_p))):
+            if not (_math.isfinite(res_u) and _math.isfinite(res_p)):
                 self.diverged = True
                 paused = True
                 print("cfd-demo-tpu: non-finite residual at step "
-                      f"{int(diag.step)}; simulation auto-paused "
+                      f"{int(step_i)}; simulation auto-paused "
                       "(reduce dt or viscosity gradient)")
             rec = Residuals(
-                simulation_step=int(diag.step),
-                simulation_time=float(diag.t),
-                dt=float(diag.dt),
-                p=float(diag.res_p),
-                u=float(diag.res_u),
-                v=float(diag.res_v),
-                step_time=time.perf_counter() - t0,
-                piso_substeps=int(diag.substeps),
-                fx=fx, fy=fy)
+                simulation_step=int(step_i),
+                simulation_time=t_sim,
+                dt=dtv,
+                p=res_p,
+                u=res_u,
+                v=res_v,
+                # per-step wall time (the dispatch covered
+                # steps_per_loop steps)
+                step_time=(time.perf_counter() - t0)
+                / self._steps_per_loop,
+                piso_substeps=int(substeps),
+                fx=None if not self._forces_enabled else fx,
+                fy=None if not self._forces_enabled else fy)
             self.history.push(rec)
             self._residuals.put(rec)
 
@@ -228,6 +304,7 @@ class SimulationHandle:
             self._scene = make_scene(self._scene.grid, params,
                                      self._scene.opts)
             self._step = self._build_step(self._scene)
+            self._frame_fns = {}
 
     def _snapshot(self, paused: bool) -> SimSnapshot:
         s = self._state
@@ -263,6 +340,21 @@ class SimulationHandle:
             except queue.Empty:
                 return last
 
+    def request_frame(self, mode: str = "velocity"):
+        """Queue an on-device-rendered uint8 frame of the current
+        fields (see _render_frame; the cheap path for interactive
+        streaming -- SimSnapshot remains the full-field API)."""
+        self._commands.put((_Command.FRAME, mode))
+
+    def get_last_available_frame(self):
+        """Drain the frame queue, keep the latest (img, step) or None."""
+        last = None
+        while True:
+            try:
+                last = self._frames.get_nowait()
+            except queue.Empty:
+                return last
+
     def get_new_log_messages(self) -> List[Residuals]:
         """Drain the residual queue (model.rs:88-98)."""
         out: List[Residuals] = []
@@ -274,8 +366,10 @@ class SimulationHandle:
 
 
 def run(scene: Scene, state: Optional[State] = None,
-        tracers: bool = False, forces: bool = False) -> SimulationHandle:
+        tracers: bool = False, forces: bool = False,
+        steps_per_loop: int = 1) -> SimulationHandle:
     """Model::run equivalent: start stepping on a background thread and
     return the control handle."""
     return SimulationHandle(scene, state, tracers=tracers,
-                            forces=forces).start()
+                            forces=forces,
+                            steps_per_loop=steps_per_loop).start()

@@ -65,6 +65,28 @@ def test_driver_lifecycle():
         h.stop()
 
 
+def test_driver_chunked_step_equals_per_step():
+    """steps_per_loop=N fuses N steps into one dispatch (lax.scan);
+    the states and the reported diagnostics must equal N single-step
+    dispatches exactly -- with tracers and forces fused in."""
+    from cfd_demo_tpu.runtime.driver import SimulationHandle
+    sc = scene()
+    h1 = SimulationHandle(sc, tracers=True, forces=True)
+    h3 = SimulationHandle(sc, tracers=True, forces=True,
+                          steps_per_loop=3)
+    s1, ts1 = h1._state, h1._tracer_state
+    for _ in range(3):
+        s1, ts1, scal1 = h1._step(s1, ts1)
+    s3, ts3, scal3 = h3._step(h3._state, h3._tracer_state)
+    for f in ("u", "v", "p", "res_p", "dt", "step"):
+        np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
+                                      np.asarray(getattr(s3, f)),
+                                      err_msg=f)
+    np.testing.assert_array_equal(np.asarray(ts1.pos),
+                                  np.asarray(ts3.pos))
+    np.testing.assert_array_equal(np.asarray(scal1), np.asarray(scal3))
+
+
 def test_driver_scheme_hot_swap():
     sc = scene()
     h = run(sc)
