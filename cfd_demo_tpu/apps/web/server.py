@@ -235,14 +235,18 @@ class Handler(BaseHTTPRequestHandler):
             if h is None:
                 img = np.full((APP.ny, APP.nx, 3), 24, np.uint8)
                 return self._send(200, png_bytes(img), "image/png")
-            h.request_frame(q.get("mode", "velocity"))
+            mode = q.get("mode", "velocity")
+            try:
+                h.request_frame(mode)
+            except ValueError:
+                return self._send(400, b'{"error": "unknown mode"}')
             import time
             fr = None
             # The axon tunnel's first render can take seconds while the
             # step is still compiling; poll long enough that the first
             # frame succeeds rather than 503ing.
             for _ in range(800):
-                fr = h.get_last_available_frame()
+                fr = h.get_last_available_frame(mode)
                 if fr is not None:
                     break
                 time.sleep(0.01)
@@ -294,8 +298,11 @@ class Handler(BaseHTTPRequestHandler):
                     last_step = None
                     time.sleep(0.5)
                     continue
-                h.request_frame(mode)
-                fr = h.get_last_available_frame()
+                try:
+                    h.request_frame(mode)
+                except ValueError:
+                    return  # unknown mode: end the stream
+                fr = h.get_last_available_frame(mode)
                 now = time.monotonic()
                 if fr is not None and (fr[1] != last_step
                                        or now - last_emit >= 1.0):

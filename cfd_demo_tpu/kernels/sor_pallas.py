@@ -221,7 +221,7 @@ def _tiles(ny: int, nxp: int, k: int, block_rows: int, tiling="auto"):
 
 
 def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
-              *, ny, nx, nxp, bs, bsx, halo, k, ncb, dx2, dy2, omega,
+              *, ny, nx, nxp, bs, bsx, halo, k, dx2, dy2, omega,
               cavity):
     """2-D (row x column) tile variant of _kernel for wide grids where
     no full-width row block fits VMEM. Same numerics; the column
@@ -361,7 +361,7 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
         w, cw = bs + 2 * halo, bsx + 2 * COL_HALO
         kern = functools.partial(
             _kernel2d, ny=ny, nx=nx, nxp=nxp, bs=bs, bsx=bsx, halo=halo,
-            k=k, ncb=ncb, dx2=dx * dx, dy2=dy * dy, omega=omega,
+            k=k, dx2=dx * dx, dy2=dy * dy, omega=omega,
             cavity=cavity)
         out, err = pl.pallas_call(
             kern,

@@ -181,8 +181,12 @@ def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False,
               jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 
     if fixed_trip:
+        # length max(1, iters): the while_loop's do-while cond (it == 0
+        # or ...) always runs the first sweep even at iters == 0 --
+        # the scan must too for "fields identical" to hold.
         (pp, err, _, n, _), _ = lax.scan(
-            lambda c, _: (body_core(c), None), carry0, None, length=iters)
+            lambda c, _: (body_core(c), None), carry0, None,
+            length=max(1, iters))
         return pp, err, n
 
     def cond(carry):

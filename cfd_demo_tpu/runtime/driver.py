@@ -92,7 +92,7 @@ class SimulationHandle:
         self._commands: "queue.Queue" = queue.Queue()
         self._snapshots: "queue.Queue" = queue.Queue()
         self._residuals: "queue.Queue" = queue.Queue()
-        self._frames: "queue.Queue" = queue.Queue()
+        self._frames: dict = {}     # mode -> (img, step) latest-wins
         self._frame_fns: dict = {}
         self.history = ResidualHistory()
         self._thread: Optional[threading.Thread] = None
@@ -222,9 +222,11 @@ class SimulationHandle:
         paused = False
         while not self._stopped.is_set():
             snapshot_sent = False
-            frame_sent = False
+            frame_modes = []
             # Drain all pending commands (model.rs:1291-1315); duplicate
-            # snapshot/frame requests are coalesced.
+            # snapshot requests are coalesced; frame requests coalesce
+            # PER MODE (concurrent clients may stream different
+            # visualizations -- one render each, not first-wins).
             while True:
                 try:
                     cmd, arg = self._commands.get_nowait()
@@ -241,13 +243,14 @@ class SimulationHandle:
                 elif cmd == _Command.SNAPSHOT and not snapshot_sent:
                     self._snapshots.put(self._snapshot(paused))
                     snapshot_sent = True
-                elif cmd == _Command.FRAME and not frame_sent:
-                    # step tag from the host-tracked counter (an
-                    # int(state.step) here would be its own device
-                    # round trip per frame)
-                    self._frames.put(
-                        (self._render_frame(arg), self._last_step))
-                    frame_sent = True
+                elif cmd == _Command.FRAME and arg not in frame_modes:
+                    frame_modes.append(arg)
+            for mode in frame_modes:
+                # step tag from the host-tracked counter (an
+                # int(state.step) here would be its own device round
+                # trip per frame); latest-wins per-mode slot.
+                self._frames[mode] = (self._render_frame(mode),
+                                      self._last_step)
             if self._stopped.is_set():
                 break
             if paused:
@@ -261,9 +264,12 @@ class SimulationHandle:
             # ONE device read for every diagnostic scalar (each float()
             # of a separate device scalar is its own ~20 ms round trip
             # on the axon tunnel).
-            (step_i, t_sim, dtv, res_u, res_v, res_p, substeps,
+            (_step_f32, t_sim, dtv, res_u, res_v, res_p, substeps,
              fx, fy) = (float(x) for x in np.asarray(scal))
-            self._last_step = int(step_i)
+            # Host-tracked exact counter: the f32 step_i in the stacked
+            # vector rounds past 2^24 steps (~58 h interactive); each
+            # dispatch advances exactly steps_per_loop.
+            self._last_step += self._steps_per_loop
             # Failure detection (SURVEY.md section 5): the reference can
             # and does diverge numerically with nothing noticing; a
             # non-finite residual here auto-pauses instead of burning
@@ -273,10 +279,10 @@ class SimulationHandle:
                 self.diverged = True
                 paused = True
                 print("cfd-demo-tpu: non-finite residual at step "
-                      f"{int(step_i)}; simulation auto-paused "
+                      f"{self._last_step}; simulation auto-paused "
                       "(reduce dt or viscosity gradient)")
             rec = Residuals(
-                simulation_step=int(step_i),
+                simulation_step=self._last_step,
                 simulation_time=t_sim,
                 dt=dtv,
                 p=res_p,
@@ -343,17 +349,16 @@ class SimulationHandle:
     def request_frame(self, mode: str = "velocity"):
         """Queue an on-device-rendered uint8 frame of the current
         fields (see _render_frame; the cheap path for interactive
-        streaming -- SimSnapshot remains the full-field API)."""
-        self._commands.put((_Command.FRAME, mode))
+        streaming -- SimSnapshot remains the full-field API).
 
-    def get_last_available_frame(self):
-        """Drain the frame queue, keep the latest (img, step) or None."""
-        last = None
-        while True:
-            try:
-                last = self._frames.get_nowait()
-            except queue.Empty:
-                return last
+        The mode is validated HERE, on the caller's thread: an
+        unknown string must fail this call, never the sim thread."""
+        from ..render.colormap import VisualizationMode
+        self._commands.put((_Command.FRAME, VisualizationMode(mode).value))
+
+    def get_last_available_frame(self, mode: str = "velocity"):
+        """Latest (img, step) rendered for ``mode``, or None."""
+        return self._frames.get(mode)
 
     def get_new_log_messages(self) -> List[Residuals]:
         """Drain the residual queue (model.rs:88-98)."""

@@ -49,7 +49,7 @@ def main():
         dt_w = time.perf_counter() - t0
         times.append(dt_w)
         print(f"step {i}: {dt_w:.2f}s res_p={rp:.4g}", flush=True)
-    warm = times[max(3, len(times) // 3):]
+    warm = times[max(3, len(times) // 3):] or times[-1:]
     best = sorted(warm)[:max(1, len(warm) // 2)]
     msstep = 1e3 * sum(best) / len(best)
     print(f"steady ms/step ~{msstep:.0f}, cups {n * n / (msstep / 1e3):.3g}")
