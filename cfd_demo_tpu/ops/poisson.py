@@ -139,6 +139,104 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     return pp, err, n
 
 
+def _jacobi_plain(pp0, rhs, dx, dy, omega, iters, bc):
+    """Bare fixed-schedule damped-Jacobi scan: the tol == 0 solve as a
+    structurally LINEAR map of (pp0, rhs) -- no err/max/masking ops --
+    so jax.linear_transpose can derive its exact adjoint. Fields equal
+    jacobi(..., tol=0, early_exit=False) exactly: at tol == 0 the
+    masked loop's done flag never fires and its selects are
+    identities."""
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    interior, _, _ = _iota_masks(pp0.shape)
+
+    def sweep(pp, _):
+        east = shifted(pp, pp.shape, 0, 1)
+        west = shifted(pp, pp.shape, 0, -1)
+        north = shifted(pp, pp.shape, 1, 0)
+        south = shifted(pp, pp.shape, -1, 0)
+        update = ((east + west) / dx2 + (north + south) / dy2
+                  - rhs) / denom
+        new_val = omega * update + (1.0 - omega) * pp
+        return bc(jnp.where(interior, new_val, pp)), None
+
+    pp, _ = lax.scan(sweep, pp0, None, length=max(1, iters))
+    return pp
+
+
+def jacobi_fixed_adjoint(pp0, rhs, dx, dy, omega, iters, bc, forward):
+    """Fixed-schedule (tol == 0) Jacobi solve whose VJP is the exact
+    linear transpose of the solve map -- the fast-adjoint path of
+    SolverOptions.differentiable.
+
+    The fixed-schedule solve is a LINEAR map of (pp0, rhs):
+    p_{k+1} = M p_k + N rhs with M the damped-sweep-and-BC operator
+    and N the rhs injection, so p_K = M^K p0 + (sum_j M^j) N rhs and
+    the reverse derivative needs NO stored iterates and NO
+    differentiable forward. The backward pass runs the transposed
+    recursion (pbar <- M^T pbar, rbar += N^T pbar; M^T and N^T via
+    jax.linear_transpose of the SINGLE-sweep maps) -- O(1) activation
+    memory vs the unrolled scan's O(iters) fields, and the forward may
+    be ANY implementation of the same map, including the fused Pallas
+    kernels, whose internals AD never touches.
+
+    ``forward``: (pp0, rhs) -> (pp, err). Gradients through ``err``
+    (the residual diagnostic, a nonlinear max) are defined as ZERO;
+    callers must not route err back into the dynamics (solver/piso
+    gates this path on configurations where res_p is diagnostic only).
+    Returns (pp, err).
+    """
+    import jax as _jax
+
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+
+    def m_op(p):
+        """One sweep's p-dependence (rhs = 0), incl. interior select
+        and BCs -- mirrors _jacobi_sweep exactly."""
+        interior, _, _ = _iota_masks(p.shape)
+        east = shifted(p, p.shape, 0, 1)
+        west = shifted(p, p.shape, 0, -1)
+        north = shifted(p, p.shape, 1, 0)
+        south = shifted(p, p.shape, -1, 0)
+        update = ((east + west) / dx2 + (north + south) / dy2) / denom
+        new_val = omega * update + (1.0 - omega) * p
+        return bc(jnp.where(interior, new_val, p))
+
+    def n_op(r):
+        """One sweep's rhs-dependence (p = 0)."""
+        interior, _, _ = _iota_masks(r.shape)
+        return bc(jnp.where(interior, -(omega / denom) * r,
+                            jnp.zeros_like(r)))
+
+    @_jax.custom_vjp
+    def solve(p0, r):
+        return forward(p0, r)
+
+    def fwd(p0, r):
+        return solve(p0, r), None  # linear map: no residuals to save
+
+    def bwd(_, ct):
+        ct_p = ct[0]
+        spec = _jax.ShapeDtypeStruct(ct_p.shape, ct_p.dtype)
+        mt = _jax.linear_transpose(m_op, spec)
+        nt = _jax.linear_transpose(n_op, spec)
+
+        def body(carry, _):
+            pbar, rbar = carry
+            rbar = rbar + nt(pbar)[0]
+            pbar = mt(pbar)[0]
+            return (pbar, rbar), None
+
+        (p0_bar, r_bar), _ = lax.scan(
+            body, (ct_p, jnp.zeros_like(ct_p)), None,
+            length=max(1, iters))
+        return p0_bar, r_bar
+
+    solve.defvjp(fwd, bwd)
+    return solve(pp0, rhs)
+
+
 def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False,
                   fixed_trip=False):
     """Masked-update convergence loop.

@@ -126,13 +126,16 @@ def _is_batched(x) -> bool:
     return type(x).__name__ == "BatchTracer"
 
 
-def _pallas_ok(scene: "Scene", example=None) -> bool:
+def _pallas_ok(scene: "Scene", example=None,
+               allow_differentiable: bool = False) -> bool:
     """The fused kernel targets the TPU backend and tile-friendly rows;
     it implements both the channel and cavity pressure BC families.
-    Differentiable mode bypasses every kernel (no VJPs)."""
+    Differentiable mode bypasses every kernel (no VJPs) -- except
+    callers that wrap the kernel in a custom VJP (the fixed-schedule
+    fast-adjoint solve), which pass allow_differentiable=True."""
     return (jax.default_backend() in ("tpu", "axon")
             and scene.grid.ny % 8 == 0
-            and not scene.opts.differentiable
+            and (allow_differentiable or not scene.opts.differentiable)
             and not _is_batched(example))
 
 
@@ -240,6 +243,44 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                           fixed_trip=opts.differentiable)
 
         if opts.differentiable:
+            if opts.jacobi_tol == 0.0 and not opts.residual_dt_scaling:
+                # Fast adjoint (ops.poisson.jacobi_fixed_adjoint): the
+                # fixed-schedule solve is linear, so the backward pass
+                # is ONE transposed application (no stored iterates)
+                # and the forward may run the fused Pallas kernels.
+                # Gated off when res_p feeds back into the dynamics
+                # (JS residual-dt scaling): err gradients are zero by
+                # definition on this path.
+                from ..ops.poisson import jacobi_fixed_adjoint
+                n_it = opts.jacobi_iters
+
+                if (opts.pressure_impl in ("auto", "pallas")
+                        and _pallas_ok(scene, rhs,
+                                       allow_differentiable=True)
+                        and pp0.dtype == jnp.float32):
+                    from ..kernels.jacobi_pallas import jacobi_pallas
+
+                    def forward(p0, r):
+                        pp_, err_, _ = jacobi_pallas(
+                            p0, r, g.dx, g.dy, opts.jacobi_omega, 0.0,
+                            n_it, k=resolve_fuse_k(opts, g),
+                            block_rows=opts.pallas_block_rows,
+                            early_exit=False, cavity=cavity,
+                            deep=(opts.substeps_max > 1))
+                        return pp_, err_
+                else:
+                    def forward(p0, r):
+                        pp_, err_, _ = jacobi(
+                            p0, r, g.dx, g.dy, opts.jacobi_omega, 0.0,
+                            n_it, early_exit=False, bc=bc,
+                            fixed_trip=True)
+                        return pp_, err_
+
+                pp_out, err_out = jacobi_fixed_adjoint(
+                    pp0, rhs, g.dx, g.dy, opts.jacobi_omega, n_it, bc,
+                    forward)
+                return pp_out, err_out, jnp.asarray(max(1, n_it),
+                                                    jnp.int32)
             # jax.custom_batching.custom_vmap blocks reverse-mode AD;
             # differentiable mode takes the plain jnp solve (vmap of it
             # is the same masked fixed-trip scan per element).

@@ -95,6 +95,63 @@ def test_grad_flows_through_alt_projections(solver):
         (float(gin), float(fd_in))
 
 
+def test_fast_adjoint_equals_unrolled_gradient():
+    """The tol == 0 fixed-schedule solve takes the fast-adjoint path
+    (ops.poisson.jacobi_fixed_adjoint: custom VJP = the exact linear
+    transpose of the solve map, O(1) activation memory, Pallas-eligible
+    forward). Its end-to-end gradient must equal the unrolled-AD
+    gradient BITWISE on the same forward (the unrolled path is forced
+    via residual_dt_scaling, which gates the fast path but does not
+    touch RUST-semantics dynamics)."""
+    common = dict(ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=15,
+                  outer_corrector_rounds=0, early_exit=False,
+                  differentiable=True)
+    grads = {}
+    for name, extra in (("fast", {}),
+                        ("unroll", {"residual_dt_scaling": True})):
+        scene = _scene(**common, **extra)
+        loss = _loss_fn(scene, 4)
+        nu0 = jnp.asarray(0.01, jnp.float32)
+        i0 = jnp.asarray(1.0, jnp.float32)
+        grads[name] = jax.grad(loss, argnums=(0, 1))(nu0, i0)
+    assert float(grads["fast"][0]) == float(grads["unroll"][0])
+    assert float(grads["fast"][1]) == float(grads["unroll"][1])
+    assert float(grads["fast"][0]) != 0.0
+
+
+def test_fast_adjoint_solve_transpose_is_exact():
+    """ops.poisson.jacobi_fixed_adjoint vs unrolled AD at the solve
+    level: d/d(pp0) bitwise, d/d(rhs) to accumulation-order noise."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs, jacobi,
+                                          jacobi_fixed_adjoint)
+    rng = np.random.default_rng(3)
+    pp0 = _apply_pprime_bcs(jnp.asarray(
+        rng.standard_normal((32, 48)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    dx, dy, om, it = 1 / 48, 1 / 32, 0.75, 12
+
+    def loss_unroll(p0, r):
+        pp, _, _ = jacobi(p0, r, dx, dy, om, 0.0, it,
+                          early_exit=False, fixed_trip=True)
+        return jnp.sum(pp ** 2)
+
+    def loss_fast(p0, r):
+        def forward(a, b):
+            pp, err, _ = jacobi(a, b, dx, dy, om, 0.0, it,
+                                early_exit=False, fixed_trip=True)
+            return pp, err
+
+        pp, _ = jacobi_fixed_adjoint(p0, r, dx, dy, om, it,
+                                     _apply_pprime_bcs, forward)
+        return jnp.sum(pp ** 2)
+
+    ga = jax.jit(jax.grad(loss_unroll, argnums=(0, 1)))(pp0, rhs)
+    gb = jax.jit(jax.grad(loss_fast, argnums=(0, 1)))(pp0, rhs)
+    np.testing.assert_array_equal(np.asarray(ga[0]), np.asarray(gb[0]))
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-5, atol=1e-9)
+
+
 def test_drag_gradient_matches_finite_differences():
     """Gradient of the control-volume drag force (ops/forces.py) wrt
     viscosity, through a rollout -- the quantity an aerodynamic
