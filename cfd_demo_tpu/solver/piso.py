@@ -476,6 +476,10 @@ def _substep_unfused(scene: Scene):
         opts = scene.opts
         if (jax.default_backend() in ("tpu", "axon")
                 and args[0].dtype == jnp.float32
+                # The whole-scene kernel solves pressure with the
+                # in-kernel Jacobi only; SOR/multigrid scenes must take
+                # the vmapped jnp path.
+                and scene.params.pressure_solver == PressureSolver.JACOBI
                 and opts.pressure_impl in ("auto", "pallas")
                 and opts.substep_impl in ("auto", "pallas")
                 and not any(_is_batched(a) for a in args)
