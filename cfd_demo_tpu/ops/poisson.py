@@ -11,6 +11,8 @@ Dirichlet 0 at the outlet column) are row/column writes fused by XLA.
 SOR (index.html:741-774) is re-designed as red/black Gauss-Seidel:
 the JS in-place lexicographic sweep is inherently sequential; red/black
 is its standard parallel form (documented deviation, docs/SPEC.md).
+The JS ordering remains available exactly via ``sor_lexicographic``
+(wavefront over anti-diagonals; SolverOptions.sor_ordering).
 
 Multigrid (index.html:775-795, kit :1344-1470) is reproduced
 structurally: V-cycle with 5 pre/post undamped-Jacobi smooths,
@@ -324,18 +326,9 @@ def _sor_sweep(pp, rhs, dx, dy, omega, red_mask, black_mask,
     return bc(pp), err
 
 
-def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
-        omega: float, tol: float, iters: int,
-        early_exit: bool = True,
-        bc=_apply_pprime_bcs,
-        fixed_trip: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Red/black SOR (parallel form of index.html:741-774)."""
-    _, r, c = _iota_masks(pp0.shape)
-    red = (r + c) % 2 == 0
-    black = (r + c) % 2 == 1
-    sweep = partial(_sor_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega,
-                    red_mask=red, black_mask=black, bc=bc)
-
+def _sweep_loop(sweep, pp0, tol, iters, early_exit, fixed_trip):
+    """Shared convergence scaffolding: exact do-while early exit, or
+    the masked loop (vmap-exact per element) when early_exit=False."""
     if early_exit:
         def cond(carry):
             _, err, it = carry
@@ -347,14 +340,89 @@ def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
             pp, err = sweep(pp)
             return pp, err, it + 1
 
-        pp, err, it = lax.while_loop(
+        return lax.while_loop(
             cond, body, (pp0, jnp.asarray(jnp.inf, pp0.dtype),
                          jnp.asarray(0, jnp.int32)))
-        return pp, err, it
 
-    pp, err, n = _masked_while(sweep, pp0, tol, iters,
-                               fixed_trip=fixed_trip)
-    return pp, err, n
+    return _masked_while(sweep, pp0, tol, iters, fixed_trip=fixed_trip)
+
+
+def sor(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
+        omega: float, tol: float, iters: int,
+        early_exit: bool = True,
+        bc=_apply_pprime_bcs,
+        fixed_trip: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Red/black SOR (parallel form of index.html:741-774)."""
+    _, r, c = _iota_masks(pp0.shape)
+    red = (r + c) % 2 == 0
+    black = (r + c) % 2 == 1
+    sweep = partial(_sor_sweep, rhs=rhs, dx=dx, dy=dy, omega=omega,
+                    red_mask=red, black_mask=black, bc=bc)
+    return _sweep_loop(sweep, pp0, tol, iters, early_exit, fixed_trip)
+
+
+def _sor_sweep_lex(pp, rhs, dx, dy, omega, bc=_apply_pprime_bcs):
+    """One JS-exact lexicographic SOR sweep (index.html:747-773) as a
+    wavefront over anti-diagonals.
+
+    The JS sweep mutates p' in row-major order, so cell (j, i) reads
+    already-updated west (j, i-1) and south (j-1, i) neighbors and
+    not-yet-updated east/north ones. Both updated neighbors of a cell
+    on anti-diagonal d = i + j lie on diagonal d-1 and both stale ones
+    on d+1, so processing whole diagonals in increasing d reproduces
+    the sequential sweep's dependency structure EXACTLY: each cell
+    evaluates the reference's f32 expression over the same operand
+    values, and the in-sweep running max|new - old| is an
+    order-independent reduction. Agreement with the scalar oracle is
+    therefore ulp-level per sweep (~2 ulp/sweep measured; compiler
+    fma/contraction choices are the only difference -- the ordering
+    deviation itself, the thing docs/SPEC.md item 4 bounds at ~1e-1
+    relative per 50-iteration solve, is gone).
+
+    Cost: (nx + ny - 3) masked whole-array updates per sweep -- the
+    price of sequential-dependency-exactness. This is a parity mode
+    for JS-scale scenes, not a performance path (docs/SPEC.md item 4;
+    red/black remains the production ordering).
+    """
+    F = np.float32
+    dx2 = F(dx) * F(dx)
+    dy2 = F(dy) * F(dy)
+    denom = F(2.0) / dx2 + F(2.0) / dy2
+    om = F(omega)
+    one_m = F(1.0) - om
+    interior, r, c = _iota_masks(pp.shape)
+    diag = r + c
+    ny, nx = pp.shape
+    old = pp
+
+    def body(d, pp):
+        east = shifted(pp, pp.shape, 0, 1)
+        west = shifted(pp, pp.shape, 0, -1)
+        north = shifted(pp, pp.shape, 1, 0)
+        south = shifted(pp, pp.shape, -1, 0)
+        upd = ((east + west) / dx2 + (north + south) / dy2 - rhs) / denom
+        new_val = one_m * pp + om * upd
+        return jnp.where(interior & (diag == d), new_val, pp)
+
+    # Interior diagonals span d = 2 .. (ny-2)+(nx-2).
+    pp = lax.fori_loop(2, (ny - 2) + (nx - 2) + 1, body, pp)
+    err = jnp.max(jnp.where(interior, jnp.abs(pp - old), 0.0))
+    return bc(pp), err
+
+
+def sor_lexicographic(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                      dy: float, omega: float, tol: float, iters: int,
+                      early_exit: bool = True,
+                      bc=_apply_pprime_bcs,
+                      fixed_trip: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """JS-ordering-exact SOR (index.html:741-774) via the wavefront
+    sweep above: closes docs/SPEC.md deviation 4 on demand
+    (SolverOptions.sor_ordering='lexicographic') instead of only
+    bounding it. Matches oracle NumpyModel._sor_lexicographic to a
+    few ulps per sweep (tests/test_sor_ordering.py)."""
+    sweep = partial(_sor_sweep_lex, rhs=rhs, dx=dx, dy=dy, omega=omega,
+                    bc=bc)
+    return _sweep_loop(sweep, pp0, tol, iters, early_exit, fixed_trip)
 
 
 # ---------------------------------------------------------------------------

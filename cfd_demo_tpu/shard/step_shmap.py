@@ -98,6 +98,11 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
         min_loc = max(_HALO, _halo8(resolve_fuse_k(
             opts, g, divide=opts.jacobi_iters)))
     elif solver == PressureSolver.SOR:
+        if opts.sor_ordering == "lexicographic":
+            raise ValueError(
+                "step_shmap: lexicographic SOR is sequential along the "
+                "sharded axis (its wavefront spans every row); use the "
+                "GSPMD tier or sor_ordering='redblack'")
         if opts.jacobi_iters % _sor_k(scene) != 0:
             raise ValueError("step_shmap: jacobi_iters must be a multiple "
                              "of the resolved SOR fuse k")

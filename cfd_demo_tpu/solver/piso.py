@@ -328,11 +328,17 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
         return solve(pp0, rhs)
     if solver == PressureSolver.SOR:
         if opts.sor_ordering == "lexicographic":
-            raise ValueError(
-                "lexicographic SOR is order-sequential and exists only "
-                "in the NumPy oracle to measure the red/black deviation "
-                "(docs/SPEC.md item 4); device paths use sor_ordering="
-                "'redblack'")
+            # JS-ordering-exact mode (docs/SPEC.md item 4): the
+            # wavefront sweep reproduces the sequential in-place
+            # ordering bitwise. Always the jnp path -- its cost is the
+            # (nx+ny) sequential diagonal depth, which no kernel tiling
+            # can remove.
+            from ..ops.poisson import sor_lexicographic
+            return sor_lexicographic(pp0, rhs, g.dx, g.dy,
+                                     opts.sor_omega, opts.jacobi_tol,
+                                     opts.jacobi_iters,
+                                     early_exit=opts.early_exit, bc=bc,
+                                     fixed_trip=opts.differentiable)
         impl = opts.pressure_impl
         if impl == "auto":
             impl = ("pallas" if (g.nx * g.ny >= 2_000_000

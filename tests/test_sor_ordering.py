@@ -85,13 +85,94 @@ def test_sor_ordering_trajectory_envelope():
     assert np.isclose(m_rb.res_p, m_lex.res_p, rtol=0.05)
 
 
-def test_lexicographic_rejected_on_device_paths():
-    """The device solver refuses the sequential ordering loudly."""
-    import cfd_demo_tpu as cfd
+def test_device_lexicographic_solve_matches_oracle():
+    """The wavefront device solve reproduces the oracle's sequential
+    in-place sweep: same f32 expression over the same operand VALUES
+    per cell (the ordering deviation is gone); the only residue is
+    compiler fma/contraction noise, measured ~2 ulp/sweep. Bound:
+    8 * eps * scale * iters."""
+    from cfd_demo_tpu.ops.poisson import sor_lexicographic
+
     grid, params, opts = _scene()
-    scene = cfd.make_scene(
-        grid, params,
-        dataclasses.replace(opts, sor_ordering="lexicographic",
-                            pressure_impl="jnp", substep_impl="jnp"))
+    rhs, p = _developed_rhs(grid, params, opts)
+    for iters in (7, 50):
+        o = dataclasses.replace(opts, jacobi_iters=iters,
+                                sor_ordering="lexicographic")
+        m = NumpyModel(grid, params, o)
+        want, err_want = m._sor_lexicographic(np.zeros_like(p),
+                                              rhs.copy())
+        got, err_got, n = sor_lexicographic(
+            np.zeros_like(p), np.asarray(rhs), float(grid.dx),
+            float(grid.dy), o.sor_omega, o.jacobi_tol, iters,
+            early_exit=o.early_exit)
+        gap = float(np.abs(np.asarray(got) - want).max())
+        scale = float(np.abs(want).max())
+        assert gap <= 8.0 * np.finfo(np.float32).eps * scale * iters, (
+            iters, gap)
+        assert np.isclose(
+            float(err_got), float(err_want),
+            rtol=8.0 * float(np.finfo(np.float32).eps) * iters,
+            atol=1e-8), iters
+
+
+def test_device_lexicographic_step_golden():
+    """Full device steps with sor_ordering='lexicographic' track the
+    lexicographic oracle per step (fixed iteration schedule pins the
+    discretization; per-field L2 <= 1e-5, the BASELINE acceptance)."""
+    import cfd_demo_tpu as cfd
+    from conftest import l2
+
+    grid, params, opts = _scene()
+    opts = dataclasses.replace(opts, sor_ordering="lexicographic",
+                               jacobi_tol=0.0, jacobi_iters=12,
+                               outer_corrector_tol=0.0)
+    scene = cfd.make_scene(grid, params, opts)
+    step = cfd.make_step(scene, donate=False)
+    oracle = NumpyModel(grid, params, opts)
+    state = scene.init_state()
+    for k in range(3):
+        oracle.update()
+        state, _ = step(state)
+        for fname in ("u", "p", "p_prime"):
+            got = np.asarray(getattr(state, fname))
+            want = getattr(oracle, fname)
+            assert l2(got, want) <= 1e-5, (k, fname)
+        assert l2(np.asarray(state.v), oracle.v[:-1]) <= 1e-5, k
+
+
+def test_lexicographic_masked_loop_matches_exact():
+    """early_exit=False (the vmap-exact masked loop) produces the same
+    fields and iteration count as the exact while_loop."""
+    from cfd_demo_tpu.ops.poisson import sor_lexicographic
+
+    grid, params, opts = _scene()
+    rhs, p = _developed_rhs(grid, params, opts)
+    args = (np.zeros_like(p), np.asarray(rhs), float(grid.dx),
+            float(grid.dy), opts.sor_omega, 1e-3, 200)
+    pp_a, err_a, n_a = sor_lexicographic(*args, early_exit=True)
+    pp_b, err_b, n_b = sor_lexicographic(*args, early_exit=False)
+    assert np.array_equal(np.asarray(pp_a), np.asarray(pp_b))
+    assert float(err_a) == float(err_b)
+    assert int(n_a) == int(n_b)
+
+
+def test_lexicographic_rejected_by_step_shmap():
+    """The explicit shard tier refuses the sequential ordering loudly
+    (its wavefront spans every row of the sharded axis)."""
+    import jax
+
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu.shard.step_shmap import make_step_shmap
+
+    grid = Grid(nx=64, ny=32, lx=30.0, ly=10.0,
+                obstacles=(Cylinder(7.5, 5.0, 0.75),))
+    params = SimulationParams(dt=0.005, viscosity=1e-4,
+                              pressure_solver=PressureSolver.SOR)
+    opts = solver_options_for(Semantics.JS, ramp_up_steps=10,
+                              substeps_adaptive=False, substeps_init=1,
+                              sor_ordering="lexicographic")
+    scene = cfd.make_scene(grid, params, opts)
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2]), ("y",))
     with pytest.raises(ValueError, match="lexicographic"):
-        cfd.make_step(scene, donate=False)(scene.init_state())
+        make_step_shmap(scene, mesh)
