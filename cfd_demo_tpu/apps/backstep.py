@@ -113,6 +113,7 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     done, prev_xr = 0, None
+    xr = [float("nan")] * B  # reported as-is when --steps <= 0
     while done < args.steps:
         batched = chunk(batched)
         _ = float(batched.res_u[0])

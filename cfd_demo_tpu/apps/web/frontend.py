@@ -154,9 +154,14 @@ async function poll() {
     const r = await fetch('/api/state');
     const s = await r.json();
     document.getElementById('log').textContent = s.log.join('\n');
+    // Multi-obstacle scenes deliberately send cd/cl = null (the
+    // normalization scale is ambiguous) with finite raw fx/fy; only a
+    // non-finite raw force means the run actually diverged.
     document.getElementById('forces').textContent =
       (s.forces && Number.isFinite(s.forces.cd) && Number.isFinite(s.forces.cl))
       ? `C_d ${s.forces.cd.toFixed(2)}  C_l ${s.forces.cl >= 0 ? '+' : ''}${s.forces.cl.toFixed(2)}`
+      : (s.forces && Number.isFinite(s.forces.fx) && Number.isFinite(s.forces.fy))
+      ? `Fx ${s.forces.fx.toExponential(2)}  Fy ${s.forces.fy.toExponential(2)}`
       : (s.forces ? 'forces: diverged' : '');
     const el = document.getElementById('log');
     el.scrollTop = el.scrollHeight;

@@ -532,18 +532,13 @@ def sor_fused_k_shard(pp_ext, rhs_ext, row_offset, gny: int,
     if ext_ny % 8 != 0:
         raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
-    n_temps = 7
-    if (2 + n_temps) * ext_ny * nxp * 4 <= 14 * 1024 * 1024:
-        bs, halo = ext_ny, 0
-    else:
-        halo = _halo8(2 * k)
-        budget = 7 * 1024 * 1024
-        bs = block_rows
-        while (ext_ny % bs != 0 or ext_ny < bs + 2 * halo
-               or (2 * (bs + 2 * halo) + bs) * nxp * 4 > budget):
-            bs //= 2
-            if bs < 8:
-                raise ValueError(f"no SOR tile for ext_ny={ext_ny}, k={k}")
+    # Same calibrated VMEM model as the single-chip path (_tile): the
+    # two color half-sweeps keep ~_N_TEMPS window-sized temporaries
+    # alive, so the Jacobi 2-window model under-budgets this kernel.
+    tile = _tile(ext_ny, nxp, k, block_rows)
+    if tile is None:
+        raise ValueError(f"no SOR tile for ext_ny={ext_ny}, k={k}")
+    bs, halo = tile
     nblocks = ext_ny // bs
     w = bs + 2 * halo
     if nxp != nx:

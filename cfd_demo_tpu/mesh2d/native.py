@@ -66,6 +66,8 @@ def load() -> Optional[ctypes.CDLL]:
                                             ctypes.c_int, ctypes.c_double,
                                             c_i64, c_i64]
         lib.geom_free.argtypes = [ctypes.c_void_p]
+        lib.geom_seg_intersect.restype = ctypes.c_int
+        lib.geom_seg_intersect.argtypes = [ctypes.c_double] * 8
         _LIB = lib
         return _LIB
 

@@ -141,31 +141,6 @@ def jacobi(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     return pp, err, n
 
 
-def _jacobi_plain(pp0, rhs, dx, dy, omega, iters, bc):
-    """Bare fixed-schedule damped-Jacobi scan: the tol == 0 solve as a
-    structurally LINEAR map of (pp0, rhs) -- no err/max/masking ops --
-    so jax.linear_transpose can derive its exact adjoint. Fields equal
-    jacobi(..., tol=0, early_exit=False) exactly: at tol == 0 the
-    masked loop's done flag never fires and its selects are
-    identities."""
-    dx2, dy2 = dx * dx, dy * dy
-    denom = 2.0 / dx2 + 2.0 / dy2
-    interior, _, _ = _iota_masks(pp0.shape)
-
-    def sweep(pp, _):
-        east = shifted(pp, pp.shape, 0, 1)
-        west = shifted(pp, pp.shape, 0, -1)
-        north = shifted(pp, pp.shape, 1, 0)
-        south = shifted(pp, pp.shape, -1, 0)
-        update = ((east + west) / dx2 + (north + south) / dy2
-                  - rhs) / denom
-        new_val = omega * update + (1.0 - omega) * pp
-        return bc(jnp.where(interior, new_val, pp)), None
-
-    pp, _ = lax.scan(sweep, pp0, None, length=max(1, iters))
-    return pp
-
-
 def jacobi_fixed_adjoint(pp0, rhs, dx, dy, omega, iters, bc, forward):
     """Fixed-schedule (tol == 0) Jacobi solve whose VJP is the exact
     linear transpose of the solve map -- the fast-adjoint path of

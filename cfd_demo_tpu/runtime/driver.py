@@ -248,7 +248,14 @@ class SimulationHandle:
             for mode in frame_modes:
                 # step tag from the host-tracked counter (an
                 # int(state.step) here would be its own device round
-                # trip per frame); latest-wins per-mode slot.
+                # trip per frame); latest-wins per-mode slot. Skip the
+                # render dispatch entirely when the cached frame is
+                # already at this step (a paused sim streamed at 20 Hz
+                # would otherwise re-render an identical frame per
+                # request -- each a ~20 ms device round trip on axon).
+                cached = self._frames.get(mode)
+                if cached is not None and cached[1] == self._last_step:
+                    continue
                 self._frames[mode] = (self._render_frame(mode),
                                       self._last_step)
             if self._stopped.is_set():

@@ -80,9 +80,18 @@ class _OffsetCtx(StencilCtx):
 def _sor_k(scene: Scene) -> int:
     """Fused-iteration count for the SOR shard kernel: the halo spans
     2k rows (two color rings per iteration), mirroring
-    solver.piso._solve_pressure's resolution."""
-    return max(resolve_fuse_k(scene.opts, scene.grid,
-                          divide=scene.opts.jacobi_iters) // 2, 1)
+    solver.piso._solve_pressure's halving of the Jacobi k. Halving a
+    divisor of jacobi_iters need not stay a divisor (25//2 = 12 does
+    not divide 50), so auto re-resolves downward; an explicit
+    pallas_fuse_k is kept as-is and _check_supported raises on
+    misuse."""
+    opts = scene.opts
+    iters = opts.jacobi_iters
+    k = max(resolve_fuse_k(opts, scene.grid, divide=iters) // 2, 1)
+    if not opts.pallas_fuse_k:
+        while k > 1 and iters % k != 0:
+            k -= 1
+    return k
 
 
 def _check_supported(scene: Scene, mesh: Mesh, axis: str):

@@ -706,6 +706,14 @@ def step_fn(scene: Scene, state: State,
     inlet = ramped_inlet(opts, state, f32)
 
     substeps = state.substeps
+    # The static-count branches below execute exactly substeps_init
+    # substeps regardless of the carried counter (a state resumed from
+    # a JS adaptive run can carry substeps != substeps_init); pin
+    # dt_sub to the count actually run so the substeps always sum to
+    # one full dt of physical time.
+    if not opts.substeps_adaptive and (opts.substeps_init == 1
+                                       or opts.differentiable):
+        substeps = jnp.asarray(opts.substeps_init, substeps.dtype)
     dt_sub = state.dt / substeps.astype(f32)
 
     # On the fully fused Pallas path the corrector kernel also computes

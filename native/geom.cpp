@@ -17,7 +17,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <tuple>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -89,6 +91,27 @@ inline bool on_seg(double px, double py, double qx, double qy, double rx,
 
 bool seg_intersect(double px, double py, double qx, double qy, double ax,
                    double ay, double bx, double by) {
+    // Canonical evaluation order, exactly as the Python kit
+    // (mesh2d/intersect.py segments_intersect/_canon): float
+    // orientation is only approximate near degenerate configurations,
+    // so endpoint-sort each segment then segment-sort before the
+    // tests -- the result becomes invariant under endpoint/segment
+    // swaps AND identical between this path and the pure-Python
+    // fallback.
+    if (qx < px || (qx == px && qy < py)) {
+        std::swap(px, qx);
+        std::swap(py, qy);
+    }
+    if (bx < ax || (bx == ax && by < ay)) {
+        std::swap(ax, bx);
+        std::swap(ay, by);
+    }
+    if (std::tie(ax, ay, bx, by) < std::tie(px, py, qx, qy)) {
+        std::swap(px, ax);
+        std::swap(py, ay);
+        std::swap(qx, bx);
+        std::swap(qy, by);
+    }
     const int o1 = orient(px, py, qx, qy, ax, ay);
     const int o2 = orient(px, py, qx, qy, bx, by);
     const int o3 = orient(ax, ay, bx, by, px, py);
@@ -149,6 +172,15 @@ void tesselate_rec(const Poly& poly, double cx, double cy, double hw,
 extern "C" {
 
 void geom_free(void* p) { std::free(p); }
+
+// Exposed for cross-implementation parity tests: must agree with
+// mesh2d/intersect.py segments_intersect on every input, including
+// near-degenerate configurations (both use the canonical evaluation
+// order + the static orientation error filter).
+int geom_seg_intersect(double px, double py, double qx, double qy,
+                       double ax, double ay, double bx, double by) {
+    return seg_intersect(px, py, qx, qy, ax, ay, bx, by) ? 1 : 0;
+}
 
 // out: n_pts bytes (1 = inside).
 void geom_contains_points(const double* ring_xy, const int64_t* ring_offsets,

@@ -74,3 +74,40 @@ def test_adjacency_equivalence():
                        and abs(ymax[j] - ymin[i]) < eps
                        and xmin[i] < xmax[j] and xmax[i] > xmin[j])
         assert south == sorted(mesh.cell(i).south.tolist()), i
+
+
+def test_seg_intersect_parity_with_python(rng):
+    """C++ seg_intersect must agree with the Python kit on EVERY input
+    -- including near-degenerate configurations where the orientation
+    sign is rounding-determined (both use the canonical evaluation
+    order + the static error filter) -- and be invariant under
+    endpoint/segment argument swaps."""
+    from cfd_demo_tpu.mesh2d.intersect import segments_intersect
+
+    lib = native.load()
+
+    def cc(p, q, a, b):
+        return bool(lib.geom_seg_intersect(p[0], p[1], q[0], q[1],
+                                           a[0], a[1], b[0], b[1]))
+
+    cases = []
+    # random general-position segments
+    for _ in range(300):
+        cases.append(tuple(map(tuple, rng.uniform(-2, 2, size=(4, 2)))))
+    # near-degenerate: shared endpoints, collinear-with-noise, tangent
+    for _ in range(300):
+        p = tuple(rng.uniform(-2, 2, size=2))
+        d = tuple(rng.uniform(-1, 1, size=2))
+        t1, t2 = rng.uniform(0.1, 2.0, size=2)
+        eps = rng.choice([0.0, 1e-17, 1e-16, 2.2e-16, 1e-15])
+        q = (p[0] + t1 * d[0], p[1] + t1 * d[1])
+        a = (p[0] + 0.3 * d[0], p[1] + 0.3 * d[1] + eps)
+        b = (p[0] + t2 * d[0] + eps, p[1] + t2 * d[1])
+        cases.append((p, q, a, b))
+    for p, q, a, b in cases:
+        want = segments_intersect(p, q, a, b)
+        assert cc(p, q, a, b) == want, (p, q, a, b)
+        # swap invariance on both implementations
+        assert cc(q, p, b, a) == want, (p, q, a, b)
+        assert cc(a, b, p, q) == want, (p, q, a, b)
+        assert segments_intersect(b, a, q, p) == want, (p, q, a, b)

@@ -540,3 +540,26 @@ def test_exchange_cols():
                 blk[:, -2:], ref[:, (s + 1) * local:(s + 1) * local + 2])
         else:
             np.testing.assert_array_equal(blk[:, -2:], 0)
+
+
+def test_sor_k_divides_jacobi_iters():
+    """Regression: halving a resolved divisor of jacobi_iters need not
+    stay a divisor (base 25 at >= 48M cells halves to 12, which does
+    not divide the default 50); auto _sor_k must re-resolve downward
+    so _check_supported accepts default configs at every size."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import _sor_k
+
+    for nx, ny, iters in ((8192, 8192, 50), (512, 512, 50),
+                          (8192, 8192, 18), (256, 256, 25)):
+        grid = Grid(nx=nx, ny=ny, lx=1.0, ly=1.0)
+        params = SimulationParams(dt=0.001, viscosity=1e-4,
+                                  pressure_solver=PressureSolver.SOR)
+        opts = solver_options_for(Semantics.JS, jacobi_iters=iters,
+                                  substeps_adaptive=False,
+                                  substeps_init=1)
+        scene = cfd.make_scene(grid, params, opts)
+        k = _sor_k(scene)
+        assert k >= 1 and iters % k == 0, (nx, iters, k)
