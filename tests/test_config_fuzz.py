@@ -50,12 +50,24 @@ def _random_case(k):
             ["jacobi", "sor", "multigrid", "mg-production"])),
         flow_case=flow_case)
     semantics = Semantics.JS if rng.rand() < 0.4 else Semantics.RUST
+    rounds = int(rng.choice([0, 1, 3]))
+    early_exit = bool(rng.rand() < 0.5)
+    # Differentiable mode's documented contract: fixed-trip loops only
+    # (make_scene validates early_exit/rounds/adaptive-substeps).
+    differentiable = bool(rng.rand() < 0.2) and rounds == 0 \
+        and not early_exit and semantics == Semantics.RUST
     opts = solver_options_for(
         semantics, ramp_up_steps=int(rng.randint(1, 20)),
         jacobi_iters=int(rng.randint(3, 20)),
-        outer_corrector_rounds=int(rng.choice([0, 1, 3])),
-        early_exit=bool(rng.rand() < 0.5),
-        mgp_rtol=float(rng.choice([0.0, 1e-2])))
+        outer_corrector_rounds=rounds,
+        early_exit=early_exit,
+        mgp_rtol=float(rng.choice([0.0, 1e-2])),
+        # exercised only by SOR scenes; harmless draw otherwise
+        sor_ordering=str(rng.choice(["redblack", "redblack",
+                                     "lexicographic"])),
+        # fixed-trip masked loops everywhere; forward must stay
+        # invariant-clean too
+        differentiable=differentiable)
     return grid, params, opts
 
 
