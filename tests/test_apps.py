@@ -261,3 +261,22 @@ def test_web_frame_stream():
             pass
         websrv.APP.stop()
         srv.shutdown()
+
+
+def test_bench_pod_smoke():
+    """The pod-scaling bench tool must stay runnable (it can only be
+    perf-meaningful on real multi-chip hardware; --smoke validates the
+    plumbing on the virtual CPU mesh)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_pod.py", "--smoke",
+         "--tier", "gspmd", "--mode", "strong"],
+        capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    rows = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    measured = [r for r in rows if "cell_updates_per_s" in r]
+    assert len(measured) >= 2, rows
+    assert any(r["devices"] == 8 for r in measured), rows
