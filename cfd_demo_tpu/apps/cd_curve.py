@@ -75,7 +75,7 @@ def main(argv=None):
             s, acc_fx, acc_fy = carry
             p_prev, u_prev, v_prev = s.p, s.u, s.v
             s2, d = vstep(s)
-            P = jax.vmap(physical_pressure)(p_prev, s2.p)
+            P = jax.vmap(physical_pressure)(p_prev, s2.p, d.substeps)
             fx, fy = jax.vmap(
                 lambda u_, v_, P_, nu_, up_, vp_, dt_:
                     control_volume_force(u_, v_, P_, nu_, grid, cv,

@@ -93,7 +93,7 @@ def report_forces(scene, state, u_ref: float, length: float):
                               drag_lift_coefficients, physical_pressure)
     p_prev, u_prev, v_prev = state.p, state.u, state.v
     state, diag = make_step(scene, donate=False)(state)
-    P = physical_pressure(p_prev, state.p)
+    P = physical_pressure(p_prev, state.p, diag.substeps)
     cv = default_control_volume(scene.grid)
     fx, fy = control_volume_force(state.u, state.v, P, state.nu,
                                   scene.grid, cv, u_prev=u_prev,

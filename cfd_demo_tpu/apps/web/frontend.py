@@ -153,7 +153,9 @@ async function poll() {
   try {
     const r = await fetch('/api/state');
     const s = await r.json();
-    document.getElementById('log').textContent = s.log.join('\n');
+    document.getElementById('log').textContent =
+      (s.error ? 'SIM THREAD ERROR (auto-paused): ' + s.error + '\n' : '')
+      + s.log.join('\n');
     // Multi-obstacle scenes deliberately send cd/cl = null (the
     // normalization scale is ambiguous) with finite raw fx/fy; only a
     // non-finite raw force means the run actually diverged.

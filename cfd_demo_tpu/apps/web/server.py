@@ -319,6 +319,7 @@ class Handler(BaseHTTPRequestHandler):
             h = APP.handle
             body = {
                 "running": h is not None,
+                "error": h.error if h is not None else None,
                 "log": APP.log_lines[-40:],
                 "history": APP.history,
                 "forces": APP.force_report(),

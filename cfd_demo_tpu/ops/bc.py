@@ -95,7 +95,17 @@ def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
         # bottom face row needs zeroing.
         v = jnp.where(rv == 0, 0.0, v)
     else:  # CAVITY
-        u = jnp.where(ru == ny - 1, inlet_velocity, u)  # moving lid
+        if profile == InletProfile.UNIFORM:
+            lid_vals = inlet_velocity
+        else:
+            # Parabolic lid along x (regularized cavity): zero at the
+            # side walls, peak ``inlet_velocity`` at mid-lid. u-face i
+            # sits at x = i * dx.
+            x = cu.astype(u.dtype) * jnp.asarray(grid.dx, u.dtype)
+            half = jnp.asarray(grid.lx / 2.0, u.dtype)
+            lid_vals = jnp.maximum(
+                inlet_velocity * (1.0 - ((x - half) / half) ** 2), 0.0)
+        u = jnp.where(ru == ny - 1, lid_vals, u)        # moving lid
         u = jnp.where(ru == 0, 0.0, u)                  # floor (tangential)
         # No-penetration side walls win at the lid corners.
         u = jnp.where((cu == 0) | (cu == nx), 0.0, u)

@@ -200,9 +200,10 @@ def pressure_force(p: jnp.ndarray, grid: Grid,
     return fx, fy
 
 
-def physical_pressure(p_prev: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """The field to integrate forces over: the PER-STEP increment of
-    the stored p.
+def physical_pressure(p_prev: jnp.ndarray, p: jnp.ndarray,
+                      substeps=1) -> jnp.ndarray:
+    """The field to integrate forces over: the PER-SUBSTEP increment
+    of the stored p.
 
     The reference's stored p is a monotone accumulator -- every
     corrector round adds the full p' (model.rs:693, :1403), and at
@@ -210,11 +211,19 @@ def physical_pressure(p_prev: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     linearly in time and its instantaneous value is meaningless (the
     reference's UI hides this behind min-max normalization,
     src/app.rs:237-280; docs/SPEC.md: "p never feeds back into the
-    dynamics; only p' does"). The per-step increment p(t) - p(t-1) is
-    the physical pressure P of that step (= the sum of the step's
-    corrector-round p' solves), which is what enters a momentum
-    balance or a surface integral."""
-    return p - p_prev
+    dynamics; only p' does").
+
+    Within ONE substep the corrector-round p' solves telescope to the
+    physical pressure P (rounds re-solve the residual divergence, so
+    later rounds add ~0), but each SUBSTEP re-creates the advective
+    divergence over its own dt_sub and adds a fresh ~P -- the rhs
+    div(u*)/dt_sub is dt_sub-independent. The per-step increment is
+    therefore ~substeps x P, and ``substeps`` (the count the step
+    actually executed, e.g. StepDiagnostics.substeps) must divide it
+    back out; JS semantics default to 5-20 substeps, so omitting it
+    overstates forces by that factor (tests/test_forces.py pins
+    substep-count invariance)."""
+    return (p - p_prev) / jnp.asarray(substeps, p.dtype)
 
 
 def drag_lift_coefficients(Fx, Fy, u_ref: float, length: float):

@@ -32,8 +32,16 @@ def velocity_magnitude(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def vorticity(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    # Whole-array shifts + an iota interior select (NOT an
+    # .at[1:-1,1:-1].set scatter): update-slice writes are
+    # mis-partitioned by GSPMD under row sharding (CLAUDE.md
+    # invariant), and this runs under jit in the render path of
+    # sharded states.
+    from .poisson import _iota_masks
+    from .stencil import shifted
     uc, vc = cell_center_velocity(u, v)
-    w = jnp.zeros_like(uc)
-    dvdx = (vc[1:-1, 2:] - vc[1:-1, :-2]) / (2.0 * dx)
-    dudy = (uc[2:, 1:-1] - uc[:-2, 1:-1]) / (2.0 * dy)
-    return w.at[1:-1, 1:-1].set(dvdx - dudy)
+    shape = uc.shape
+    dvdx = (shifted(vc, shape, 0, 1) - shifted(vc, shape, 0, -1)) / (2.0 * dx)
+    dudy = (shifted(uc, shape, 1, 0) - shifted(uc, shape, -1, 0)) / (2.0 * dy)
+    interior, _, _ = _iota_masks(shape)
+    return jnp.where(interior, dvdx - dudy, 0.0)

@@ -445,7 +445,16 @@ class NumpyModel:
         nx, ny = g.nx, g.ny
         dy = F(g.dy)
         if self.params.flow_case == FlowCase.CAVITY:
-            self.u[ny - 1, :] = self.inlet  # moving lid
+            if self.params.inlet_profile == InletProfile.UNIFORM:
+                self.u[ny - 1, :] = self.inlet  # moving lid
+            else:
+                # Parabolic lid along x (ops/bc.py cavity branch):
+                # u-face i at x = i*dx, zero at side walls.
+                half = F(g.lx) / F(2.0)
+                for i in range(nx + 1):
+                    x = F(i) * F(g.dx)
+                    val = self.inlet * (F(1.0) - ((x - half) / half) ** 2)
+                    self.u[ny - 1, i] = max(val, F(0.0))
             self.u[0, :] = F(0.0)
             # No-penetration side walls win at the lid corners.
             self.u[:, 0] = F(0.0)

@@ -98,7 +98,12 @@ class SimulationHandle:
         self._thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
         self.diverged = False
+        self.error: Optional[str] = None  # last sim-thread exception
         self._last_step = int(self._state.step)
+
+    # residual-queue overflow bound (records; ~100 B each). Matches
+    # ResidualHistory's spirit: bounded memory over multi-day runs.
+    _RESIDUAL_QUEUE_CAP = 100_000
 
     def _build_step(self, scene: Scene):
         """jit chunk: (state, tracer_state) -> (state', tracer_state',
@@ -130,7 +135,7 @@ class SimulationHandle:
             p_prev, u_prev, v_prev = s.p, s.u, s.v
             s2, diag = step_fn(scene, s)
             if forces:
-                P = physical_pressure(p_prev, s2.p)
+                P = physical_pressure(p_prev, s2.p, diag.substeps)
                 fx, fy = control_volume_force(s2.u, s2.v, P, s2.nu,
                                               grid, cv, u_prev=u_prev,
                                               v_prev=v_prev, dt=diag.dt)
@@ -183,11 +188,11 @@ class SimulationHandle:
             from ..render.colormap import VisualizationMode, render_field
             grid = self._scene.grid
             m = VisualizationMode(mode)
-            fn = jax.jit(lambda u, vf, p: render_field(
-                u, vf[:-1], p, grid=grid, mode=m))
+            fn = jax.jit(lambda u, v, p: render_field(
+                u, v, p, grid=grid, mode=m))
             self._frame_fns[mode] = fn
         s = self._state
-        return np.asarray(fn(s.u, s.v_full, s.p))
+        return np.asarray(fn(s.u, s.v, s.p))
 
     def _init_tracers(self):
         from ..ops import tracers as trc
@@ -221,89 +226,113 @@ class SimulationHandle:
     def _loop(self):
         paused = False
         while not self._stopped.is_set():
-            snapshot_sent = False
-            frame_modes = []
-            # Drain all pending commands (model.rs:1291-1315); duplicate
-            # snapshot requests are coalesced; frame requests coalesce
-            # PER MODE (concurrent clients may stream different
-            # visualizations -- one render each, not first-wins).
-            while True:
-                try:
-                    cmd, arg = self._commands.get_nowait()
-                except queue.Empty:
-                    break
-                if cmd == _Command.STOP:
-                    self._stopped.set()
-                elif cmd == _Command.PAUSE:
-                    paused = True
-                elif cmd == _Command.RESUME:
-                    paused = False
-                elif cmd == _Command.SET_PARAMS:
-                    self._apply_params(arg)
-                elif cmd == _Command.SNAPSHOT and not snapshot_sent:
-                    self._snapshots.put(self._snapshot(paused))
-                    snapshot_sent = True
-                elif cmd == _Command.FRAME and arg not in frame_modes:
-                    frame_modes.append(arg)
-            for mode in frame_modes:
-                # step tag from the host-tracked counter (an
-                # int(state.step) here would be its own device round
-                # trip per frame); latest-wins per-mode slot. Skip the
-                # render dispatch entirely when the cached frame is
-                # already at this step (a paused sim streamed at 20 Hz
-                # would otherwise re-render an identical frame per
-                # request -- each a ~20 ms device round trip on axon).
-                cached = self._frames.get(mode)
-                if cached is not None and cached[1] == self._last_step:
-                    continue
-                self._frames[mode] = (self._render_frame(mode),
-                                      self._last_step)
-            if self._stopped.is_set():
-                break
-            if paused:
-                time.sleep(0.016)  # model.rs:1322
-                continue
-            t0 = time.perf_counter()
-            self._state, ts2, scal = self._step(self._state,
-                                                self._tracer_state)
-            if ts2 is not None:
-                self._tracer_state = ts2
-            # ONE device read for every diagnostic scalar (each float()
-            # of a separate device scalar is its own ~20 ms round trip
-            # on the axon tunnel).
-            (_step_f32, t_sim, dtv, res_u, res_v, res_p, substeps,
-             fx, fy) = (float(x) for x in np.asarray(scal))
-            # Host-tracked exact counter: the f32 step_i in the stacked
-            # vector rounds past 2^24 steps (~58 h interactive); each
-            # dispatch advances exactly steps_per_loop.
-            self._last_step += self._steps_per_loop
-            # Failure detection (SURVEY.md section 5): the reference can
-            # and does diverge numerically with nothing noticing; a
-            # non-finite residual here auto-pauses instead of burning
-            # the device on NaNs.
-            import math as _math
-            if not (_math.isfinite(res_u) and _math.isfinite(res_p)):
-                self.diverged = True
+            try:
+                paused = self._loop_once(paused)
+            except Exception as e:  # noqa: BLE001 -- the sim thread
+                # must NEVER die silently (a transient axon RPC error,
+                # a compile failure after a SET_PARAMS rebuild, a
+                # render error): record, auto-pause, keep serving
+                # commands/snapshots so the UI can show the error.
+                self.error = f"{type(e).__name__}: {e}"
                 paused = True
-                print("cfd-demo-tpu: non-finite residual at step "
-                      f"{self._last_step}; simulation auto-paused "
-                      "(reduce dt or viscosity gradient)")
-            rec = Residuals(
-                simulation_step=self._last_step,
-                simulation_time=t_sim,
-                dt=dtv,
-                p=res_p,
-                u=res_u,
-                v=res_v,
-                # per-step wall time (the dispatch covered
-                # steps_per_loop steps)
-                step_time=(time.perf_counter() - t0)
-                / self._steps_per_loop,
-                piso_substeps=int(substeps),
-                fx=None if not self._forces_enabled else fx,
-                fy=None if not self._forces_enabled else fy)
-            self.history.push(rec)
-            self._residuals.put(rec)
+                print(f"cfd-demo-tpu: sim thread error, auto-paused: "
+                      f"{self.error}")
+
+    def _loop_once(self, paused: bool) -> bool:
+        """One control-loop iteration; returns the new paused flag."""
+        snapshot_sent = False
+        frame_modes = []
+        # Drain all pending commands (model.rs:1291-1315); duplicate
+        # snapshot requests are coalesced; frame requests coalesce
+        # PER MODE (concurrent clients may stream different
+        # visualizations -- one render each, not first-wins).
+        while True:
+            try:
+                cmd, arg = self._commands.get_nowait()
+            except queue.Empty:
+                break
+            if cmd == _Command.STOP:
+                self._stopped.set()
+            elif cmd == _Command.PAUSE:
+                paused = True
+            elif cmd == _Command.RESUME:
+                paused = False
+            elif cmd == _Command.SET_PARAMS:
+                self._apply_params(arg)
+            elif cmd == _Command.SNAPSHOT and not snapshot_sent:
+                self._snapshots.put(self._snapshot(paused))
+                snapshot_sent = True
+            elif cmd == _Command.FRAME and arg not in frame_modes:
+                frame_modes.append(arg)
+        for mode in frame_modes:
+            # step tag from the host-tracked counter (an
+            # int(state.step) here would be its own device round
+            # trip per frame); latest-wins per-mode slot. Skip the
+            # render dispatch entirely when the cached frame is
+            # already at this step (a paused sim streamed at 20 Hz
+            # would otherwise re-render an identical frame per
+            # request -- each a ~20 ms device round trip on axon).
+            cached = self._frames.get(mode)
+            if cached is not None and cached[1] == self._last_step:
+                continue
+            self._frames[mode] = (self._render_frame(mode),
+                                  self._last_step)
+        if self._stopped.is_set() or paused:
+            if not self._stopped.is_set():
+                time.sleep(0.016)  # model.rs:1322
+            return paused
+        t0 = time.perf_counter()
+        self._state, ts2, scal = self._step(self._state,
+                                            self._tracer_state)
+        if ts2 is not None:
+            self._tracer_state = ts2
+        # ONE device read for every diagnostic scalar (each float()
+        # of a separate device scalar is its own ~20 ms round trip
+        # on the axon tunnel).
+        (_step_f32, t_sim, dtv, res_u, res_v, res_p, substeps,
+         fx, fy) = (float(x) for x in np.asarray(scal))
+        # Host-tracked exact counter: the f32 step_i in the stacked
+        # vector rounds past 2^24 steps (~58 h interactive); each
+        # dispatch advances exactly steps_per_loop.
+        self._last_step += self._steps_per_loop
+        # Failure detection (SURVEY.md section 5): the reference can
+        # and does diverge numerically with nothing noticing; a
+        # non-finite residual here auto-pauses instead of burning
+        # the device on NaNs.
+        import math as _math
+        if not (_math.isfinite(res_u) and _math.isfinite(res_v)
+                and _math.isfinite(res_p)):
+            self.diverged = True
+            paused = True
+            print("cfd-demo-tpu: non-finite residual at step "
+                  f"{self._last_step}; simulation auto-paused "
+                  "(reduce dt or viscosity gradient)")
+        rec = Residuals(
+            simulation_step=self._last_step,
+            simulation_time=t_sim,
+            dt=dtv,
+            p=res_p,
+            u=res_u,
+            v=res_v,
+            # per-step wall time (the dispatch covered
+            # steps_per_loop steps)
+            step_time=(time.perf_counter() - t0)
+            / self._steps_per_loop,
+            piso_substeps=int(substeps),
+            fx=None if not self._forces_enabled else fx,
+            fy=None if not self._forces_enabled else fy)
+        self.history.push(rec)
+        # Bounded like history: with no consumer draining the queue
+        # (programmatic use, frame-only web clients) a multi-day run
+        # must not leak every record; drop the OLDEST on overflow so
+        # get_new_log_messages keeps returning the recent tail.
+        while self._residuals.qsize() >= self._RESIDUAL_QUEUE_CAP:
+            try:
+                self._residuals.get_nowait()
+            except queue.Empty:
+                break
+        self._residuals.put(rec)
+        return paused
 
     def _apply_params(self, params: SimulationParams):
         """model.rs:1250-1257; enum changes rebuild the jit step."""

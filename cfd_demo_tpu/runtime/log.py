@@ -38,7 +38,7 @@ class Residuals:
                 f"dt={self.dt:.3e}  u={self.u:.3e}  v={self.v:.3e}  "
                 f"p={self.p:.3e}  substeps={self.piso_substeps}  "
                 f"wall={self.step_time * 1e3:.2f}ms")
-        if self.fx is not None:
+        if self.fx is not None and self.fy is not None:
             line += f"  Fx={self.fx:+.3f} Fy={self.fy:+.3f}"
         return line
 

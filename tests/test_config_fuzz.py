@@ -93,8 +93,15 @@ def test_random_config(idx):
     # lid (uniform, equal to the ramped lid speed), not a wall.
     assert np.all(u[0] == 0), label
     if params.flow_case == FlowCase.CAVITY:
-        # lid row: uniform ramped lid speed, side-wall corners pinned 0
-        assert np.all(u[-1, 1:-1] == u[-1, 1]), label
+        # lid row: ramped lid speed (uniform, or the parabolic profile
+        # along x -- symmetric, peaked mid-lid); side corners pinned 0
+        if params.inlet_profile == InletProfile.UNIFORM:
+            assert np.all(u[-1, 1:-1] == u[-1, 1]), label
+        else:
+            # parabola in x: mirror-symmetric, peak not at the walls
+            lid = u[-1]
+            assert np.allclose(lid, lid[::-1], atol=1e-6), label
+            assert lid.max() >= lid[1] and lid.max() >= lid[-2], label
         assert u[-1, 0] == 0 and u[-1, -1] == 0, label
     else:
         assert np.all(u[-1] == 0), label

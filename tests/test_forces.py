@@ -129,3 +129,44 @@ def test_forces_on_sharded_state():
                                   physical_pressure(rp_prev, ref.p),
                                   1e-3, g, cv)
     assert np.isclose(float(fx), float(fx2), rtol=1e-4)
+
+
+def test_physical_pressure_substep_invariance():
+    """Regression: with S substeps each substep adds a fresh ~P to the
+    stored accumulator, so the per-step increment is ~S x P.
+    physical_pressure must divide the executed count back out: the
+    same JS scene run with 1 and with 4 static substeps (same dt)
+    must report approximately the SAME physical pressure scale and
+    drag near steady state -- not a 4x-inflated one."""
+    g = _grid()
+    results = {}
+    for subs in (1, 4):
+        scene = cfd.make_scene(
+            g, SimulationParams(dt=0.004, viscosity=0.05),
+            solver_options_for(Semantics.JS, ramp_up_steps=20,
+                               substeps_adaptive=False,
+                               substeps_init=subs,
+                               # stabilize the comparison: the JS
+                               # defaults (cfl 0.5, extrapolation)
+                               # blow this scene up either way; the
+                               # test is about P scaling, not JS dt
+                               # control
+                               cfl=0.2, extrapolate=False))
+        state, _ = cfd.make_run(scene, 399, donate=False)(
+            scene.init_state())
+        p_prev, u_prev, v_prev = state.p, state.u, state.v
+        state, d = cfd.make_step(scene, donate=False)(state)
+        P = physical_pressure(p_prev, state.p, d.substeps)
+        fx, _ = control_volume_force(
+            state.u, state.v, P, float(state.nu), g,
+            default_control_volume(g), u_prev=u_prev, v_prev=v_prev,
+            dt=d.dt)
+        results[subs] = (float(jnp.max(jnp.abs(P))), float(fx))
+    p1, f1 = results[1]
+    p4, f4 = results[4]
+    # Measured post-fix: ratios 1.26-1.32 (the two substep schedules
+    # integrate slightly different trajectories); pre-fix the ratio is
+    # the substep count itself (~4x), far outside this bound.
+    assert np.isclose(p1, p4, rtol=0.5), results
+    assert np.isclose(f1, f4, rtol=0.5), results
+    assert f1 > 0 and f4 > 0, results

@@ -175,3 +175,38 @@ def test_js_residual_dt_scaling_matches_oracle():
             f"step {k}: dt {float(state.dt)} vs {float(oracle.dt)}")
         err = l2(np.asarray(state.u), oracle_field(oracle, "u"))
         assert err <= 1e-5
+
+
+def test_cavity_parabolic_lid_matches_oracle():
+    """The cavity's parabolic lid (profile applied along x, zero at
+    the side walls) is implemented in both the device path and the
+    oracle; fixed iteration schedule, per-field L2 <= 1e-5."""
+    from cfd_demo_tpu import FlowCase
+
+    grid = Grid(nx=24, ny=16, lx=1.5, ly=1.0)
+    params = SimulationParams(dt=0.004, viscosity=1e-3,
+                              target_inlet_velocity=1.0,
+                              velocity_scheme=VelocityScheme.FIRST,
+                              inlet_profile=InletProfile.PARABOLIC,
+                              pressure_solver=PressureSolver.JACOBI,
+                              flow_case=FlowCase.CAVITY)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=3, jacobi_tol=0.0,
+        outer_corrector_tol=0.0, jacobi_iters=10,
+        outer_corrector_rounds=4)
+    scene = make_scene(grid, params, opts)
+    step = make_step(scene, donate=False)
+    oracle = NumpyModel(grid, params, opts)
+    state = scene.init_state()
+    for k in range(3):
+        oracle.update()
+        state, _ = step(state)
+        for fname in ("u", "v", "p", "p_prime"):
+            got = np.asarray(getattr(state, fname))
+            want = oracle_field(oracle, fname)
+            assert l2(got, want) <= 1e-5, (k, fname)
+    # the lid row really is the parabola, not the uniform scalar
+    lid = np.asarray(state.u)[-1]
+    assert lid[0] == 0 and lid[-1] == 0
+    assert lid.max() > 0.5 * float(state.target_inlet)
+    assert not np.allclose(lid[1:-1], lid[1])

@@ -210,3 +210,36 @@ def test_trace_utilities():
             state2, _ = cfd.make_step(scene, donate=False)(state)
         import os
         assert os.listdir(d), "profiler wrote nothing"
+
+
+def test_driver_survives_step_exception():
+    """The sim thread must never die silently: an exception from the
+    jitted step records handle.error, auto-pauses, and the thread
+    keeps serving commands/snapshots."""
+    sc = scene()
+    h = run(sc)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and h.history.last() is None:
+            time.sleep(0.05)
+        assert h.history.last() is not None
+
+        def boom(*a):
+            raise RuntimeError("injected step failure")
+
+        h._step = boom
+        deadline = time.time() + 30
+        while time.time() < deadline and h.error is None:
+            time.sleep(0.05)
+        assert h.error is not None and "injected step failure" in h.error
+        assert h._thread.is_alive()
+        # still serves snapshots while auto-paused on the error
+        h.request_snapshot()
+        deadline = time.time() + 30
+        snap = None
+        while time.time() < deadline and snap is None:
+            snap = h.get_last_available_snapshot()
+            time.sleep(0.05)
+        assert snap is not None and np.isfinite(snap.u).all()
+    finally:
+        h.stop()
