@@ -73,8 +73,10 @@ def apply_bcs(u: jnp.ndarray, v: jnp.ndarray, grid: Grid,
     TPU-friendly and GSPMD-safe under row sharding). CHANNEL order
     matches the reference: inlet, outlet copy, then no-slip rows
     overwrite the corners. CAVITY: closed box, top lid row of u moves
-    at ``inlet_velocity`` (uniform or the parabolic profile applied
-    along x), all other walls no-slip.
+    at ``inlet_velocity`` (uniform, or for any non-uniform profile the
+    centered parabola applied along x -- PARABOLIC_UPPER is a
+    channel-inlet shape with no lid analogue and maps to the same
+    centered parabola), all other walls no-slip.
     """
     ny, nx = grid.ny, grid.nx
     cu = ctx.col_index(u.shape)

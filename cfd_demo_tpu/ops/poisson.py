@@ -31,29 +31,7 @@ import numpy as np
 from jax import lax
 
 from .stencil import col_index, row_index, shifted
-
-
-def _interior_mask(shape):
-    ny, nx = shape
-    m = np.zeros(shape, dtype=bool)
-    m[1:ny - 1, 1:nx - 1] = True
-    return m
-
-
-def _iota_masks(shape):
-    """(interior, row, col) index predicates as traced constants.
-
-    All boundary writes in this module are mask-selects rather than
-    .at[] scatters: scatters of single rows are both slow on TPU and
-    mis-partitioned by GSPMD under row sharding (each shard would apply
-    a global-row-0 write to its local row 0); selects over broadcast
-    iota partition correctly and fuse into the sweep loop.
-    """
-    r = row_index(shape)
-    c = col_index(shape)
-    ny, nx = shape
-    interior = (r >= 1) & (r <= ny - 2) & (c >= 1) & (c <= nx - 2)
-    return interior, r, c
+from .stencil import iota_masks as _iota_masks
 
 
 def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:

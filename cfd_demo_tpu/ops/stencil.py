@@ -37,6 +37,23 @@ def row_index(shape) -> jnp.ndarray:
     return lax.broadcasted_iota(jnp.int32, shape, dimension=0)
 
 
+def iota_masks(shape):
+    """(interior, row, col) index predicates as traced constants.
+
+    Boundary writes throughout the package are mask-selects rather
+    than .at[] scatters: scatters of single rows are both slow on TPU
+    and mis-partitioned by GSPMD under row sharding (each shard would
+    apply a global-row-0 write to its local row 0); selects over
+    broadcast iota partition correctly and fuse into the surrounding
+    loop.
+    """
+    r = row_index(shape)
+    c = col_index(shape)
+    ny, nx = shape
+    interior = (r >= 1) & (r <= ny - 2) & (c >= 1) & (c <= nx - 2)
+    return interior, r, c
+
+
 def apply_solid_mask(x, mask):
     """Zero x where the solid mask is set; mask may be a bool array, a
     0/1 float array, or None (no obstacles)."""

@@ -37,11 +37,10 @@ def vorticity(u: jnp.ndarray, v: jnp.ndarray, dx: float, dy: float) -> jnp.ndarr
     # mis-partitioned by GSPMD under row sharding (CLAUDE.md
     # invariant), and this runs under jit in the render path of
     # sharded states.
-    from .poisson import _iota_masks
-    from .stencil import shifted
+    from .stencil import iota_masks, shifted
     uc, vc = cell_center_velocity(u, v)
     shape = uc.shape
     dvdx = (shifted(vc, shape, 0, 1) - shifted(vc, shape, 0, -1)) / (2.0 * dx)
     dudy = (shifted(uc, shape, 1, 0) - shifted(uc, shape, -1, 0)) / (2.0 * dy)
-    interior, _, _ = _iota_masks(shape)
+    interior, _, _ = iota_masks(shape)
     return jnp.where(interior, dvdx - dudy, 0.0)

@@ -257,8 +257,10 @@ class SimulationHandle:
                 paused = True
             elif cmd == _Command.RESUME:
                 paused = False
+                self.error = None  # a successful resume clears it
             elif cmd == _Command.SET_PARAMS:
                 self._apply_params(arg)
+                self.error = None
             elif cmd == _Command.SNAPSHOT and not snapshot_sent:
                 self._snapshots.put(self._snapshot(paused))
                 snapshot_sent = True
@@ -275,22 +277,38 @@ class SimulationHandle:
             cached = self._frames.get(mode)
             if cached is not None and cached[1] == self._last_step:
                 continue
-            self._frames[mode] = (self._render_frame(mode),
-                                  self._last_step)
+            try:
+                img = self._render_frame(mode)
+            except Exception as e:  # noqa: BLE001 -- a render failure
+                # must neither kill the thread nor pause a healthy
+                # sim; freeze the last frame (tagged at this step so
+                # the failing render is not retried until the sim
+                # advances) and surface the error once.
+                self.error = (f"render[{mode}]: "
+                              f"{type(e).__name__}: {e}")
+                g = self._scene.grid
+                img = (cached[0] if cached is not None
+                       else np.zeros((g.ny, g.nx, 3), np.uint8))
+            self._frames[mode] = (img, self._last_step)
         if self._stopped.is_set() or paused:
             if not self._stopped.is_set():
                 time.sleep(0.016)  # model.rs:1322
             return paused
         t0 = time.perf_counter()
-        self._state, ts2, scal = self._step(self._state,
-                                            self._tracer_state)
-        if ts2 is not None:
-            self._tracer_state = ts2
+        new_state, ts2, scal = self._step(self._state,
+                                          self._tracer_state)
         # ONE device read for every diagnostic scalar (each float()
         # of a separate device scalar is its own ~20 ms round trip
-        # on the axon tunnel).
+        # on the axon tunnel). Read BEFORE committing the new state:
+        # if the read raises (transient tunnel error) nothing is
+        # half-applied -- _last_step, the frame-cache tags and the
+        # state stay consistent, and resume retries from the old
+        # state.
         (_step_f32, t_sim, dtv, res_u, res_v, res_p, substeps,
          fx, fy) = (float(x) for x in np.asarray(scal))
+        self._state = new_state
+        if ts2 is not None:
+            self._tracer_state = ts2
         # Host-tracked exact counter: the f32 step_i in the stacked
         # vector rounds past 2^24 steps (~58 h interactive); each
         # dispatch advances exactly steps_per_loop.
@@ -335,18 +353,26 @@ class SimulationHandle:
         return paused
 
     def _apply_params(self, params: SimulationParams):
-        """model.rs:1250-1257; enum changes rebuild the jit step."""
+        """model.rs:1250-1257; enum changes rebuild the jit step.
+
+        Exception-atomic: everything is built into locals and
+        committed only on success, so a failing rebuild (invalid
+        combo, compile error) leaves the old (state, scene, step)
+        intact -- the loop's catch keeps the thread alive in that
+        consistent old configuration."""
         enums_changed = (
             params.velocity_scheme != self._scene.params.velocity_scheme
             or params.pressure_solver != self._scene.params.pressure_solver
             or params.inlet_profile != self._scene.params.inlet_profile
             or params.flow_case != self._scene.params.flow_case)
-        self._state = set_params(self._state, params)
+        new_state = set_params(self._state, params)
         if enums_changed:
-            self._scene = make_scene(self._scene.grid, params,
-                                     self._scene.opts)
-            self._step = self._build_step(self._scene)
+            scene = make_scene(self._scene.grid, params, self._scene.opts)
+            step = self._build_step(scene)
+            self._scene = scene
+            self._step = step
             self._frame_fns = {}
+        self._state = new_state
 
     def _snapshot(self, paused: bool) -> SimSnapshot:
         s = self._state

@@ -326,7 +326,14 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             v = jnp.where(nonzero, 2.0 * v - state.v_prev, v)
         inlet = ramped_inlet(opts, state, f32)
         substeps = state.substeps
+        # Mirror solver.piso.step_fn: the static branch executes
+        # exactly substeps_init substeps, so pin dt_sub (and the
+        # reported count) to it for carried counters from adaptive
+        # runs.
+        if not opts.substeps_adaptive and opts.substeps_init == 1:
+            substeps = jnp.asarray(opts.substeps_init, substeps.dtype)
         dt_sub = state.dt / substeps.astype(f32)
+        executed_substeps = substeps
         u, v, p, pp, res_p, res_u, res_v, max_vel = sharded_substeps(
             u, v, state.p, state.p_prime, dt_sub, state.nu, inlet, substeps)
         if js and opts.substeps_adaptive:
@@ -342,7 +349,7 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             res_u=res_u, res_v=res_v, res_p=res_p)
         diag = StepDiagnostics(step=new_step, t=new_t, dt=state.dt,
                                res_u=res_u, res_v=res_v, res_p=res_p,
-                               substeps=state.substeps)
+                               substeps=executed_substeps)
         return new_state, diag
 
     return jax.jit(step) if jit else step

@@ -715,6 +715,11 @@ def step_fn(scene: Scene, state: State,
                                        or opts.differentiable):
         substeps = jnp.asarray(opts.substeps_init, substeps.dtype)
     dt_sub = state.dt / substeps.astype(f32)
+    # The count this step actually executes -- reported in the
+    # diagnostics (physical_pressure divides forces by it) and
+    # distinct from both the carried counter (overridden above) and
+    # the post-step adapted value.
+    executed_substeps = substeps
 
     # On the fully fused Pallas path the corrector kernel also computes
     # the residual/CFL reductions in-pass (vs the step-entry fields),
@@ -779,7 +784,7 @@ def step_fn(scene: Scene, state: State,
         res_u=res_u, res_v=res_v, res_p=res_p)
     diag = StepDiagnostics(step=new_step, t=new_t, dt=state.dt,
                            res_u=res_u, res_v=res_v, res_p=res_p,
-                           substeps=state.substeps)
+                           substeps=executed_substeps)
     return new_state, diag
 
 

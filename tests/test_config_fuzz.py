@@ -98,10 +98,13 @@ def test_random_config(idx):
         if params.inlet_profile == InletProfile.UNIFORM:
             assert np.all(u[-1, 1:-1] == u[-1, 1]), label
         else:
-            # parabola in x: mirror-symmetric, peak not at the walls
+            # parabola in x: mirror-symmetric with a strictly interior
+            # peak (a regression to a uniform lid fails the strict
+            # inequality; an unramped/zero lid is legitimately flat)
             lid = u[-1]
             assert np.allclose(lid, lid[::-1], atol=1e-6), label
-            assert lid.max() >= lid[1] and lid.max() >= lid[-2], label
+            if lid.max() > 0:
+                assert lid.max() > lid[1] and lid.max() > lid[-2], label
         assert u[-1, 0] == 0 and u[-1, -1] == 0, label
     else:
         assert np.all(u[-1] == 0), label

@@ -170,3 +170,23 @@ def test_physical_pressure_substep_invariance():
     assert np.isclose(p1, p4, rtol=0.5), results
     assert np.isclose(f1, f4, rtol=0.5), results
     assert f1 > 0 and f4 > 0, results
+
+
+def test_diag_reports_executed_substep_count():
+    """A state resumed from a JS adaptive run (substeps=8) stepped
+    under a static scene executes substeps_init substeps; the
+    diagnostics must report the EXECUTED count (physical_pressure
+    divides forces by it), and the carried counter is re-normalized."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    g = _grid()
+    scene = cfd.make_scene(
+        g, SimulationParams(dt=0.004, viscosity=0.05),
+        solver_options_for(Semantics.RUST, ramp_up_steps=20))
+    st = scene.init_state()
+    st = dataclasses.replace(st, substeps=jnp.asarray(8, jnp.int32))
+    st2, d = cfd.make_step(scene, donate=False)(st)
+    assert int(d.substeps) == 1
+    assert int(st2.substeps) == 1
+    assert np.isclose(float(st2.t) - float(st.t), float(st.dt))

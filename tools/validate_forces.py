@@ -54,7 +54,8 @@ def main():
     from cfd_demo_tpu import Semantics, SimulationParams, solver_options_for
     from cfd_demo_tpu.ops.forces import (control_volume_force,
                                          default_control_volume,
-                                         drag_lift_coefficients)
+                                         drag_lift_coefficients,
+                                         physical_pressure)
     from cfd_demo_tpu.solver.piso import step_fn
 
     grid = cfd.default_grid()              # 800x264, r=0.75 at (7.5, 5)
@@ -81,7 +82,7 @@ def main():
     def body(s, _):
         p_prev, u_prev, v_prev = s.p, s.u, s.v
         s2, d = step_fn(scene, s)
-        P = s2.p - p_prev                  # physical pressure of the step
+        P = physical_pressure(p_prev, s2.p, d.substeps)
         fx, fy = control_volume_force(
             s2.u, s2.v, P, s2.nu, scene.grid, cv,
             u_prev=u_prev, v_prev=v_prev, dt=d.dt)
