@@ -64,6 +64,16 @@ class PressureSolver(enum.Enum):
     # satisfies the Rust outer tolerance on large scenes (docs/PERF.md);
     # this mode is the deliberate deviation that fixes it.
     MG_PRODUCTION = "mg-production"
+    # Addition beyond the reference (docs/SPEC.md item 13): EXACT
+    # pressure projection by fast diagonalization (ops/fdm.py). The
+    # correction operator is separable (obstacles enter through the
+    # velocity masks only, exactly as in the reference's Jacobi,
+    # model.rs:733-824), so the direct solve is two small dense
+    # eigenbasis matmuls per side -- pure MXU work in ONE fused
+    # dispatch, no iteration, no convergence knobs. The idiomatic TPU
+    # direct solver for small/medium grids; O(N^1.5) flops passes
+    # O(N * iters) stencil work beyond ~4096 per side.
+    FDM = "fdm"
 
 
 class InletProfile(enum.Enum):
@@ -241,6 +251,20 @@ class SolverOptions:
     # recomputed each cycle -- i.e. stop once the residual is within a
     # small multiple of its own rounding noise. 0 disables.
     mgp_floor: float = 4.0
+    # MG_PRODUCTION hierarchy. "aligned" (default): cell-centered,
+    # BC-folded coarse levels with a distance-aware outlet fold and an
+    # exact fast-diagonalization (ops.fdm) coarse solve -- measured
+    # ~0.10-0.15 residual contraction per V-cycle. "legacy": the
+    # JS-kit vertex-style transfers ((n+1)//2 coarsening,
+    # index.html:1372-1421), kept for comparison; on EVEN grid sizes
+    # (every production scene) the vertex coarse boundary lands one
+    # cell inside the domain, so the coarse correction is pinned to
+    # zero at interior points and contraction stalls at ~0.76/cycle
+    # (round-2 finding, docs/PERF.md).
+    mgp_scheme: str = "aligned"
+    # aligned-hierarchy levels at or below this many cells per side
+    # stop recursing and solve exactly on the MXU (ops.fdm).
+    mgp_coarse_stop: int = 48
     outer_corrector_rounds: int = 20  # Rust only (model.rs:696); JS has 0
     outer_corrector_tol: float = 1e-4  # model.rs:721
     ramp_up_steps: int = 100

@@ -1,0 +1,104 @@
+"""Fast-diagonalization (FDM) Poisson solves on the MXU.
+
+The pressure-correction operator of this framework is separable: the
+obstacle is handled entirely through the velocity masks
+(predictor/corrector/divergence; the reference's Jacobi likewise never
+special-cases obstacle cells, model.rs:733-824), so on the interior
+unknowns A = Ty (x) I + I (x) Tx with Tx, Ty one-dimensional folded
+Laplacians (Neumann mirror folds from the p' boundary slaving,
+model.rs:807-815, plus the Dirichlet-0 outlet ghost). A separable
+operator diagonalizes as A = (Qy (x) Qx) L (Qy (x) Qx)^T, so the EXACT
+solve is two small dense matmuls per side plus an elementwise scale:
+
+    e = -Qy @ ((Qy^T r Qx) * S) @ Qx^T,   S = 1/(ly + lx)
+
+This is the idiomatic TPU form of a direct solver: the eigenbases are
+trace-time constants (f64 numpy eigh, cast f32) and the apply is pure
+MXU work in ONE fused dispatch -- no iteration, no halo exchanges, no
+per-sweep latency. Used as the exact coarse solve of the aligned
+MG_PRODUCTION hierarchy (ops.poisson) and as a standalone projection
+solver (PressureSolver.FDM).
+
+Sign convention: the package's residual is r = rhs - A p with
+A = +Laplacian (ops.poisson._mg_residual); the 1-D matrices built here
+are the positive-definite -Laplacian (so eigh applies), hence the
+leading minus in the apply.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _t1d(m: int, h: float, right_dirichlet: bool,
+         d_wall: float) -> np.ndarray:
+    """1-D folded -Laplacian (positive semi-definite, symmetric).
+
+    Left end is always a Neumann mirror fold (ghost = first cell: the
+    p' row/column copies of model.rs:807-815). ``right_dirichlet``
+    couples the last cell to a 0-valued ghost at distance ``d_wall``
+    in the symmetric FV flux form: diag(last) = (1 + h/d)/h^2. At the
+    finest level d = h reproduces the reference stencil exactly; the
+    aligned-MG coarse levels pass the tracked center-to-wall distance.
+    """
+    T = np.zeros((m, m), np.float64)
+    for i in range(m):
+        T[i, i] = 2.0
+        if i > 0:
+            T[i, i - 1] = -1.0
+        if i < m - 1:
+            T[i, i + 1] = -1.0
+    T[0, 0] = 1.0
+    if right_dirichlet:
+        T[m - 1, m - 1] = 1.0 + h / d_wall
+    else:
+        T[m - 1, m - 1] = 1.0
+    return T / (h * h)
+
+
+@lru_cache(maxsize=64)
+def _fdm_constants(my: int, mx: int, dy: float, dx: float,
+                   east_dirichlet: bool, d_wall: float
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(Qy, Qx, S) as float32 numpy, cached per geometry.
+
+    For the all-Neumann (cavity) operator the exact one-dimensional
+    null vectors pair into a single global constant mode at index
+    (0, 0) of the ascending eigh spectra; S zeroes exactly that entry
+    (pseudo-inverse / zero-mean gauge).
+    """
+    Ty = _t1d(my, dy, False, 0.0)
+    Tx = _t1d(mx, dx, east_dirichlet, d_wall)
+    ly, Qy = np.linalg.eigh(Ty)
+    lx, Qx = np.linalg.eigh(Tx)
+    L = ly[:, None] + lx[None, :]
+    if east_dirichlet:
+        S = 1.0 / L
+    else:
+        S = np.empty_like(L)
+        S[:] = 1.0 / np.where(L == 0.0, 1.0, L)
+        S[0, 0] = 0.0  # the singular constant mode (gauge)
+    return (Qy.astype(np.float32), Qx.astype(np.float32),
+            S.astype(np.float32))
+
+
+def fdm_solve_interior(r: jnp.ndarray, dx: float, dy: float,
+                       east_dirichlet: bool, d_wall: float) -> jnp.ndarray:
+    """Exact solve A e = r of the folded interior operator (+Laplacian
+    convention). ``r`` is an interior-unknown array (my, mx); batch
+    dims vmap transparently (the matmuls batch on the MXU)."""
+    my, mx = r.shape[-2], r.shape[-1]
+    Qy, Qx, S = _fdm_constants(my, mx, float(dy), float(dx),
+                               bool(east_dirichlet), float(d_wall))
+    Qy = jnp.asarray(Qy)
+    Qx = jnp.asarray(Qx)
+    S = jnp.asarray(S)
+    hp = lax.Precision.HIGHEST
+    t = jnp.matmul(Qy.T, jnp.matmul(r, Qx, precision=hp), precision=hp)
+    t = t * S
+    e = jnp.matmul(Qy, jnp.matmul(t, Qx.T, precision=hp), precision=hp)
+    return -e

@@ -552,6 +552,248 @@ def _mgp_vcycle(p, rhs, dx, dy, opts, bc):
                             opts)
 
 
+# --- aligned cell-centered hierarchy (opts.mgp_scheme == "aligned") ----
+#
+# Round-2 finding: the JS-kit vertex transfers ((n+1)//2 coarsening,
+# index.html:1372-1421) misalign the top/right boundary on EVEN grid
+# sizes -- the coarse boundary point lands at fine index n-2, one cell
+# inside the domain, so the coarse correction is pinned to zero at an
+# interior point and V-cycle contraction stalls at ~0.76 (dense
+# two-grid analysis + measurements in docs/PERF.md). Every production
+# scene is even-sized. The aligned hierarchy replaces the coarse
+# levels only:
+#
+#   * unknowns = interior cells; boundary slaving is FOLDED into the
+#     stencil (Neumann mirror: diag reduced; outlet: 0-valued ghost).
+#     On bc-consistent states the folded fine sweep is identical to
+#     _jacobi_sweep + bc, so the finest level keeps the existing
+#     full-array smoothers (incl. the fused Pallas kernel).
+#   * cell-centered 2x2-average restriction / bilinear prolongation;
+#     odd dims mirror-pad on the west/south (Neumann) sides so no fake
+#     domain is ever inserted between the unknowns and the outlet wall.
+#   * the outlet fold is distance-aware per level (symmetric FV flux
+#     form, diag (1 + h/d)/h^2 with d the tracked center-to-wall
+#     distance: d_0 = h, d_{l+1} = d_l + h_l/2).
+#   * levels at or below mgp_coarse_stop solve EXACTLY by fast
+#     diagonalization (ops.fdm: two small dense matmuls per side on
+#     the MXU), truncating the latency-bound deep levels.
+#
+# Measured contraction ~0.10-0.15/cycle down to the f32 noise floor
+# (vs 0.76 stalled), i.e. 2-3 warm-started cycles per projection.
+
+
+def _cc_neighbors(p, east_dirichlet):
+    """Folded neighbor reads on an interior-unknown array: Neumann
+    edges mirror (ghost = self), the outlet east edge reads the
+    0-valued Dirichlet ghost (shifted's zero fill)."""
+    ny, nx = p.shape
+    _, r, c = _iota_masks(p.shape)
+    e = shifted(p, p.shape, 0, 1)
+    if not east_dirichlet:
+        e = jnp.where(c == nx - 1, p, e)
+    w = shifted(p, p.shape, 0, -1)
+    w = jnp.where(c == 0, p, w)
+    n = shifted(p, p.shape, 1, 0)
+    n = jnp.where(r == ny - 1, p, n)
+    s = shifted(p, p.shape, -1, 0)
+    s = jnp.where(r == 0, p, s)
+    return e, w, n, s
+
+
+def _cc_diag(shape, dx, dy, east_dirichlet, d_wall):
+    """Per-cell diagonal of -A. Uniform 2/dx^2 + 2/dy^2 except the
+    outlet column when the wall sits at d != dx from the last center
+    (coarse levels): symmetric FV fold (1 + dx/d)/dx^2 there."""
+    denom = 2.0 / (dx * dx) + 2.0 / (dy * dy)
+    if not east_dirichlet or d_wall == dx:
+        return denom
+    _, _, c = _iota_masks(shape)
+    extra = (dx / d_wall - 1.0) / (dx * dx)
+    return jnp.where(c == shape[1] - 1, denom + extra, denom)
+
+
+def _cc_residual(p, rhs, dx, dy, east_dirichlet, d_wall):
+    dx2, dy2 = dx * dx, dy * dy
+    e, w, n, s = _cc_neighbors(p, east_dirichlet)
+    dg = _cc_diag(p.shape, dx, dy, east_dirichlet, d_wall)
+    return rhs - ((e + w) / dx2 + (n + s) / dy2 - dg * p)
+
+
+def _cc_sweeps(p, rhs, dx, dy, omega, iters, east_dirichlet, d_wall):
+    """Damped-Jacobi sweeps on the folded operator (== _jacobi_sweep +
+    bc on bc-consistent full arrays when d_wall == dx)."""
+    dx2, dy2 = dx * dx, dy * dy
+    dg = _cc_diag(p.shape, dx, dy, east_dirichlet, d_wall)
+    for _ in range(iters):
+        e, w, n, s = _cc_neighbors(p, east_dirichlet)
+        upd = ((e + w) / dx2 + (n + s) / dy2 - rhs) / dg
+        p = (1.0 - omega) * p + omega * upd
+    return p
+
+
+def _cc_coarse_size(m: int) -> int:
+    """Coarse cell count along one axis. Even m halves exactly; odd m
+    picks whichever of (m+1)/2 (mirror-pad a ghost on the west/south
+    Neumann side) and (m-1)/2 (first coarse cell aggregates THREE fine
+    children) is EVEN -- they are consecutive integers, so one always
+    is. This keeps every odd-size treatment isolated between even
+    levels: chains like 129 -> 65 -> 33 (pad at every level, fake
+    domain compounding geometrically, measured rho -> 0.5-0.8) or
+    255 -> 127 -> 63 (aggregate at every level, rho -> 0.5) cannot
+    occur; the dense multilevel model measures rho <= 0.27 for every
+    size with this rule (docs/PERF.md)."""
+    if m % 2 == 0:
+        return m // 2
+    return (m + 1) // 2 if ((m + 1) // 2) % 2 == 0 else m // 2
+
+
+def _cc_restrict_x(f):
+    """Cell-centered averaging restriction along x with the odd-size
+    rule of _cc_coarse_size. Column-local (shared bitwise with the
+    row-sharded tier, shard.mg_shmap)."""
+    nx = f.shape[1]
+    if nx % 2 == 0:
+        return 0.5 * (f[:, 0::2] + f[:, 1::2])
+    if _cc_coarse_size(nx) == (nx + 1) // 2:  # mirror-pad west
+        f = jnp.concatenate([f[:, :1], f], axis=1)
+        return 0.5 * (f[:, 0::2] + f[:, 1::2])
+    g = f[:, 1:]                               # aggregate west
+    t = 0.5 * (g[:, 0::2] + g[:, 1::2])
+    first = (f[:, :1] + f[:, 1:2] + f[:, 2:3]) / 3.0
+    return jnp.where(col_index(t.shape) == 0, first, t)
+
+
+def _cc_restrict_y(f):
+    """As _cc_restrict_x, along y."""
+    ny = f.shape[0]
+    if ny % 2 == 0:
+        return 0.5 * (f[0::2, :] + f[1::2, :])
+    if _cc_coarse_size(ny) == (ny + 1) // 2:   # mirror-pad south
+        f = jnp.concatenate([f[:1, :], f], axis=0)
+        return 0.5 * (f[0::2, :] + f[1::2, :])
+    g = f[1:, :]                               # aggregate south
+    t = 0.5 * (g[0::2, :] + g[1::2, :])
+    first = (f[:1, :] + f[1:2, :] + f[2:3, :]) / 3.0
+    return jnp.where(row_index(t.shape) == 0, first, t)
+
+
+def _cc_restrict(fine):
+    """Cell-centered averaging restriction, one axis at a time, with
+    the per-axis odd-size rule of _cc_coarse_size."""
+    return _cc_restrict_y(_cc_restrict_x(fine))
+
+
+def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
+    """Cell-centered bilinear prolongation (linear interpolation in
+    cell-center coordinates), per-axis inverse of _cc_restrict's
+    even / mirror-pad / aggregate cases. Neumann edges clamp
+    (zero-slope error), the outlet edge interpolates toward the
+    0-valued ghost; west/south mirror-pad columns/rows are cut; an
+    aggregated first coarse cell expands to THREE fine cells with
+    center-coordinate weights (c0, c0, 0.6 c0 + 0.4 c1; the next left
+    child leans 0.8/0.2)."""
+    ny_c, nx_c = coarse.shape
+    _, r, c = _iota_masks(coarse.shape)
+    left = jnp.where(c == 0, coarse, shifted(coarse, coarse.shape, 0, -1))
+    rightn = shifted(coarse, coarse.shape, 0, 1)
+    if not east_dirichlet:
+        rightn = jnp.where(c == nx_c - 1, coarse, rightn)
+    # (east_dirichlet: shifted's zero fill IS the 0 ghost)
+    if nx_f == 2 * nx_c + 1:  # aggregate west: first coarse = 3 fine
+        lw = jnp.where(c == 1, 0.8 * coarse + 0.2 * left,
+                       0.75 * coarse + 0.25 * left)
+        rw = 0.75 * coarse + 0.25 * rightn
+        pairs = jnp.stack([lw[:, 1:], rw[:, 1:]], axis=2)
+        pairs = pairs.reshape(ny_c, 2 * (nx_c - 1))
+        head = jnp.concatenate(
+            [coarse[:, :1], coarse[:, :1],
+             0.6 * coarse[:, :1] + 0.4 * coarse[:, 1:2]], axis=1)
+        row = jnp.concatenate([head, pairs], axis=1)
+    else:  # even (nx_f == 2 nx_c) or mirror-pad west (nx_f == 2 nx_c - 1)
+        even = 0.75 * coarse + 0.25 * left
+        odd = 0.75 * coarse + 0.25 * rightn
+        row = jnp.stack([even, odd], axis=2).reshape(ny_c, 2 * nx_c)
+        row = lax.slice(row, (0, 2 * nx_c - nx_f), (ny_c, 2 * nx_c))
+    rr = row_index(row.shape)
+    dnv = jnp.where(rr == 0, row, shifted(row, row.shape, -1, 0))
+    upv = jnp.where(rr == ny_c - 1, row, shifted(row, row.shape, 1, 0))
+    if ny_f == 2 * ny_c + 1:  # aggregate south
+        lw = jnp.where(rr == 1, 0.8 * row + 0.2 * dnv,
+                       0.75 * row + 0.25 * dnv)
+        uw = 0.75 * row + 0.25 * upv
+        pairs = jnp.stack([lw[1:, :], uw[1:, :]], axis=1)
+        pairs = pairs.reshape(2 * (ny_c - 1), row.shape[1])
+        head = jnp.concatenate(
+            [row[:1, :], row[:1, :],
+             0.6 * row[:1, :] + 0.4 * row[1:2, :]], axis=0)
+        return jnp.concatenate([head, pairs], axis=0)
+    evr = 0.75 * row + 0.25 * dnv
+    odr = 0.75 * row + 0.25 * upv
+    out = jnp.stack([evr, odr], axis=1).reshape(2 * ny_c, row.shape[1])
+    return lax.slice(out, (2 * ny_c - ny_f, 0), (2 * ny_c, row.shape[1]))
+
+
+def _cc_vcycle(rhs, dx, dy, opts, east_dirichlet, d_wall):
+    """Solve A e = rhs from a zero guess at one coarse level;
+    recursion unrolls at trace time (static shapes)."""
+    ny, nx = rhs.shape
+    if min(ny, nx) <= opts.mgp_coarse_stop:
+        from .fdm import fdm_solve_interior
+        return fdm_solve_interior(rhs, dx, dy, east_dirichlet, d_wall)
+    omega, nu = opts.jacobi_omega, opts.mgp_smooth
+    p = _cc_sweeps(jnp.zeros_like(rhs), rhs, dx, dy, omega, nu,
+                   east_dirichlet, d_wall)
+    r = _cc_residual(p, rhs, dx, dy, east_dirichlet, d_wall)
+    e_c = _cc_vcycle(_cc_restrict(r), 2 * dx, 2 * dy, opts,
+                     east_dirichlet, d_wall + dx / 2)
+    p = p + _cc_prolong(e_c, ny, nx, east_dirichlet)
+    return _cc_sweeps(p, rhs, dx, dy, omega, nu, east_dirichlet, d_wall)
+
+
+def _cc_correction_from_coarse(r_c, ny_int, nx_int, dx, dy, opts,
+                               east_dirichlet):
+    """Interior-size correction from the FIRST-coarse-level residual
+    r_c == _cc_restrict(r_interior). Split out so the row-sharded tier
+    (shard.mg_shmap) can restrict in sharded form, all-gather only the
+    4x-smaller coarse level, and run this stage replicated -- computing
+    the bit-identical correction the single-device cycle computes."""
+    e_c = _cc_vcycle(r_c, 2 * dx, 2 * dy, opts, east_dirichlet, 1.5 * dx)
+    return _cc_prolong(e_c, ny_int, nx_int, east_dirichlet)
+
+
+def _mgp_aligned_correction(r_full, dx, dy, opts, east_dirichlet):
+    """Full-size correction (zero boundary ring) from a FULL residual
+    array (_mg_residual layout: zero ring)."""
+    ny, nx = r_full.shape
+    r_int = lax.slice(r_full, (1, 1), (ny - 1, nx - 1))
+    if min(ny - 2, nx - 2) <= opts.mgp_coarse_stop:
+        from .fdm import fdm_solve_interior
+        e_int = fdm_solve_interior(r_int, dx, dy, east_dirichlet, dx)
+    else:
+        e_int = _cc_correction_from_coarse(
+            _cc_restrict(r_int), ny - 2, nx - 2, dx, dy, opts,
+            east_dirichlet)
+    return jnp.pad(e_int, 1)
+
+
+def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
+    """One aligned V-cycle on the full (slaved-ring) array. Small
+    interiors (<= mgp_coarse_stop) skip smoothing entirely: the FDM
+    correction solves the interior system exactly, so the first cycle
+    already reaches the f32 floor."""
+    east_dirichlet = bc is _apply_pprime_bcs
+    ny, nx = p.shape
+    small = min(ny - 2, nx - 2) <= opts.mgp_coarse_stop
+    omega, nu = opts.jacobi_omega, opts.mgp_smooth
+    if not small:
+        p = _mgp_smooth_auto(p, rhs, dx, dy, omega, nu, bc, opts)
+    r = _mg_residual(p, rhs, dx, dy)
+    p = bc(p + _mgp_aligned_correction(r, dx, dy, opts, east_dirichlet))
+    if not small:
+        p = _mgp_smooth_auto(p, rhs, dx, dy, omega, nu, bc, opts)
+    return p
+
+
 def _mgp_noise_floor(opts, dx, dy, dtype):
     """Per-cycle exit floor for MG_PRODUCTION (opts.mgp_floor): the f32
     evaluation of max|rhs - A p| cannot resolve below
@@ -607,11 +849,18 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
         tol_r = jnp.maximum(jnp.asarray(tol_r, pp0.dtype),
                             opts.mgp_rtol * err0)
     diff = getattr(opts, "differentiable", False)
+    aligned = (getattr(opts, "mgp_scheme", "aligned") == "aligned"
+               and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity))
     if (opts.pressure_impl in ("auto", "pallas") and not diff
+            and not aligned
             and _jax.default_backend() in ("tpu", "axon")
             and pp0.dtype == jnp.float32
             and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
             and type(pp0).__name__ != "BatchTracer"):
+        # The whole-cycle Pallas kernels implement the legacy
+        # vertex-transfer hierarchy; the aligned scheme runs XLA
+        # stencils + the fused Pallas fine-level smoother + FDM
+        # matmuls (and needs 3-5x fewer cycles).
         from ..kernels.mg_pallas import (multigrid_production_pallas,
                                          multigrid_production_pallas_ok)
         if multigrid_production_pallas_ok(pp0.shape[0], pp0.shape[1],
@@ -620,10 +869,11 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
                 pp0, rhs, dx, dy, opts, tol_r,
                 cavity=(bc is _apply_pprime_bcs_cavity))
 
+    vcyc = _mgp_vcycle_aligned if aligned else _mgp_vcycle
     floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)
     if floor is None:
         def cycle(p):
-            p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
+            p = vcyc(p, rhs, dx, dy, opts, bc)
             err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
             return p, err
 
@@ -633,7 +883,7 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
     rhs_max = jnp.max(jnp.abs(rhs))
 
     def cycle(p):
-        p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
+        p = vcyc(p, rhs, dx, dy, opts, bc)
         err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
         return p, err, floor(jnp.max(jnp.abs(p)), rhs_max)
 

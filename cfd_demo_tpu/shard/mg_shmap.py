@@ -211,13 +211,82 @@ def _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega, iterations,
     return p_loc
 
 
+def _aligned_restrict_shard(r_loc, gny, nx, axis):
+    """_cc_restrict of the interior residual under row sharding. The x
+    pass is column-local (ops.poisson._cc_restrict_x, shared bitwise);
+    the y pass pairs interior-even rows (global-odd) with their +1
+    partner, which sits at most one row into the next shard -- a 1-row
+    halo. Each shard owns local//2 contiguous coarse rows, so a tiled
+    all_gather reassembles the COARSE level (4x fewer bytes than the
+    fine field); the last gathered row is the nonexistent pair
+    (gny-1, gny) and is sliced off. Requires even local rows."""
+    from ..ops.poisson import _cc_restrict_x
+    local = r_loc.shape[0]
+    fx = _cc_restrict_x(r_loc[:, 1:nx - 1])
+    px = exchange_rows(fx, axis, 1)          # rows off-1 .. off+local
+    top = fx[1::2, :]                        # interior-even = global-odd
+    bot = px[3::2, :]                        # +1 partners (halo at seam)
+    blk = 0.5 * (top + bot)                  # (local//2, nx_c)
+    r_c = lax.all_gather(blk, axis, axis=0, tiled=True)
+    return lax.slice(r_c, (0, 0), ((gny - 2) // 2, blk.shape[1]))
+
+
+def _vcycle_mgp_aligned_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards,
+                              axis, opts, cavity):
+    """Aligned MGP V-cycle (ops.poisson._mgp_vcycle_aligned) on
+    row-sharded blocks. Fine-level smoothing, the residual and the
+    first restriction stay sharded (1-row halos); the coarse hierarchy
+    below -- O(N/4) work with an exact FDM bottom -- is agglomerated:
+    gathered at coarse size and computed REPLICATED through the very
+    same ops.poisson._cc_correction_from_coarse the single-device
+    cycle calls, then row-sliced back. Identical arithmetic on
+    identical values => bitwise equality with the single-device solve
+    (tests/test_shmap.py); one coarse-size all_gather per cycle, and
+    the aligned scheme needs only 2-4 cycles (vs the legacy scheme's
+    tens -- docs/PERF.md)."""
+    from ..ops.poisson import (_cc_correction_from_coarse,
+                               _mgp_aligned_correction)
+    omega = opts.jacobi_omega
+    local = p_loc.shape[0]
+    small = min(gny - 2, nx - 2) <= opts.mgp_coarse_stop
+    if not small:
+        p_loc = _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
+                                  opts.mgp_smooth, axis, cavity)
+    r_loc = _residual_shard(p_loc, rhs_loc, gny, nx, dx, dy, axis)
+    if small or local % 2:
+        # Tiny level (or odd local rows, where the pair split breaks):
+        # gather the fine residual -- small by construction for the
+        # FDM case, a documented fallback otherwise.
+        r_full = lax.all_gather(r_loc, axis, axis=0, tiled=True)
+        e_full = _mgp_aligned_correction(r_full, dx, dy, opts,
+                                         east_dirichlet=not cavity)
+    else:
+        r_c = _aligned_restrict_shard(r_loc, gny, nx, axis)
+        e_int = _cc_correction_from_coarse(r_c, gny - 2, nx - 2, dx, dy,
+                                           opts, not cavity)
+        e_full = jnp.pad(e_int, 1)
+    i0 = lax.axis_index(axis) * local
+    p_loc = _bc_shard(
+        p_loc + lax.dynamic_slice(e_full, (i0, 0), (local, nx)),
+        gny, nx, axis, cavity)
+    if not small:
+        p_loc = _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
+                                  opts.mgp_smooth, axis, cavity)
+    return p_loc
+
+
 def _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards, axis,
                       opts, cavity):
     """One BC-aware V-cycle (ops.poisson._mgp_vcycle) on row-sharded
     blocks; coarse-grid agglomeration once rows stop splitting evenly
-    over the mesh axis (same descent rule as the parity V-cycle)."""
+    over the mesh axis (same descent rule as the parity V-cycle).
+    opts.mgp_scheme == "aligned" (the default) routes to the aligned
+    hierarchy exactly as ops.poisson.multigrid_production does."""
     from ..ops.poisson import (_apply_pprime_bcs, _apply_pprime_bcs_cavity,
                                _mg_prolong, _mg_restrict, _mgp_vcycle)
+    if getattr(opts, "mgp_scheme", "aligned") == "aligned":
+        return _vcycle_mgp_aligned_shard(p_loc, rhs_loc, gny, nx, dx, dy,
+                                         n_shards, axis, opts, cavity)
     omega = opts.jacobi_omega
     p_loc = _smooth_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, omega,
                               opts.mgp_smooth, axis, cavity)

@@ -177,6 +177,176 @@ def test_noise_floor_exit_beats_cycle_cap():
     assert float(err_s) <= 8.0 * float(err_c)
 
 
+def test_aligned_contraction_beats_legacy():
+    """The aligned cell-centered hierarchy (round-2 redesign,
+    opts.mgp_scheme) contracts ~0.1-0.3/cycle where the legacy JS-kit
+    vertex transfers stall at ~0.76 on even grids (the coarse boundary
+    lands one cell inside the domain -- docs/PERF.md): the same solve
+    to the same tolerance needs a small fraction of the cycles, on
+    both BC families."""
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs_cavity
+    ny, nx = 128, 128
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(7)
+    for bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity):
+        rhs = np.zeros((ny, nx), np.float32)
+        rhs[1:-1, 1:-1] = rng.standard_normal((ny - 2, nx - 2))
+        if bc is _apply_pprime_bcs_cavity:
+            rhs[1:-1, 1:-1] -= rhs[1:-1, 1:-1].mean()
+        rhs = jnp.asarray(rhs)
+        pp0 = jnp.zeros((ny, nx), jnp.float32)
+        tol_r = 1e-3 * float(jnp.max(jnp.abs(rhs)))
+        ns = {}
+        for scheme in ("aligned", "legacy"):
+            pp, err, n = jax.jit(
+                lambda p, r, s=scheme: multigrid_production(
+                    p, r, dx, dy, _opts(mgp_scheme=s, mgp_max_cycles=60),
+                    tol_r))(pp0, rhs)
+            ns[scheme] = int(n)
+            if scheme == "aligned":
+                assert float(err) <= tol_r, bc.__name__
+        assert ns["aligned"] <= 10, ns
+        assert ns["aligned"] * 3 <= ns["legacy"], (bc.__name__, ns)
+
+
+def test_aligned_odd_and_anisotropic_sizes():
+    """The per-axis odd-size rule (pad when (m+1)/2 is even, aggregate
+    otherwise -- ops.poisson._cc_coarse_size) keeps contraction healthy
+    on odd and anisotropic grids, where single-rule chains degrade
+    (fake-domain padding compounds geometrically, docs/PERF.md)."""
+    rng = np.random.default_rng(8)
+    for ny, nx in ((131, 211), (97, 129), (129, 255), (126, 254)):
+        dx, dy = 1.0 / nx, 1.0 / ny
+        rhs = np.zeros((ny, nx), np.float32)
+        rhs[1:-1, 1:-1] = rng.standard_normal((ny - 2, nx - 2))
+        rhs = jnp.asarray(rhs)
+        tol_r = 1e-3 * float(jnp.max(jnp.abs(rhs)))
+        pp, err, n = jax.jit(lambda p, r, a=dx, b=dy: multigrid_production(
+            p, r, a, b, _opts(mgp_max_cycles=30), tol_r))(
+                jnp.zeros((ny, nx), jnp.float32), rhs)
+        assert float(err) <= tol_r, (ny, nx, float(err), tol_r)
+        assert int(n) <= 12, (ny, nx, int(n))
+
+
+def test_fdm_solves_interior_exactly():
+    """ops.fdm fast diagonalization: the folded-operator residual of
+    the direct solve sits at the f32 noise floor for both the channel
+    (east-Dirichlet) and cavity (all-Neumann, pseudo-inverse gauge)
+    operators, and the correction padded back satisfies the full-array
+    residual convention."""
+    from cfd_demo_tpu.ops.fdm import fdm_solve_interior
+    from cfd_demo_tpu.ops.poisson import _mgp_aligned_correction
+    rng = np.random.default_rng(9)
+    ny, nx = 40, 56
+    dx, dy = 1.0 / nx, 1.0 / ny
+    for east_dirichlet in (True, False):
+        r_int = rng.standard_normal((ny - 2, nx - 2)).astype(np.float32)
+        if not east_dirichlet:
+            r_int -= r_int.mean()
+        r_full = jnp.asarray(np.pad(r_int, 1))
+        e_full = jax.jit(lambda r, ed=east_dirichlet: _mgp_aligned_correction(
+            r, dx, dy, _opts(), ed))(r_full)
+        # residual of the folded system via the full-array convention:
+        # boundary slaving == mirror/zero folds for these two BCs.
+        bc = _apply_pprime_bcs if east_dirichlet else None
+        from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs_cavity
+        bc = bc or _apply_pprime_bcs_cavity
+        p = bc(e_full)
+        res = _mg_residual(p, r_full, dx, dy)
+        floor = 30 * np.finfo(np.float32).eps * (
+            (2 / dx**2 + 2 / dy**2) * float(jnp.max(jnp.abs(p)))
+            + float(jnp.max(jnp.abs(r_full))))
+        assert float(jnp.max(jnp.abs(res))) <= floor, east_dirichlet
+
+
+def test_fdm_solver_projects_exactly():
+    """PressureSolver.FDM (docs/SPEC.md item 13): the direct solve
+    drives each substep's pressure residual to the f32 noise floor in
+    ONE 'iteration', so post-correction divergence is at least as
+    clean as MG_PRODUCTION's calibrated iterate on the same scene."""
+    grid = Grid(nx=96, ny=48, lx=6.0, ly=3.0,
+                obstacles=(Cylinder(1.5, 1.5, 0.4),))
+    results = {}
+    for solver in (PressureSolver.FDM, PressureSolver.MG_PRODUCTION):
+        scene = make_scene(
+            grid,
+            SimulationParams(dt=0.004, viscosity=1e-3,
+                             pressure_solver=solver),
+            _opts(projection_div_tol=1e-3))
+        st, diag = make_run(scene, 60, donate=False)(scene.init_state())
+        dv = np.asarray(divergence(np.asarray(st.u), np.asarray(st.v),
+                                   grid.dx, grid.dy))
+        yy, xx = np.meshgrid((np.arange(48) + 0.5) * grid.dy,
+                             (np.arange(96) + 0.5) * grid.dx,
+                             indexing="ij")
+        far = np.hypot(xx - 1.5, yy - 1.5) > 0.4 + 3 * grid.dx
+        far[:2] = far[-2:] = False
+        far[:, :2] = far[:, -2:] = False
+        results[solver] = np.abs(dv[far]).max()
+        assert np.isfinite(np.asarray(st.u)).all(), solver
+    assert results[PressureSolver.FDM] <= \
+        results[PressureSolver.MG_PRODUCTION] * 1.05, results
+
+
+def test_fdm_solver_vmap_and_grad():
+    """FDM is a fixed-shape linear solve: it vmaps (ensemble) and
+    differentiates (adjoint = the transposed eigenbasis apply, handled
+    by AD) without special casing."""
+    import dataclasses
+
+    from cfd_demo_tpu import make_step
+    grid = Grid(nx=48, ny=32, lx=3.0, ly=2.0,
+                obstacles=(Cylinder(1.0, 1.0, 0.3),))
+    params = SimulationParams(dt=0.003, viscosity=1e-3,
+                              pressure_solver=PressureSolver.FDM)
+    opts = _opts(ramp_up_steps=2, outer_corrector_rounds=0,
+                 early_exit=False, differentiable=True)
+    scene = make_scene(grid, params, opts)
+    step = make_step(scene, donate=False, jit=False)
+    st0 = scene.init_state()
+
+    def loss(log_nu):
+        st = dataclasses.replace(st0, nu=jnp.exp(log_nu))
+        for _ in range(3):
+            st, _ = step(st)
+        return jnp.sum(st.u[:, 1:-1] ** 2)
+
+    g = jax.jit(jax.grad(loss))(jnp.log(jnp.float32(1e-3)))
+    assert np.isfinite(float(g)) and float(g) != 0.0
+
+    def one(inlet):
+        st, _ = step(dataclasses.replace(st0, target_inlet=inlet))
+        return st.u
+
+    us = jax.jit(jax.vmap(one))(jnp.asarray([0.5, 1.0, 1.5], jnp.float32))
+    assert np.isfinite(np.asarray(us)).all()
+
+
+def test_legacy_scheme_still_selectable():
+    """mgp_scheme='legacy' keeps the JS-kit vertex hierarchy available
+    (and on TPU the whole-cycle Pallas kernels) -- both schemes solve
+    the same system to their exits."""
+    ny, nx = 64, 64
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(10)
+    rhs = np.zeros((ny, nx), np.float32)
+    rhs[1:-1, 1:-1] = rng.standard_normal((ny - 2, nx - 2))
+    rhs = jnp.asarray(rhs)
+    tol_r = 1e-2 * float(jnp.max(jnp.abs(rhs)))
+    outs = {}
+    for scheme in ("aligned", "legacy"):
+        pp, err, _ = jax.jit(lambda p, r, s=scheme: multigrid_production(
+            p, r, dx, dy, _opts(mgp_scheme=s, mgp_max_cycles=120),
+            tol_r))(jnp.zeros((ny, nx), jnp.float32), rhs)
+        assert float(err) <= tol_r, scheme
+        outs[scheme] = np.asarray(pp)
+    # Same linear system, same exit criterion: solutions agree to the
+    # tolerance scale (gauge-fixed by the east Dirichlet column).
+    np.testing.assert_allclose(outs["aligned"], outs["legacy"],
+                               atol=5e-2 * float(np.abs(
+                                   outs["aligned"]).max()) + 1e-5)
+
+
 def test_noise_floor_exit_does_not_fire_mid_convergence():
     """With a reachable tolerance the solve must exit by tol, at the
     same cycle count and residual as with the floor disabled (the

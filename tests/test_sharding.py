@@ -124,7 +124,11 @@ def test_sharded_mg_production_step():
     # max-reductions reassociate, so allow ~1e-5 relative drift.
     np.testing.assert_allclose(np.asarray(s1.p), np.asarray(sN.p),
                                rtol=0, atol=1e-4)
-    assert np.isclose(float(s1.res_p), float(sN.res_p), atol=1e-5)
+    # res_p sits at the f32 noise floor of the aligned/FDM correction;
+    # GSPMD partitions the FDM eigenbasis matmuls over the sharded row
+    # dim, reassociating the contraction, so the exit-cycle residual
+    # maxima differ by O(floor) between the two lowerings.
+    assert np.isclose(float(s1.res_p), float(sN.res_p), atol=5e-5)
 
 
 def test_vmap_ensemble():

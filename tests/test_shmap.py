@@ -446,6 +446,37 @@ def test_step_shmap_mg_production():
                           rtol=1e-3, atol=1e-8), f
 
 
+def test_step_shmap_fdm():
+    """End-to-end explicit multi-chip step with the FDM direct
+    projection (docs/SPEC.md item 13) vs single-device. The sharded
+    tier gathers the rhs and runs the eigenbasis matmuls replicated,
+    so every value is computed by the identical program on identical
+    inputs -- fields must match bitwise."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap import make_run_shmap
+
+    grid = Grid(nx=96, ny=128, lx=3.0, ly=4.0,
+                obstacles=(Cylinder(0.8, 2.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.FDM)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    mesh = make_mesh()
+    got_state, _ = make_run_shmap(scene, mesh, 4, interpret=True)(
+        scene.init_state())
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert float(getattr(ref_state, f)) == float(getattr(got_state, f)), f
+
+
 def test_step_shmap_mg_production_rtol():
     """The relative-reduction exit (opts.mgp_rtol, widening tol_r to
     max(abs, rtol * warm-start residual)) must agree between the
@@ -483,7 +514,13 @@ def test_step_shmap_mg_production_rtol():
 def test_step_shmap_collective_pattern_sor_mg():
     """SOR and fully-sharded multigrid steps keep the pinned
     communication pattern: permutes + scalar reductions, no full-field
-    all-gather / all-to-all."""
+    all-gather / all-to-all. MG_PRODUCTION's aligned hierarchy
+    agglomerates its coarse levels by design (shard.mg_shmap
+    _aligned_restrict_shard): its gathers are allowed but must be at
+    COARSE size (first dim <= ny // 2) -- a fine-field gather is still
+    a regression."""
+    import re
+
     import cfd_demo_tpu as cfd
     from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
                               SimulationParams, solver_options_for)
@@ -504,7 +541,16 @@ def test_step_shmap_collective_pattern_sor_mg():
         step = make_step_shmap(scene, mesh, interpret=True, jit=False)
         state = shard_state(scene.init_state(), mesh)
         txt = jax.jit(step).lower(state).compile().as_text()
-        assert txt.count("all-gather") == 0, f"{solver}: gather crept in"
+        if solver == PressureSolver.MG_PRODUCTION:
+            for line in txt.splitlines():
+                if "all-gather" not in line:
+                    continue
+                dims = [int(m.group(1)) for m in
+                        re.finditer(r"f32\[(\d+),\d+\]", line)]
+                assert dims and max(dims) <= grid.ny // 2, (
+                    f"fine-field gather crept in: {line.strip()}")
+        else:
+            assert txt.count("all-gather") == 0, f"{solver}: gather"
         assert txt.count("all-to-all") == 0, solver
         assert txt.count("collective-permute") > 0, solver
 
