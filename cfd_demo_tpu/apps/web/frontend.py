@@ -55,7 +55,8 @@ INDEX_HTML = r"""<!DOCTYPE html>
       <option value="jacobi">Jacobi</option>
       <option value="sor">SOR (red/black)</option>
       <option value="multigrid">Multigrid</option>
-      <option value="mg-production">MG (production)</option></select></label>
+      <option value="mg-production">MG (production)</option>
+      <option value="fdm">FDM (exact direct)</option></select></label>
     <label>case <select id="flow_case">
       <option value="channel">Channel + cylinder</option>
       <option value="cavity">Lid-driven cavity</option></select></label>

@@ -421,7 +421,12 @@ class NumpyModel:
             if self.opts.sor_ordering == "lexicographic":
                 return self._sor_lexicographic(pp, rhs)
             return self._sor_redblack(pp, rhs)
-        return self._multigrid(pp, rhs)
+        if solver == PressureSolver.MULTIGRID:
+            return self._multigrid(pp, rhs)
+        raise NotImplementedError(
+            f"{solver} is a beyond-reference solver (docs/SPEC.md items "
+            "12-13); the oracle transcribes reference semantics only. "
+            "Validate via tests/test_projection.py / test_physics.py.")
 
     # ---------------- corrector & BCs ----------------
 

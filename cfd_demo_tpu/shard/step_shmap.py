@@ -116,8 +116,9 @@ def _check_supported(scene: Scene, mesh: Mesh, axis: str):
             raise ValueError("step_shmap: jacobi_iters must be a multiple "
                              "of the resolved SOR fuse k")
         min_loc = max(_HALO, _halo8(2 * _sor_k(scene)))
-    else:  # MULTIGRID / MG_PRODUCTION: 1-row halos; substep kernels
-        # set the floor (>= 8 rows also covers the local BC pairing).
+    else:  # MULTIGRID / MG_PRODUCTION: 1-row halos; FDM: gather-based
+        # direct solve, no halos. The substep kernels set the floor
+        # (>= 8 rows also covers the local BC pairing).
         min_loc = _HALO
     if g.ny % S != 0 or (g.ny // S) % 8 != 0 or g.ny // S < min_loc:
         raise ValueError(f"step_shmap: ny={g.ny} must split into "
@@ -173,6 +174,28 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             tol_r = opts.projection_div_tol / dt_sub
             return mgp_shard_body(pp0, rhs, ny, nx, axis, g.dx, g.dy,
                                   S_, opts, cavity, tol_r)
+    elif solver == PressureSolver.FDM:
+        # Exact direct projection (docs/SPEC.md item 13). A direct
+        # solve IS the agglomerated form: gather the rhs once, run the
+        # eigenbasis matmuls replicated (identical values on every
+        # shard -- bitwise equal to the single-device solve), slice
+        # the owned rows. One gather per projection, vs one per cycle
+        # for iterative solvers.
+        from ..ops.fdm import fdm_solve_interior
+        from ..ops.poisson import _mg_residual, pprime_bc_fn
+        bc_full = pprime_bc_fn(params.flow_case)
+
+        def solve(pp0, rhs_loc, dt_sub):
+            del pp0, dt_sub
+            rhs_full = lax.all_gather(rhs_loc, axis, axis=0, tiled=True)
+            e_int = fdm_solve_interior(
+                rhs_full[1:ny - 1, 1:nx - 1], g.dx, g.dy,
+                east_dirichlet=not cavity, d_wall=g.dx)
+            pp_full = bc_full(jnp.pad(e_int, 1))
+            err = jnp.max(jnp.abs(_mg_residual(pp_full, rhs_full,
+                                               g.dx, g.dy)))
+            i0 = lax.axis_index(axis) * loc
+            return lax.dynamic_slice(pp_full, (i0, 0), (loc, nx)), err
     else:  # MULTIGRID: zero-initializes internally (index.html:777)
         from .mg_shmap import mg_shard_body
         S_ = S

@@ -360,6 +360,29 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                    fixed_trip=opts.differentiable)
     if solver == PressureSolver.MULTIGRID:
         return multigrid(pp0, rhs, g.dx, g.dy, opts)
+    if solver == PressureSolver.FDM:
+        # Exact direct projection (docs/SPEC.md item 13): the folded
+        # interior system A p' = rhs solved by fast diagonalization
+        # (ops/fdm.py) -- the fixed point every iterative solver here
+        # converges to. Warm starts are irrelevant (pp0 ignored); the
+        # returned err is the true post-solve residual (f32 noise
+        # floor), computed for diagnostics parity with the iterative
+        # solvers. Linear + fixed-shape => differentiable and vmappable
+        # as-is.
+        from ..core.config import FlowCase
+        from ..ops.fdm import fdm_solve_interior
+        from ..ops.poisson import _mg_residual
+        cavity = scene.params.flow_case == FlowCase.CAVITY
+        ny, nx = g.ny, g.nx
+        r_int = rhs[..., 1:ny - 1, 1:nx - 1]
+        e_int = fdm_solve_interior(r_int, g.dx, g.dy,
+                                   east_dirichlet=not cavity,
+                                   d_wall=g.dx)
+        pad = [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)]
+        pp = bc(jnp.pad(e_int, pad))
+        err = jnp.max(jnp.abs(_mg_residual(pp, rhs, g.dx, g.dy)),
+                      axis=(-2, -1))
+        return pp, err, jnp.ones(err.shape, jnp.int32)
     raise ValueError(solver)
 
 
