@@ -33,13 +33,15 @@ def main():
                          "the metric would reflect the tunnel, not the "
                          "chip)")
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--mode", choices=["fast", "reference", "production"],
+    ap.add_argument("--mode",
+                    choices=["fast", "reference", "production", "fdm"],
                     default="fast",
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
                          "corrector rounds; production: MG_PRODUCTION "
                          "projection (divergence-calibrated V-cycles, "
-                         "docs/SPEC.md item 12)")
+                         "docs/SPEC.md item 12); fdm: exact direct "
+                         "projection (docs/SPEC.md item 13)")
     ap.add_argument("--impl", choices=["auto", "pallas", "jnp"],
                     default="auto",
                     help="pressure-solve implementation; auto picks the "
@@ -48,6 +50,13 @@ def main():
     ap.add_argument("--fuse-k", type=int, default=0,
                     help="override the fused-Jacobi launch granularity "
                          "(0 = size-tuned auto, solver.piso.resolve_fuse_k)")
+    ap.add_argument("--mgp-scheme", choices=["auto", "aligned", "legacy"],
+                    default="auto",
+                    help="production mode only: coarse-hierarchy scheme "
+                         "(docs/SPEC.md item 12; aligned contracts "
+                         "0.1-0.27/cycle, legacy stalls at ~0.76 but has "
+                         "the single-launch whole-cycle Pallas kernels; "
+                         "auto picks by the measured crossover)")
     ap.add_argument("--mgp-rtol", type=float, default=0.0,
                     help="production mode only: relative-reduction exit "
                          "(max|r| <= rtol * warm-start residual, combined "
@@ -82,7 +91,16 @@ def main():
                                   outer_corrector_rounds=0,
                                   pressure_impl=args.impl,
                                   pallas_fuse_k=args.fuse_k,
-                                  mgp_rtol=args.mgp_rtol)
+                                  mgp_rtol=args.mgp_rtol,
+                                  mgp_scheme=args.mgp_scheme)
+    elif args.mode == "fdm":
+        from cfd_demo_tpu import PressureSolver
+        params = SimulationParams(dt=0.002, viscosity=1e-4,
+                                  pressure_solver=PressureSolver.FDM)
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
+                                  outer_corrector_rounds=0,
+                                  pressure_impl=args.impl,
+                                  pallas_fuse_k=args.fuse_k)
     else:
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
                                   pressure_impl=args.impl,

@@ -251,17 +251,22 @@ class SolverOptions:
     # recomputed each cycle -- i.e. stop once the residual is within a
     # small multiple of its own rounding noise. 0 disables.
     mgp_floor: float = 4.0
-    # MG_PRODUCTION hierarchy. "aligned" (default): cell-centered,
-    # BC-folded coarse levels with a distance-aware outlet fold and an
-    # exact fast-diagonalization (ops.fdm) coarse solve -- measured
-    # ~0.10-0.15 residual contraction per V-cycle. "legacy": the
+    # MG_PRODUCTION hierarchy. "aligned": cell-centered, BC-folded
+    # coarse levels with a distance-aware outlet fold and an exact
+    # fast-diagonalization (ops.fdm) coarse solve -- measured
+    # ~0.10-0.27 residual contraction per V-cycle. "legacy": the
     # JS-kit vertex-style transfers ((n+1)//2 coarsening,
-    # index.html:1372-1421), kept for comparison; on EVEN grid sizes
-    # (every production scene) the vertex coarse boundary lands one
-    # cell inside the domain, so the coarse correction is pinned to
-    # zero at interior points and contraction stalls at ~0.76/cycle
-    # (round-2 finding, docs/PERF.md).
-    mgp_scheme: str = "aligned"
+    # index.html:1372-1421); on EVEN grid sizes (every production
+    # scene) the vertex coarse boundary lands one cell inside the
+    # domain, so the coarse correction is pinned to zero at interior
+    # points and contraction stalls at ~0.76/cycle -- but its
+    # whole-V-cycle Pallas kernel runs the entire solve in ONE launch,
+    # which wins while the scene is launch-latency-bound. "auto"
+    # (default): legacy+Pallas below ~2M cells on TPU, aligned
+    # otherwise (measured crossover, docs/PERF.md item 12). Both
+    # schemes satisfy the same exit contract; only cycle counts and
+    # rounding differ.
+    mgp_scheme: str = "auto"
     # aligned-hierarchy levels at or below this many cells per side
     # stop recursing and solve exactly on the MXU (ops.fdm).
     mgp_coarse_stop: int = 48

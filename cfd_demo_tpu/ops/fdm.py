@@ -86,18 +86,71 @@ def _fdm_constants(my: int, mx: int, dy: float, dx: float,
             S.astype(np.float32))
 
 
+def _dct_basis(m: int, dirichlet_right: bool):
+    """Closed-form orthonormal eigenbasis of the d = h folded 1-D
+    operator, built IN-GRAPH from iota (no host constants -- the axon
+    remote compiler rejects HLO with O(N^2) baked arrays, CLAUDE.md).
+
+    Neumann-Neumann (T[0,0] = T[m-1,m-1] = 1): DCT-II vectors
+    v_k[i] = cos(pi k (2i+1) / (2m)), lambda_k = 2 - 2 cos(pi k / m).
+    Neumann-Dirichlet (T[m-1,m-1] = 2, 0-ghost at distance h):
+    v_k[i] = cos(pi (2k+1)(2i+1) / (2(2m+1))),
+    lambda_k = 2 - 2 cos(pi (2k+1) / (2m+1))  (the ghost lands exactly
+    on a cosine zero: theta_k (m+1/2) = pi (2k+1)/2).
+
+    The cosine argument's integer numerator is reduced mod the period
+    in INT arithmetic first, so f32 cos never sees arguments beyond
+    2 pi (large-angle f32 cos loses ~1e-3 at m ~ 2000). Columns are
+    normalized numerically (exact orthogonality is structural).
+    Returns (Q, lam) with lam ascending (lam[0] = 0 for the singular
+    Neumann-Neumann operator)."""
+    i = lax.iota(jnp.int32, m)
+    k = lax.iota(jnp.int32, m)
+    if dirichlet_right:
+        period = 2 * (4 * m + 2)
+        numer = ((2 * i[:, None] + 1) * (2 * k[None, :] + 1)) % period
+        ang = jnp.float32(np.pi / (4 * m + 2)) * numer.astype(jnp.float32)
+        lam = 2.0 - 2.0 * jnp.cos(
+            jnp.float32(np.pi / (2 * m + 1))
+            * (2 * k + 1).astype(jnp.float32))
+    else:
+        period = 4 * m
+        numer = (k[None, :] * (2 * i[:, None] + 1)) % period
+        ang = jnp.float32(np.pi / (2 * m)) * numer.astype(jnp.float32)
+        lam = 2.0 - 2.0 * jnp.cos(
+            jnp.float32(np.pi / m) * k.astype(jnp.float32))
+    Q = jnp.cos(ang)
+    Q = Q / jnp.sqrt(jnp.sum(Q * Q, axis=0, keepdims=True))
+    return Q, lam
+
+
 def fdm_solve_interior(r: jnp.ndarray, dx: float, dy: float,
                        east_dirichlet: bool, d_wall: float) -> jnp.ndarray:
     """Exact solve A e = r of the folded interior operator (+Laplacian
     convention). ``r`` is an interior-unknown array (my, mx); batch
-    dims vmap transparently (the matmuls batch on the MXU)."""
+    dims vmap transparently (the matmuls batch on the MXU).
+
+    d_wall == dx (the fine-level operator) takes the closed-form DCT
+    bases from iota -- O(1) HLO bytes at any size, axon-safe; the
+    coarse-level folds (d != h, no closed form) take the numpy-eigh
+    constants, which are tiny there (<= mgp_coarse_stop per side)."""
     my, mx = r.shape[-2], r.shape[-1]
-    Qy, Qx, S = _fdm_constants(my, mx, float(dy), float(dx),
-                               bool(east_dirichlet), float(d_wall))
-    Qy = jnp.asarray(Qy)
-    Qx = jnp.asarray(Qx)
-    S = jnp.asarray(S)
     hp = lax.Precision.HIGHEST
+    if float(d_wall) == float(dx) or not east_dirichlet:
+        Qy, ly = _dct_basis(my, False)
+        Qx, lx_ = _dct_basis(mx, bool(east_dirichlet))
+        L = (ly[:, None] / jnp.float32(dy * dy)
+             + lx_[None, :] / jnp.float32(dx * dx))
+        if east_dirichlet:
+            S = 1.0 / L
+        else:
+            S = jnp.where(L == 0.0, 0.0, 1.0 / jnp.where(L == 0.0, 1.0, L))
+            # lam is ascending per axis, so the exact zero sits at
+            # (0, 0); rounding keeps it exactly 0 (cos(0) terms).
+    else:
+        Qy_, Qx_, S_ = _fdm_constants(my, mx, float(dy), float(dx),
+                                      bool(east_dirichlet), float(d_wall))
+        Qy, Qx, S = jnp.asarray(Qy_), jnp.asarray(Qx_), jnp.asarray(S_)
     t = jnp.matmul(Qy.T, jnp.matmul(r, Qx, precision=hp), precision=hp)
     t = t * S
     e = jnp.matmul(Qy, jnp.matmul(t, Qx.T, precision=hp), precision=hp)

@@ -849,25 +849,38 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
         tol_r = jnp.maximum(jnp.asarray(tol_r, pp0.dtype),
                             opts.mgp_rtol * err0)
     diff = getattr(opts, "differentiable", False)
-    aligned = (getattr(opts, "mgp_scheme", "aligned") == "aligned"
-               and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity))
-    if (opts.pressure_impl in ("auto", "pallas") and not diff
-            and not aligned
-            and _jax.default_backend() in ("tpu", "axon")
-            and pp0.dtype == jnp.float32
-            and bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
-            and type(pp0).__name__ != "BatchTracer"):
+    bc_known = bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
+    pallas_ok = (opts.pressure_impl in ("auto", "pallas") and not diff
+                 and _jax.default_backend() in ("tpu", "axon")
+                 and pp0.dtype == jnp.float32 and bc_known
+                 and type(pp0).__name__ != "BatchTracer")
+    if pallas_ok:
+        from ..kernels.mg_pallas import (multigrid_production_pallas,
+                                         multigrid_production_pallas_ok)
+        pallas_ok = multigrid_production_pallas_ok(pp0.shape[0],
+                                                   pp0.shape[1], opts)
+    scheme = getattr(opts, "mgp_scheme", "auto")
+    if scheme == "auto":
+        # Measured crossover (docs/PERF.md item 12): the legacy
+        # whole-cycle Pallas kernel wins while the scene is
+        # launch-latency-bound (single-launch V-cycle; 2.85 vs 2.31e9
+        # at 512^2, 3.30 vs 2.87e9 at 1024^2); the aligned hierarchy's
+        # 3-5x fewer cycles win from ~2048^2 up (tie there, 2-3.6x at
+        # >= 4096^2). Without the Pallas kernel (CPU, batched, other
+        # backends) aligned always wins -- it is pure convergence.
+        scheme = ("legacy" if (pallas_ok
+                               and pp0.shape[0] * pp0.shape[1] <= 2_000_000)
+                  else "aligned")
+    aligned = scheme == "aligned" and bc_known
+    if pallas_ok and not aligned:
         # The whole-cycle Pallas kernels implement the legacy
         # vertex-transfer hierarchy; the aligned scheme runs XLA
         # stencils + the fused Pallas fine-level smoother + FDM
         # matmuls (and needs 3-5x fewer cycles).
-        from ..kernels.mg_pallas import (multigrid_production_pallas,
-                                         multigrid_production_pallas_ok)
-        if multigrid_production_pallas_ok(pp0.shape[0], pp0.shape[1],
-                                          opts):
-            return multigrid_production_pallas(
-                pp0, rhs, dx, dy, opts, tol_r,
-                cavity=(bc is _apply_pprime_bcs_cavity))
+        from ..kernels.mg_pallas import multigrid_production_pallas
+        return multigrid_production_pallas(
+            pp0, rhs, dx, dy, opts, tol_r,
+            cavity=(bc is _apply_pprime_bcs_cavity))
 
     vcyc = _mgp_vcycle_aligned if aligned else _mgp_vcycle
     floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)

@@ -284,7 +284,10 @@ def _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy, n_shards, axis,
     hierarchy exactly as ops.poisson.multigrid_production does."""
     from ..ops.poisson import (_apply_pprime_bcs, _apply_pprime_bcs_cavity,
                                _mg_prolong, _mg_restrict, _mgp_vcycle)
-    if getattr(opts, "mgp_scheme", "aligned") == "aligned":
+    if getattr(opts, "mgp_scheme", "auto") != "legacy":
+        # "auto" resolves to aligned here: the explicit shmap tier has
+        # no whole-cycle Pallas kernel, so aligned's 3-5x fewer cycles
+        # always win (docs/PERF.md item 12).
         return _vcycle_mgp_aligned_shard(p_loc, rhs_loc, gny, nx, dx, dy,
                                          n_shards, axis, opts, cavity)
     omega = opts.jacobi_omega

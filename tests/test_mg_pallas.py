@@ -149,7 +149,9 @@ def test_multigrid_production_pallas_matches_xla():
     rng = np.random.default_rng(4)
     rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
     pp0 = jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32)
-    opts = solver_options_for(Semantics.RUST)
+    # The whole-cycle kernels implement the LEGACY hierarchy; the XLA
+    # reference must run the same scheme (aligned is the default).
+    opts = solver_options_for(Semantics.RUST, mgp_scheme="legacy")
     tol_r = 30.0  # a few cycles at this size; exit actually reached
     ref, err_ref, n_ref = jax.jit(
         lambda p, r: multigrid_production(p, r, dx, dy, opts,

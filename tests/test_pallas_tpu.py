@@ -189,6 +189,10 @@ def test_mg_production_pallas_step_matches_jnp():
         opts = solver_options_for(
             Semantics.RUST, ramp_up_steps=10,
             outer_corrector_rounds=0, pressure_impl=impl,
+            # pin the LEGACY whole-cycle kernels (the aligned default
+            # never routes to them; its fine-level smoother kernel is
+            # pinned by the fused-Jacobi tests)
+            mgp_scheme="legacy",
             substep_impl="jnp")
         scene = cfd.make_scene(grid, params, opts)
         run = cfd.make_run(scene, 200, donate=False)
