@@ -268,8 +268,15 @@ class SolverOptions:
     # rounding differ.
     mgp_scheme: str = "auto"
     # aligned-hierarchy levels at or below this many cells per side
-    # stop recursing and solve exactly on the MXU (ops.fdm).
-    mgp_coarse_stop: int = 48
+    # stop recursing and solve exactly on the MXU (ops.fdm). 96
+    # measured 10% faster than 48 at 8192^2 (one less latency-bound
+    # level), flat at 4096^2 (docs/PERF.md item 12).
+    mgp_coarse_stop: int = 96
+    # PressureSolver.FDM eigenbasis matmul precision: "highest"
+    # (6-pass f32 emulation, residual ~1e-6 relative -- the exactness
+    # contract) or "high" (3-pass, ~1.5e-5 relative, ~2x faster
+    # apply -- still orders below any iterative exit).
+    fdm_precision: str = "highest"
     outer_corrector_rounds: int = 20  # Rust only (model.rs:696); JS has 0
     outer_corrector_tol: float = 1e-4  # model.rs:721
     ramp_up_steps: int = 100

@@ -125,7 +125,8 @@ def _dct_basis(m: int, dirichlet_right: bool):
 
 
 def fdm_solve_interior(r: jnp.ndarray, dx: float, dy: float,
-                       east_dirichlet: bool, d_wall: float) -> jnp.ndarray:
+                       east_dirichlet: bool, d_wall: float,
+                       precision: str = "highest") -> jnp.ndarray:
     """Exact solve A e = r of the folded interior operator (+Laplacian
     convention). ``r`` is an interior-unknown array (my, mx); batch
     dims vmap transparently (the matmuls batch on the MXU).
@@ -135,7 +136,8 @@ def fdm_solve_interior(r: jnp.ndarray, dx: float, dy: float,
     coarse-level folds (d != h, no closed form) take the numpy-eigh
     constants, which are tiny there (<= mgp_coarse_stop per side)."""
     my, mx = r.shape[-2], r.shape[-1]
-    hp = lax.Precision.HIGHEST
+    hp = (lax.Precision.HIGH if precision == "high"
+          else lax.Precision.HIGHEST)
     if float(d_wall) == float(dx) or not east_dirichlet:
         Qy, ly = _dct_basis(my, False)
         Qx, lx_ = _dct_basis(mx, bool(east_dirichlet))

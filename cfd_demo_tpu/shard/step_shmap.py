@@ -190,7 +190,8 @@ def make_step_shmap(scene: Scene, mesh: Mesh, axis: str = "y",
             rhs_full = lax.all_gather(rhs_loc, axis, axis=0, tiled=True)
             e_int = fdm_solve_interior(
                 rhs_full[1:ny - 1, 1:nx - 1], g.dx, g.dy,
-                east_dirichlet=not cavity, d_wall=g.dx)
+                east_dirichlet=not cavity, d_wall=g.dx,
+                precision=getattr(opts, "fdm_precision", "highest"))
             pp_full = bc_full(jnp.pad(e_int, 1))
             err = jnp.max(jnp.abs(_mg_residual(pp_full, rhs_full,
                                                g.dx, g.dy)))

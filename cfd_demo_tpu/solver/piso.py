@@ -377,7 +377,9 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
         r_int = rhs[..., 1:ny - 1, 1:nx - 1]
         e_int = fdm_solve_interior(r_int, g.dx, g.dy,
                                    east_dirichlet=not cavity,
-                                   d_wall=g.dx)
+                                   d_wall=g.dx,
+                                   precision=getattr(opts, "fdm_precision",
+                                                     "highest"))
         pad = [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)]
         pp = bc(jnp.pad(e_int, pad))
         err = jnp.max(jnp.abs(_mg_residual(pp, rhs, g.dx, g.dy)),

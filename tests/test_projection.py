@@ -45,8 +45,11 @@ def test_warm_start_reuses_previous_solution():
     rng = np.random.default_rng(1)
     rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
     tol_r = 1e-3 * float(jnp.max(jnp.abs(rhs)))
+    # mgp_coarse_stop below the grid so the hierarchy actually cycles
+    # (the default 96 would solve 62^2 interior exactly by FDM in one
+    # cycle, cold == warm == 1).
     solve = jax.jit(lambda p, r: multigrid_production(
-        p, r, dx, dy, _opts(), tol_r))
+        p, r, dx, dy, _opts(mgp_coarse_stop=16), tol_r))
     pp, _, n_cold = solve(jnp.zeros((ny, nx), jnp.float32), rhs)
     _, _, n_warm = solve(pp, rhs)
     assert int(n_warm) < int(n_cold)
