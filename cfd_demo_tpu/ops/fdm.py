@@ -64,24 +64,20 @@ def _t1d(m: int, h: float, right_dirichlet: bool,
 def _fdm_constants(my: int, mx: int, dy: float, dx: float,
                    east_dirichlet: bool, d_wall: float
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(Qy, Qx, S) as float32 numpy, cached per geometry.
-
-    For the all-Neumann (cavity) operator the exact one-dimensional
-    null vectors pair into a single global constant mode at index
-    (0, 0) of the ascending eigh spectra; S zeroes exactly that entry
-    (pseudo-inverse / zero-mean gauge).
-    """
+    """(Qy, Qx, S) as float32 numpy, cached per geometry. Only the
+    d != h folded operator routes here (the aligned-MG coarse bottom);
+    it is always east-Dirichlet -- the all-Neumann cavity operator has
+    no distance-dependent fold and always takes the closed-form DCT
+    path in fdm_solve_interior. Sizes are bounded by the max-side stop
+    rule of ops.poisson._cc_vcycle, so these O(m^2) constants stay a
+    few tens of KB (the axon remote compiler rejects HLO with large
+    baked arrays, CLAUDE.md)."""
+    assert east_dirichlet, "d != h fold is east-Dirichlet only"
     Ty = _t1d(my, dy, False, 0.0)
-    Tx = _t1d(mx, dx, east_dirichlet, d_wall)
+    Tx = _t1d(mx, dx, True, d_wall)
     ly, Qy = np.linalg.eigh(Ty)
     lx, Qx = np.linalg.eigh(Tx)
-    L = ly[:, None] + lx[None, :]
-    if east_dirichlet:
-        S = 1.0 / L
-    else:
-        S = np.empty_like(L)
-        S[:] = 1.0 / np.where(L == 0.0, 1.0, L)
-        S[0, 0] = 0.0  # the singular constant mode (gauge)
+    S = 1.0 / (ly[:, None] + lx[None, :])
     return (Qy.astype(np.float32), Qx.astype(np.float32),
             S.astype(np.float32))
 
@@ -106,19 +102,27 @@ def _dct_basis(m: int, dirichlet_right: bool):
     Neumann-Neumann operator)."""
     i = lax.iota(jnp.int32, m)
     k = lax.iota(jnp.int32, m)
+    # Eigenvalues as 4 sin^2(theta/2), NOT 2 - 2 cos(theta): the cos
+    # form cancels catastrophically for low modes at large m (at
+    # interior width 8190 the lowest Dirichlet eigenvalue rounds to
+    # exactly 0 in f32 -> S = inf -> NaN fields; at 4094 the smooth
+    # modes carry O(1) relative error). sin(theta/2) of a small angle
+    # is fully accurate in f32, so lam keeps full RELATIVE precision
+    # at every mode (and the Neumann lam[0] stays exactly 0 for the
+    # gauge).
     if dirichlet_right:
         period = 2 * (4 * m + 2)
         numer = ((2 * i[:, None] + 1) * (2 * k[None, :] + 1)) % period
         ang = jnp.float32(np.pi / (4 * m + 2)) * numer.astype(jnp.float32)
-        lam = 2.0 - 2.0 * jnp.cos(
-            jnp.float32(np.pi / (2 * m + 1))
-            * (2 * k + 1).astype(jnp.float32))
+        half = (jnp.float32(np.pi / (2 * (2 * m + 1)))
+                * (2 * k + 1).astype(jnp.float32))
     else:
         period = 4 * m
         numer = (k[None, :] * (2 * i[:, None] + 1)) % period
         ang = jnp.float32(np.pi / (2 * m)) * numer.astype(jnp.float32)
-        lam = 2.0 - 2.0 * jnp.cos(
-            jnp.float32(np.pi / m) * k.astype(jnp.float32))
+        half = jnp.float32(np.pi / (2 * m)) * k.astype(jnp.float32)
+    s = jnp.sin(half)
+    lam = 4.0 * s * s
     Q = jnp.cos(ang)
     Q = Q / jnp.sqrt(jnp.sum(Q * Q, axis=0, keepdims=True))
     return Q, lam

@@ -735,9 +735,15 @@ def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
 
 def _cc_vcycle(rhs, dx, dy, opts, east_dirichlet, d_wall):
     """Solve A e = rhs from a zero guess at one coarse level;
-    recursion unrolls at trace time (static shapes)."""
+    recursion unrolls at trace time (static shapes). The FDM stop
+    tests the MAX side: the d != h bottom ships numpy-eigh eigenbases
+    as O(m^2) jit constants, so an anisotropic chain (which preserves
+    aspect ratio) must keep recursing until BOTH sides are small --
+    a min-side rule would bake e.g. a 1024^2 constant at the 64x1024
+    level of an 8192x512 grid (the axon compiler rejects large baked
+    arrays, CLAUDE.md)."""
     ny, nx = rhs.shape
-    if min(ny, nx) <= opts.mgp_coarse_stop:
+    if max(ny, nx) <= opts.mgp_coarse_stop:
         from .fdm import fdm_solve_interior
         return fdm_solve_interior(rhs, dx, dy, east_dirichlet, d_wall)
     omega, nu = opts.jacobi_omega, opts.mgp_smooth

@@ -110,6 +110,15 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
             raise ValueError(
                 "SolverOptions.differentiable requires "
                 + ", ".join(bad))
+    if opts.mgp_scheme not in ("auto", "aligned", "legacy"):
+        # The tiers classify unknown strings oppositely (the XLA gate
+        # tests == "aligned", the shmap gate != "legacy"); a typo must
+        # fail loudly, not run different hierarchies per tier.
+        raise ValueError(f"mgp_scheme must be auto|aligned|legacy, "
+                         f"got {opts.mgp_scheme!r}")
+    if opts.fdm_precision not in ("highest", "high"):
+        raise ValueError(f"fdm_precision must be highest|high, "
+                         f"got {opts.fdm_precision!r}")
     return Scene(grid=grid, params=params or SimulationParams(),
                  opts=opts)
 
@@ -374,17 +383,15 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
         from ..ops.poisson import _mg_residual
         cavity = scene.params.flow_case == FlowCase.CAVITY
         ny, nx = g.ny, g.nx
-        r_int = rhs[..., 1:ny - 1, 1:nx - 1]
-        e_int = fdm_solve_interior(r_int, g.dx, g.dy,
+        # 2-D contract like every solver branch (vmap batches via
+        # tracers; bc unpacks a 2-D shape).
+        e_int = fdm_solve_interior(rhs[1:ny - 1, 1:nx - 1], g.dx, g.dy,
                                    east_dirichlet=not cavity,
                                    d_wall=g.dx,
-                                   precision=getattr(opts, "fdm_precision",
-                                                     "highest"))
-        pad = [(0, 0)] * (rhs.ndim - 2) + [(1, 1), (1, 1)]
-        pp = bc(jnp.pad(e_int, pad))
-        err = jnp.max(jnp.abs(_mg_residual(pp, rhs, g.dx, g.dy)),
-                      axis=(-2, -1))
-        return pp, err, jnp.ones(err.shape, jnp.int32)
+                                   precision=opts.fdm_precision)
+        pp = bc(jnp.pad(e_int, 1))
+        err = jnp.max(jnp.abs(_mg_residual(pp, rhs, g.dx, g.dy)))
+        return pp, err, jnp.ones((), jnp.int32)
     raise ValueError(solver)
 
 

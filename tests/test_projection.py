@@ -291,6 +291,36 @@ def test_fdm_solver_projects_exactly():
         results[PressureSolver.MG_PRODUCTION] * 1.05, results
 
 
+def test_fdm_large_size_low_modes():
+    """Regression (round-2 review): eigenvalues must be computed as
+    4 sin^2(theta/2), not 2 - 2 cos(theta) -- the cos form cancels
+    catastrophically for low modes at large m (width 8190: lowest
+    Dirichlet eigenvalue rounds to exactly 0 in f32 -> inf fields;
+    width 2046/4094: O(1) relative error on smooth rhs). A smooth
+    low-mode rhs at 2046^2 must solve to within a few multiples of
+    the f32 residual-evaluation floor eps*(denom*max|p| + max|rhs|)."""
+    from cfd_demo_tpu.ops.fdm import _dct_basis, fdm_solve_interior
+    _, lam = jax.jit(lambda: _dct_basis(8190, True))()
+    assert float(lam[0]) > 0.0
+    m, n = 2046, 2048
+    dx = 30.0 / n
+    yy, xx = np.meshgrid(np.linspace(0, 1, m, dtype=np.float32),
+                         np.linspace(0, 1, m, dtype=np.float32),
+                         indexing="ij")
+    r_int = (np.sin(np.pi * xx) * np.cos(np.pi * yy) + 0.3
+             ).astype(np.float32)
+    e = jax.jit(lambda r: fdm_solve_interior(r, dx, dx, True, dx))(
+        jnp.asarray(r_int))
+    full = _apply_pprime_bcs(jnp.pad(e, 1))
+    res = _mg_residual(full, jnp.asarray(np.pad(r_int, 1)), dx, dx)
+    floor = np.finfo(np.float32).eps * (
+        4.0 / dx / dx * float(jnp.max(jnp.abs(e)))
+        + float(np.abs(r_int).max()))
+    assert float(jnp.max(jnp.abs(res))) <= 12.0 * floor
+    # (measured 5.9x after the fix; 2.375 absolute vs the old scheme's
+    # smooth-mode failure at the same size)
+
+
 def test_fdm_solver_vmap_and_grad():
     """FDM is a fixed-shape linear solve: it vmaps (ensemble) and
     differentiates (adjoint = the transposed eigenbasis apply, handled

@@ -537,6 +537,12 @@ def test_step_shmap_collective_pattern_sor_mg():
                                    pressure_solver=solver),
             solver_options_for(Semantics.RUST, ramp_up_steps=5,
                                jacobi_tol=0.0, jacobi_iters=20,
+                               # below this grid's 62-row interior so
+                               # the aligned cycle takes the sharded
+                               # restrict, not the documented
+                               # small-grid full-gather FDM fallback
+                               # (mg_shmap._vcycle_mgp_aligned_shard)
+                               mgp_coarse_stop=16,
                                outer_corrector_rounds=0, early_exit=False))
         step = make_step_shmap(scene, mesh, interpret=True, jit=False)
         state = shard_state(scene.init_state(), mesh)
