@@ -177,6 +177,178 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i, 0] = err
 
 
+def _kernel_res(pp_hbm, rhs_hbm, out_ref, res_ref, err_ref, pp_win,
+                rhs_win, sem, *, ny, nx, nxp, bs, halo, k, dx2, dy2,
+                omega, cavity):
+    """_kernel variant for the aligned MGP cycle (ops.poisson
+    _mgp_vcycle_aligned): k damped BC-folded sweeps PLUS the residual
+    r = rhs - A p of the final iterate, emitted in the same launch --
+    removing the separate full-array residual pass the cycle otherwise
+    pays twice (once for the coarse correction, once for the exit
+    check). The residual is computed with the folded neighbor reads,
+    which equal ops.poisson._mg_residual's true ring reads on
+    BC-consistent p (the founding equivalence of these kernels), and
+    is written INTO rhs_win (rhs is dead after the last sweep) so no
+    extra VMEM window is needed. err_ref reports max|r| over owned
+    interior rows -- the MGP exit metric -- instead of _kernel's
+    last-sweep delta."""
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    owned = interior & (gr >= row0) & (gr < row0 + bs)
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    bx = jnp.float32(1.0 / dx2)
+    by = jnp.float32(1.0 / dy2)
+    rhs_s = ar * rhs_win[:]  # pre-scaled for the sweeps; raw kept
+
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - 1, 1)
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+
+    def folded(pp):
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        return E, W, N, S
+
+    def iterate(_, c):
+        pp = pp_win[:]
+        E, W, N, S = folded(pp)
+        pp_win[:] = ax * (E + W) + ay * (N + S) + ac * pp - rhs_s
+        return c
+
+    lax.fori_loop(0, k, iterate, 0)
+    # Residual of the final iterate (folded reads == post-BC ring
+    # reads), interior-masked like ops.poisson._mg_residual.
+    pp = pp_win[:]
+    E, W, N, S = folded(pp)
+    r = rhs_win[:] - (bx * (E + W) + by * (N + S) - denom * pp)
+    r = jnp.where(interior, r, 0.0)
+    err = jnp.max(jnp.where(owned, jnp.abs(r), 0.0))
+    rhs_win[:] = r
+    # p' BCs once per launch (rows then columns, corner order).
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    res_cp = pltpu.make_async_copy(rhs_win.at[pl.ds(out_lo, bs), :],
+                                   res_ref, sem.at[1])
+    out_cp.start()
+    res_cp.start()
+    out_cp.wait()
+    res_cp.wait()
+    err_ref[i, 0] = err
+
+
+def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                       dy: float, omega: float, k: int,
+                       interpret: bool = False, cavity: bool = False):
+    """K fused damped sweeps + the final residual in ONE launch.
+    Returns (p', r, max|r|). 1-D row tiling only; raises ValueError
+    when no feasible block exists (the caller falls back to the XLA
+    smooth + residual pair)."""
+    ny, nx = pp.shape
+    if ny % 8 != 0:
+        raise ValueError(f"ny={ny} must be a multiple of 8")
+    nxp = -(-nx // 128) * 128
+    halo = _halo8(k)
+
+    def vmem_model(bs):
+        # two halo windows + two output blocks
+        return (2 * (bs + 2 * halo) * nxp + 2 * bs * nxp) * 4
+
+    budget = 6_815_744
+    bs = 256
+    while bs >= 8 and (ny % bs != 0 or ny < bs + 2 * halo
+                       or vmem_model(bs) > budget):
+        bs //= 2
+    if bs < 8:
+        raise ValueError(f"no valid block size for ny={ny}, k={k}")
+    nblocks = ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp = jnp.pad(pp, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(
+        _kernel_res, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    out, res, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs)
+    if nxp != nx:
+        out = out[:, :nx]
+        res = res[:, :nx]
+    return out, res, jnp.max(err)
+
+
 COL_HALO = 128  # lane-tile-aligned column halo for the 2-D tiling
 
 

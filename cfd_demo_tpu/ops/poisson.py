@@ -782,22 +782,54 @@ def _mgp_aligned_correction(r_full, dx, dy, opts, east_dirichlet):
     return jnp.pad(e_int, 1)
 
 
+def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
+    """(p, r, max|r|) after ``iterations`` damped BC'd sweeps: the
+    smoothing AND the final residual in one Pallas launch on TPU
+    (kernels.jacobi_pallas.jacobi_fused_k_res) -- the aligned cycle
+    needs the residual after BOTH smoothing positions (restrict input;
+    exit metric), and emitting it from the sweep launch removes a
+    full-array read+write per position. XLA path: the same values as
+    _mgp_smooth + _mg_residual, computed exactly that way."""
+    import jax as _jax
+    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
+            and _jax.default_backend() in ("tpu", "axon")
+            and p.dtype == jnp.float32
+            and p.shape[0] % 8 == 0
+            and p.shape[0] * p.shape[1] >= 2_000_000
+            and type(p).__name__ != "BatchTracer"):
+        from ..kernels.jacobi_pallas import jacobi_fused_k_res
+        try:
+            return jacobi_fused_k_res(
+                p, rhs, dx, dy, omega, iterations,
+                cavity=(bc is _apply_pprime_bcs_cavity))
+        except ValueError:  # no feasible block (very wide rows)
+            pass
+    p = _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc)
+    r = _mg_residual(p, rhs, dx, dy)
+    return p, r, jnp.max(jnp.abs(r))
+
+
 def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
-    """One aligned V-cycle on the full (slaved-ring) array. Small
-    interiors (<= mgp_coarse_stop) skip smoothing entirely: the FDM
-    correction solves the interior system exactly, so the first cycle
-    already reaches the f32 floor."""
+    """One aligned V-cycle on the full (slaved-ring) array; returns
+    (p, max|rhs - A p|) -- the exit metric comes from the post-smooth
+    launch for free (fused kernel) or from the same _mg_residual the
+    old separate exit check computed (XLA), so restructuring is
+    value-preserving there. Small interiors (<= mgp_coarse_stop) skip
+    smoothing entirely: the FDM correction solves the interior system
+    exactly, so the first cycle already reaches the f32 floor."""
     east_dirichlet = bc is _apply_pprime_bcs
     ny, nx = p.shape
     small = min(ny - 2, nx - 2) <= opts.mgp_coarse_stop
     omega, nu = opts.jacobi_omega, opts.mgp_smooth
-    if not small:
-        p = _mgp_smooth_auto(p, rhs, dx, dy, omega, nu, bc, opts)
-    r = _mg_residual(p, rhs, dx, dy)
+    if small:
+        r = _mg_residual(p, rhs, dx, dy)
+        p = bc(p + _mgp_aligned_correction(r, dx, dy, opts,
+                                           east_dirichlet))
+        return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+    p, r, _ = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts)
     p = bc(p + _mgp_aligned_correction(r, dx, dy, opts, east_dirichlet))
-    if not small:
-        p = _mgp_smooth_auto(p, rhs, dx, dy, omega, nu, bc, opts)
-    return p
+    p, _, err = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts)
+    return p, err
 
 
 def _mgp_noise_floor(opts, dx, dy, dtype):
@@ -888,22 +920,25 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
             pp0, rhs, dx, dy, opts, tol_r,
             cavity=(bc is _apply_pprime_bcs_cavity))
 
-    vcyc = _mgp_vcycle_aligned if aligned else _mgp_vcycle
+    if aligned:
+        def solve_cycle(p):
+            # (p, err) with err from the post-smooth launch (fused
+            # kernel) / the identical _mg_residual values (XLA).
+            return _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc)
+    else:
+        def solve_cycle(p):
+            p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
+            return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+
     floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)
     if floor is None:
-        def cycle(p):
-            p = vcyc(p, rhs, dx, dy, opts, bc)
-            err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
-            return p, err
-
-        return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
+        return _masked_while(solve_cycle, p0, tol_r, opts.mgp_max_cycles,
                              fixed_trip=diff)
 
     rhs_max = jnp.max(jnp.abs(rhs))
 
     def cycle(p):
-        p = vcyc(p, rhs, dx, dy, opts, bc)
-        err = jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+        p, err = solve_cycle(p)
         return p, err, floor(jnp.max(jnp.abs(p)), rhs_max)
 
     return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,

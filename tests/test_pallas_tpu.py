@@ -215,6 +215,37 @@ def test_mg_production_pallas_step_matches_jnp():
                                rtol=2e-3, atol=1e-2, err_msg="p")
 
 
+def test_fused_smooth_res_matches_xla_hw():
+    """jacobi_fused_k_res on hardware: the aligned-MGP smooth+residual
+    launch vs the XLA pair at 2048^2 (residual tolerance follows the
+    f32 floor formula -- the evaluation cancels O(denom |p|)
+    intermediates)."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k_res
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                          _mg_residual, _mgp_smooth)
+    ny = nx = 2048
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(12)
+    pp = _apply_pprime_bcs(
+        jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    p_ref = jax.jit(lambda p, r: _mgp_smooth(p, r, dx, dy, 0.75, 3,
+                                             _apply_pprime_bcs))(pp, rhs)
+    r_ref = _mg_residual(p_ref, rhs, dx, dy)
+    p_got, r_got, mr = jax.jit(
+        lambda p, r: jacobi_fused_k_res(p, r, dx, dy, 0.75, 3))(pp, rhs)
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                               rtol=0, atol=1e-6)
+    tol = 30 * np.finfo(np.float32).eps * (
+        4.0 / dx / dx * float(jnp.max(jnp.abs(p_ref)))
+        + float(jnp.max(jnp.abs(rhs))))
+    np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
+                               rtol=0, atol=tol)
+    assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
+                      rtol=1e-3, atol=tol)
+
+
 def test_fused_substep_js_mode_matches_jnp():
     """JS semantics through the fused kernels: fixed 3 substeps under
     the dynamic fori_loop, extrapolated initial guess, JS face-position

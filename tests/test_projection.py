@@ -291,6 +291,41 @@ def test_fdm_solver_projects_exactly():
         results[PressureSolver.MG_PRODUCTION] * 1.05, results
 
 
+def test_fused_smooth_res_kernel_matches_xla():
+    """kernels.jacobi_pallas.jacobi_fused_k_res (interpret mode): the
+    smooth+residual launch of the aligned MGP cycle must reproduce
+    _mgp_smooth + _mg_residual (values to float noise; max|r| over the
+    interior)."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs_cavity,
+                                          _mgp_smooth)
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k_res
+    rng = np.random.default_rng(11)
+    for shape, cavity in (((64, 96), False), ((64, 64), True)):
+        ny, nx = shape
+        dx, dy = 1.0 / nx, 1.0 / ny
+        bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+        pp = bc(jnp.asarray(0.1 * rng.standard_normal(shape), jnp.float32))
+        rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        p_ref = _mgp_smooth(pp, rhs, dx, dy, 0.75, 3, bc)
+        r_ref = _mg_residual(p_ref, rhs, dx, dy)
+        p_got, r_got, mr = jacobi_fused_k_res(pp, rhs, dx, dy, 0.75, 3,
+                                              interpret=True,
+                                              cavity=cavity)
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                                   rtol=0, atol=1e-6)
+        # r's evaluation cancels O(denom*|p|) intermediates down to
+        # O(r); multiplier-vs-divide and fma ordering differences are
+        # relative to the INTERMEDIATES, so tolerance follows the f32
+        # floor formula, not |r|.
+        tol = 30 * np.finfo(np.float32).eps * (
+            (2 / dx ** 2 + 2 / dy ** 2) * float(jnp.max(jnp.abs(p_ref)))
+            + float(jnp.max(jnp.abs(rhs))))
+        np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
+                                   rtol=0, atol=tol)
+        assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
+                          rtol=1e-3, atol=tol)
+
+
 def test_fdm_large_size_low_modes():
     """Regression (round-2 review): eigenvalues must be computed as
     4 sin^2(theta/2), not 2 - 2 cos(theta) -- the cos form cancels
