@@ -18,8 +18,10 @@ Two layers:
    there, the *outer corrector round count* can differ by one, which
    shifts the accumulated p by a near-uniform field while leaving the
    velocities (driven by grad p') identical. We therefore assert
-   strictly on u, v, dt, substeps and on grad(p), which is what feeds
-   back into the dynamics.
+   strictly on u, v, dt, substeps, on grad(p) (what feeds back into
+   the dynamics), and on p itself after removing the mean difference
+   -- pinning absolute pressure up to that documented uniform gauge
+   shift (measured <= 2.3e-6 relative, bound 1e-5).
 """
 import numpy as np
 import pytest
@@ -127,6 +129,16 @@ def test_step_matches_oracle(name, sem, scheme, solver, profile):
         gy = l2(np.diff(gp, axis=0) / dy, np.diff(op, axis=0) / dy)
         assert max(gx, gy) <= 1e-4 * gscale, (
             f"{name} step {k}: grad p L2={gx:.2e}/{gy:.2e} (scale {gscale:.2e})")
+        # Absolute p, modulo the gauge: the knife-edge round-count
+        # shift really is a UNIFORM field -- after removing the mean
+        # difference, p meets the same 1e-5 acceptance bound as the
+        # velocities (measured worst 2.3e-6 across all configs).
+        d = gp - op
+        d -= d.mean()
+        pscale = max(1.0, float(np.sqrt(np.mean(op ** 2))))
+        perr = float(np.sqrt(np.mean(d ** 2)))
+        assert perr <= 1e-5 * pscale, (
+            f"{name} step {k}: demeaned p L2={perr:.3e} (scale {pscale:.2e})")
         assert np.isclose(float(state.dt), float(oracle.dt),
                           rtol=1e-5, atol=1e-8), f"{name} step {k}: dt"
         assert int(state.substeps) == oracle.substeps, (
