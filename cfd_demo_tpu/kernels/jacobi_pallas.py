@@ -177,9 +177,8 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i, 0] = err
 
 
-def _kernel_res(pp_hbm, rhs_hbm, out_ref, res_ref, err_ref, pp_win,
-                rhs_win, sem, *, ny, nx, nxp, bs, halo, k, dx2, dy2,
-                omega, cavity):
+def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
+                k, dx2, dy2, omega, cavity, emit_res):
     """_kernel variant for the aligned MGP cycle (ops.poisson
     _mgp_vcycle_aligned): k damped BC-folded sweeps PLUS the residual
     r = rhs - A p of the final iterate, emitted in the same launch --
@@ -191,7 +190,14 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, res_ref, err_ref, pp_win,
     is written INTO rhs_win (rhs is dead after the last sweep) so no
     extra VMEM window is needed. err_ref reports max|r| over owned
     interior rows -- the MGP exit metric -- instead of _kernel's
-    last-sweep delta."""
+    last-sweep delta. emit_res=False (the cycle's POST-smooth
+    position, which consumes only the exit metric) skips the full-
+    array residual output entirely -- one less HBM write of the whole
+    fine level per cycle."""
+    if emit_res:
+        res_ref, err_ref, pp_win, rhs_win, sem = refs
+    else:
+        err_ref, pp_win, rhs_win, sem = refs
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
@@ -263,7 +269,8 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, res_ref, err_ref, pp_win,
     r = rhs_win[:] - (bx * (E + W) + by * (N + S) - denom * pp)
     r = jnp.where(interior, r, 0.0)
     err = jnp.max(jnp.where(owned, jnp.abs(r), 0.0))
-    rhs_win[:] = r
+    if emit_res:
+        rhs_win[:] = r
     # p' BCs once per launch (rows then columns, corner order).
     is_bot = gr == 0
     is_top = gr == ny - 1
@@ -280,31 +287,36 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, res_ref, err_ref, pp_win,
     pp_win[:] = pp
     out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
                                    out_ref, sem.at[0])
-    res_cp = pltpu.make_async_copy(rhs_win.at[pl.ds(out_lo, bs), :],
-                                   res_ref, sem.at[1])
     out_cp.start()
-    res_cp.start()
+    if emit_res:
+        res_cp = pltpu.make_async_copy(rhs_win.at[pl.ds(out_lo, bs), :],
+                                       res_ref, sem.at[1])
+        res_cp.start()
+        res_cp.wait()
     out_cp.wait()
-    res_cp.wait()
     err_ref[i, 0] = err
 
 
 def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
                        dy: float, omega: float, k: int,
-                       interpret: bool = False, cavity: bool = False):
+                       interpret: bool = False, cavity: bool = False,
+                       emit_res: bool = True):
     """K fused damped sweeps + the final residual in ONE launch.
-    Returns (p', r, max|r|). 1-D row tiling only; raises ValueError
-    when no feasible block exists (the caller falls back to the XLA
-    smooth + residual pair)."""
+    Returns (p', r, max|r|); with emit_res=False, (p', None, max|r|)
+    -- the full-array residual write is skipped for callers that only
+    consume the exit metric (the aligned cycle's post-smooth). 1-D row
+    tiling only; raises ValueError when no feasible block exists (the
+    caller falls back to the XLA smooth + residual pair)."""
     ny, nx = pp.shape
     if ny % 8 != 0:
         raise ValueError(f"ny={ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
     halo = _halo8(k)
+    n_out = 2 if emit_res else 1
 
     def vmem_model(bs):
-        # two halo windows + two output blocks
-        return (2 * (bs + 2 * halo) * nxp + 2 * bs * nxp) * 4
+        # two halo windows + the output block(s)
+        return (2 * (bs + 2 * halo) * nxp + n_out * bs * nxp) * 4
 
     budget = 6_815_744
     bs = 256
@@ -321,21 +333,21 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
         rhs = jnp.pad(rhs, pad)
     kern = functools.partial(
         _kernel_res, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
-        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
-    out, res, err = pl.pallas_call(
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity,
+        emit_res=emit_res)
+    field_spec = pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    field_shape = jax.ShapeDtypeStruct((ny, nxp), pp.dtype)
+    outs = pl.pallas_call(
         kern,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bs, nxp), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
-                                memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
-                   jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
-                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        out_specs=[field_spec] * n_out + [
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_shape=[field_shape] * n_out + [
+            jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((w, nxp), pp.dtype),
             pltpu.VMEM((w, nxp), rhs.dtype),
@@ -343,9 +355,11 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
         ],
         interpret=interpret,
     )(pp, rhs)
+    out, res, err = ((*outs,) if emit_res else (outs[0], None, outs[1]))
     if nxp != nx:
         out = out[:, :nx]
-        res = res[:, :nx]
+        if emit_res:
+            res = res[:, :nx]
     return out, res, jnp.max(err)
 
 

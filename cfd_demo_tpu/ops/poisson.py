@@ -782,14 +782,18 @@ def _mgp_aligned_correction(r_full, dx, dy, opts, east_dirichlet):
     return jnp.pad(e_int, 1)
 
 
-def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
+def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts,
+                         need_res=True):
     """(p, r, max|r|) after ``iterations`` damped BC'd sweeps: the
     smoothing AND the final residual in one Pallas launch on TPU
     (kernels.jacobi_pallas.jacobi_fused_k_res) -- the aligned cycle
     needs the residual after BOTH smoothing positions (restrict input;
     exit metric), and emitting it from the sweep launch removes a
-    full-array read+write per position. XLA path: the same values as
-    _mgp_smooth + _mg_residual, computed exactly that way."""
+    full-array read+write per position. need_res=False (the post-
+    smooth position consumes only the metric) additionally skips the
+    full-array residual write inside the kernel and returns r=None.
+    XLA path: the same values as _mgp_smooth + _mg_residual, computed
+    exactly that way."""
     import jax as _jax
     if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
             and _jax.default_backend() in ("tpu", "axon")
@@ -801,7 +805,8 @@ def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
         try:
             return jacobi_fused_k_res(
                 p, rhs, dx, dy, omega, iterations,
-                cavity=(bc is _apply_pprime_bcs_cavity))
+                cavity=(bc is _apply_pprime_bcs_cavity),
+                emit_res=need_res)
         except ValueError:  # no feasible block (very wide rows)
             pass
     p = _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc)
@@ -828,7 +833,8 @@ def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
         return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
     p, r, _ = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts)
     p = bc(p + _mgp_aligned_correction(r, dx, dy, opts, east_dirichlet))
-    p, _, err = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts)
+    p, _, err = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts,
+                                     need_res=False)
     return p, err
 
 

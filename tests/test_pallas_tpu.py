@@ -244,6 +244,12 @@ def test_fused_smooth_res_matches_xla_hw():
                                rtol=0, atol=tol)
     assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
                       rtol=1e-3, atol=tol)
+    p2, r2, mr2 = jax.jit(
+        lambda p, r: jacobi_fused_k_res(p, r, dx, dy, 0.75, 3,
+                                        emit_res=False))(pp, rhs)
+    assert r2 is None
+    np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p2))
+    assert float(mr2) == float(mr)
 
 
 def test_fused_substep_js_mode_matches_jnp():

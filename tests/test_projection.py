@@ -324,6 +324,14 @@ def test_fused_smooth_res_kernel_matches_xla():
                                    rtol=0, atol=tol)
         assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
                           rtol=1e-3, atol=tol)
+        # emit_res=False (post-smooth position): same p and metric,
+        # no residual array.
+        p2, r2, mr2 = jacobi_fused_k_res(pp, rhs, dx, dy, 0.75, 3,
+                                         interpret=True, cavity=cavity,
+                                         emit_res=False)
+        assert r2 is None
+        np.testing.assert_array_equal(np.asarray(p_got), np.asarray(p2))
+        assert float(mr2) == float(mr)
 
 
 def test_fdm_large_size_low_modes():
