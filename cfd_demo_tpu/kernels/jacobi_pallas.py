@@ -201,7 +201,12 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
-    start = pl.multiple_of(jnp.clip(((row0 - k) // 8) * 8, 0, ny - w), 8)
+    # Margin k+1, not k: the fused residual (and the err metric) of an
+    # owned edge row reads one ring PAST the k-sweep contamination
+    # depth from a wrapped window edge; window edges that coincide with
+    # the global boundary are fold-protected instead.
+    start = pl.multiple_of(
+        jnp.clip(((row0 - (k + 1)) // 8) * 8, 0, ny - w), 8)
     out_lo = pl.multiple_of(row0 - start, 8)
 
     cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
@@ -311,7 +316,7 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
     if ny % 8 != 0:
         raise ValueError(f"ny={ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
-    halo = _halo8(k)
+    halo = _halo8(k + 1)  # k sweeps + 1 residual ring (see _kernel_res)
     n_out = 2 if emit_res else 1
 
     def vmem_model(bs):

@@ -82,6 +82,19 @@ def _fdm_constants(my: int, mx: int, dy: float, dx: float,
             S.astype(np.float32))
 
 
+def _mulmod_i32(a, b, period: int):
+    """(a * b) % period without int32 overflow, via an 8-bit limb
+    split of b: the largest intermediate is a * (b // 256) <
+    period^2 / 256, exact in int32 for period <= ~741k (sides up to
+    ~92k cells, far past HBM limits). The naive product (2m-1)^2
+    overflows int32 from m = 23171 (Dirichlet) / m = 32768 (Neumann),
+    silently corrupting the basis residues. Bitwise-identical results
+    below those sizes (plain modular arithmetic identity)."""
+    a = a % period
+    b = b % period
+    return ((a * (b // 256) % period) * 256 + a * (b % 256)) % period
+
+
 def _dct_basis(m: int, dirichlet_right: bool):
     """Closed-form orthonormal eigenbasis of the d = h folded 1-D
     operator, built IN-GRAPH from iota (no host constants -- the axon
@@ -112,13 +125,14 @@ def _dct_basis(m: int, dirichlet_right: bool):
     # gauge).
     if dirichlet_right:
         period = 2 * (4 * m + 2)
-        numer = ((2 * i[:, None] + 1) * (2 * k[None, :] + 1)) % period
+        numer = _mulmod_i32(2 * i[:, None] + 1, 2 * k[None, :] + 1,
+                            period)
         ang = jnp.float32(np.pi / (4 * m + 2)) * numer.astype(jnp.float32)
         half = (jnp.float32(np.pi / (2 * (2 * m + 1)))
                 * (2 * k + 1).astype(jnp.float32))
     else:
         period = 4 * m
-        numer = (k[None, :] * (2 * i[:, None] + 1)) % period
+        numer = _mulmod_i32(2 * i[:, None] + 1, k[None, :], period)
         ang = jnp.float32(np.pi / (2 * m)) * numer.astype(jnp.float32)
         half = jnp.float32(np.pi / (2 * m)) * k.astype(jnp.float32)
     s = jnp.sin(half)

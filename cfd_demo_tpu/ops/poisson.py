@@ -470,6 +470,7 @@ def _mg_smooth_auto(p, rhs, dx, dy, iterations, opts):
     reproduces _mg_smooth's interior-only undamped sweeps)."""
     import jax
     if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
+            and not getattr(opts, "differentiable", False)
             and jax.default_backend() in ("tpu", "axon")
             and p.dtype == jnp.float32
             and p.shape[0] * p.shape[1] >= 2_000_000
@@ -512,18 +513,30 @@ def _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc):
     return p
 
 
+def _fused_smoother_ok(p, opts, iterations) -> bool:
+    """Single gate for routing MGP fine-level smoothing into the fused
+    Pallas kernels -- shared by _mgp_smooth_auto and
+    _mgp_smooth_res_auto so the legacy and aligned cycles can never
+    drift onto different routing rules. The kernels have no autodiff
+    rules, so differentiable mode always keeps the XLA sweeps (the
+    whole-cycle kernels gate on the same condition,
+    multigrid_production)."""
+    import jax as _jax
+    return (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
+            and not getattr(opts, "differentiable", False)
+            and _jax.default_backend() in ("tpu", "axon")
+            and p.dtype == jnp.float32
+            and p.shape[0] % 8 == 0
+            and p.shape[0] * p.shape[1] >= 2_000_000
+            and type(p).__name__ != "BatchTracer")
+
+
 def _mgp_smooth_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
     """Fine-level smoothing through the fused BC-folded Jacobi kernel
     on TPU (it implements exactly _jacobi_sweep + bc: damped sweep with
     the reference p' BCs -- equivalence pinned by test_pallas_tpu);
     coarse levels and other backends keep the XLA sweeps."""
-    import jax as _jax
-    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
-            and _jax.default_backend() in ("tpu", "axon")
-            and p.dtype == jnp.float32
-            and p.shape[0] % 8 == 0
-            and p.shape[0] * p.shape[1] >= 2_000_000
-            and type(p).__name__ != "BatchTracer"):
+    if _fused_smoother_ok(p, opts, iterations):
         from ..kernels.jacobi_pallas import jacobi_fused_k
         p, _ = jacobi_fused_k(p, rhs, dx, dy, omega, iterations,
                               cavity=(bc is _apply_pprime_bcs_cavity))
@@ -641,7 +654,16 @@ def _cc_coarse_size(m: int) -> int:
     domain compounding geometrically, measured rho -> 0.5-0.8) or
     255 -> 127 -> 63 (aggregate at every level, rho -> 0.5) cannot
     occur; the dense multilevel model measures rho <= 0.27 for every
-    size with this rule (docs/PERF.md)."""
+    size with this rule (docs/PERF.md).
+
+    m == 1 saturates at 1 (restrict/prolong degenerate to the identity
+    along that axis): on extreme-aspect grids (min side > the direct-
+    FDM route of _mgp_aligned_correction but << max side) the short
+    axis bottoms out while the max-side stop rule keeps the long axis
+    recursing -- returning 0 here would collapse the axis and crash
+    the transfer stencils at trace time."""
+    if m <= 1:
+        return max(m, 1)
     if m % 2 == 0:
         return m // 2
     return (m + 1) // 2 if ((m + 1) // 2) % 2 == 0 else m // 2
@@ -699,7 +721,9 @@ def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
     if not east_dirichlet:
         rightn = jnp.where(c == nx_c - 1, coarse, rightn)
     # (east_dirichlet: shifted's zero fill IS the 0 ghost)
-    if nx_f == 2 * nx_c + 1:  # aggregate west: first coarse = 3 fine
+    if nx_f == nx_c:  # saturated axis (width 1): identity, pairing
+        row = coarse  # _cc_restrict_x's mirror-pad identity at m == 1
+    elif nx_f == 2 * nx_c + 1:  # aggregate west: first coarse = 3 fine
         lw = jnp.where(c == 1, 0.8 * coarse + 0.2 * left,
                        0.75 * coarse + 0.25 * left)
         rw = 0.75 * coarse + 0.25 * rightn
@@ -714,6 +738,8 @@ def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
         odd = 0.75 * coarse + 0.25 * rightn
         row = jnp.stack([even, odd], axis=2).reshape(ny_c, 2 * nx_c)
         row = lax.slice(row, (0, 2 * nx_c - nx_f), (ny_c, 2 * nx_c))
+    if ny_f == ny_c:  # saturated axis (height 1): identity
+        return row
     rr = row_index(row.shape)
     dnv = jnp.where(rr == 0, row, shifted(row, row.shape, -1, 0))
     upv = jnp.where(rr == ny_c - 1, row, shifted(row, row.shape, 1, 0))
@@ -794,13 +820,7 @@ def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts,
     full-array residual write inside the kernel and returns r=None.
     XLA path: the same values as _mgp_smooth + _mg_residual, computed
     exactly that way."""
-    import jax as _jax
-    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
-            and _jax.default_backend() in ("tpu", "axon")
-            and p.dtype == jnp.float32
-            and p.shape[0] % 8 == 0
-            and p.shape[0] * p.shape[1] >= 2_000_000
-            and type(p).__name__ != "BatchTracer"):
+    if _fused_smoother_ok(p, opts, iterations):
         from ..kernels.jacobi_pallas import jacobi_fused_k_res
         try:
             return jacobi_fused_k_res(

@@ -441,3 +441,88 @@ def test_noise_floor_exit_does_not_fire_mid_convergence():
     assert int(n_a) == int(n_b)
     assert float(err_a) == float(err_b)
     assert float(err_a) <= tol_r
+
+
+def test_fused_res_kernel_k_multiple_of_8_seams():
+    """Regression (round-2 review): jacobi_fused_k_res provisioned its
+    window halo for k sweeps only, but the fused residual reads one
+    ring PAST the k-deep wrap contamination -- at k % 8 == 0 (zero
+    slack in the 8-row-aligned halo) every interior block seam's
+    residual row read a once-contaminated neighbor. k=8/16 on a
+    multi-block grid must match the XLA smooth+residual pair on EVERY
+    row (per-row check so one bad seam row cannot hide in a global
+    max tolerance)."""
+    from cfd_demo_tpu.ops.poisson import _mgp_smooth
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k_res
+    rng = np.random.default_rng(21)
+    ny, nx = 384, 128
+    dx, dy = 1.0 / nx, 1.0 / ny
+    pp = _apply_pprime_bcs(
+        jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    for k in (8, 16):
+        p_ref = _mgp_smooth(pp, rhs, dx, dy, 0.75, k, _apply_pprime_bcs)
+        r_ref = _mg_residual(p_ref, rhs, dx, dy)
+        p_got, r_got, mr = jacobi_fused_k_res(pp, rhs, dx, dy, 0.75, k,
+                                              interpret=True)
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                                   rtol=0, atol=1e-5)
+        tol = 30 * np.finfo(np.float32).eps * (
+            (2 / dx ** 2 + 2 / dy ** 2) * float(jnp.max(jnp.abs(p_ref)))
+            + float(jnp.max(jnp.abs(rhs))))
+        err_rows = np.abs(np.asarray(r_ref) - np.asarray(r_got)).max(axis=1)
+        assert err_rows.max() <= tol, (k, np.argmax(err_rows))
+        assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
+                          rtol=1e-3, atol=tol)
+
+
+def test_aligned_high_aspect_grid_traces_and_solves():
+    """Regression (round-2 review): on extreme-aspect grids the
+    aligned hierarchy coarsened the short axis to width 0 while the
+    max-side stop rule kept the long axis recursing, crashing the
+    transfer stencils at trace time. The short axis now saturates at
+    width 1 (identity transfers both ways) and the solve still
+    converges to tolerance."""
+    ny, nx = 512, 12  # interior 510 x 10; stop=8 forces deep recursion
+    dx = dy = 1.0 / ny
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    tol_r = 1e-2 * float(jnp.max(jnp.abs(rhs)))
+    opts = _opts(mgp_coarse_stop=8, mgp_scheme="aligned")
+    pp, err, n = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, opts, tol_r))(jnp.zeros((ny, nx), jnp.float32), rhs)
+    assert np.isfinite(np.asarray(pp)).all()
+    assert float(err) <= tol_r
+    r = _mg_residual(_apply_pprime_bcs(pp), rhs, dx, dy)
+    assert float(jnp.max(jnp.abs(r))) <= tol_r * 1.0001
+
+
+def test_fdm_basis_residues_no_int32_overflow():
+    """Regression (round-2 review): the DCT basis residues were formed
+    as (2i+1)(2k+1) % period with a raw int32 product, which wraps
+    from m = 23171 and silently corrupts the eigenbasis. The
+    limb-split mulmod must agree with exact integer arithmetic past
+    the wrap point."""
+    from cfd_demo_tpu.ops.fdm import _mulmod_i32
+    m = 30000
+    period = 2 * (4 * m + 2)
+    idx = np.array([0, 1, 12345, 23170, 23171, 29999], np.int64)
+    a = 2 * idx + 1
+    exact = ((a[:, None] * a[None, :]) % period).astype(np.int32)
+    got = jax.jit(lambda x, y: _mulmod_i32(x, y, period))(
+        jnp.asarray(a, jnp.int32)[:, None],
+        jnp.asarray(a, jnp.int32)[None, :])
+    np.testing.assert_array_equal(np.asarray(got), exact)
+
+
+def test_fused_smoother_gate_excludes_differentiable(monkeypatch):
+    """The fused MGP smoother kernels have no autodiff rules; the
+    shared routing gate must keep differentiable mode on the XLA
+    sweeps even where every other condition holds (round-2 review:
+    the aligned cycle's copy of the gate lacked the check)."""
+    from cfd_demo_tpu.ops import poisson as P
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    p = jnp.zeros((2048, 1024), jnp.float32)
+    assert P._fused_smoother_ok(p, _opts(), 3)
+    assert not P._fused_smoother_ok(p, _opts(differentiable=True), 3)
+    assert not P._fused_smoother_ok(p, _opts(), 0)
