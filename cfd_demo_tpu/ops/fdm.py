@@ -44,6 +44,14 @@ def _t1d(m: int, h: float, right_dirichlet: bool,
     in the symmetric FV flux form: diag(last) = (1 + h/d)/h^2. At the
     finest level d = h reproduces the reference stencil exactly; the
     aligned-MG coarse levels pass the tracked center-to-wall distance.
+
+    The end folds COMPOSE (each subtracts/replaces its own coupling)
+    rather than overwrite the diagonal, so m = 1 -- reachable via the
+    saturated short axis of extreme-aspect aligned hierarchies -- gets
+    the correct h/d (Dirichlet) / 0 (all-Neumann) operator; a direct
+    diag write of 1 + h/d at m = 1 would clobber the left Neumann fold
+    (round-2 review: the 'exact' bottom solve then removes only ~half
+    the residual on (N, 1) levels).
     """
     T = np.zeros((m, m), np.float64)
     for i in range(m):
@@ -52,11 +60,11 @@ def _t1d(m: int, h: float, right_dirichlet: bool,
             T[i, i - 1] = -1.0
         if i < m - 1:
             T[i, i + 1] = -1.0
-    T[0, 0] = 1.0
+    T[0, 0] -= 1.0                    # left Neumann: west coupling folds out
     if right_dirichlet:
-        T[m - 1, m - 1] = 1.0 + h / d_wall
+        T[m - 1, m - 1] += h / d_wall - 1.0  # east coupling -> wall flux
     else:
-        T[m - 1, m - 1] = 1.0
+        T[m - 1, m - 1] -= 1.0        # right Neumann mirror
     return T / (h * h)
 
 

@@ -463,18 +463,27 @@ def _mg_prolong(coarse: jnp.ndarray, nx_f: int, ny_f: int) -> jnp.ndarray:
     return rep_y * (1 - b) + rep_d * b
 
 
+def _pallas_route_ok(p, opts) -> bool:
+    """Backend/dtype/mode half of EVERY Pallas routing gate in this
+    module, shared so a new condition (as the ``differentiable`` check
+    once was) can never miss one of the call sites: the kernels carry
+    no autodiff rules and are single-scene f32 TPU programs. Call
+    sites add their own size/shape feasibility on top."""
+    import jax as _jax
+    return (opts.pressure_impl in ("auto", "pallas")
+            and not getattr(opts, "differentiable", False)
+            and _jax.default_backend() in ("tpu", "axon")
+            and p.dtype == jnp.float32
+            and type(p).__name__ != "BatchTracer")
+
+
 def _mg_smooth_auto(p, rhs, dx, dy, iterations, opts):
     """Route fine-level smoothing through the fused Pallas kernel on
     TPU (>= 2M cells, f32, unbatched); coarse levels and every other
     backend keep the XLA sweep. Same numerics either way (the kernel
     reproduces _mg_smooth's interior-only undamped sweeps)."""
-    import jax
-    if (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
-            and not getattr(opts, "differentiable", False)
-            and jax.default_backend() in ("tpu", "axon")
-            and p.dtype == jnp.float32
-            and p.shape[0] * p.shape[1] >= 2_000_000
-            and type(p).__name__ != "BatchTracer"):
+    if (iterations > 0 and _pallas_route_ok(p, opts)
+            and p.shape[0] * p.shape[1] >= 2_000_000):
         from ..kernels.jacobi_pallas import (mg_smooth_pallas,
                                              mg_smooth_pallas_ok)
         if mg_smooth_pallas_ok(p.shape[0], p.shape[1], iterations,
@@ -521,14 +530,9 @@ def _fused_smoother_ok(p, opts, iterations) -> bool:
     rules, so differentiable mode always keeps the XLA sweeps (the
     whole-cycle kernels gate on the same condition,
     multigrid_production)."""
-    import jax as _jax
-    return (iterations > 0 and opts.pressure_impl in ("auto", "pallas")
-            and not getattr(opts, "differentiable", False)
-            and _jax.default_backend() in ("tpu", "axon")
-            and p.dtype == jnp.float32
+    return (iterations > 0 and _pallas_route_ok(p, opts)
             and p.shape[0] % 8 == 0
-            and p.shape[0] * p.shape[1] >= 2_000_000
-            and type(p).__name__ != "BatchTracer")
+            and p.shape[0] * p.shape[1] >= 2_000_000)
 
 
 def _mgp_smooth_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
@@ -538,9 +542,12 @@ def _mgp_smooth_auto(p, rhs, dx, dy, omega, iterations, bc, opts):
     coarse levels and other backends keep the XLA sweeps."""
     if _fused_smoother_ok(p, opts, iterations):
         from ..kernels.jacobi_pallas import jacobi_fused_k
-        p, _ = jacobi_fused_k(p, rhs, dx, dy, omega, iterations,
-                              cavity=(bc is _apply_pprime_bcs_cavity))
-        return p
+        try:
+            p, _ = jacobi_fused_k(p, rhs, dx, dy, omega, iterations,
+                                  cavity=(bc is _apply_pprime_bcs_cavity))
+            return p
+        except ValueError:  # no feasible block (very wide rows) --
+            pass            # same fallback as _mgp_smooth_res_auto
     return _mgp_smooth(p, rhs, dx, dy, omega, iterations, bc)
 
 
@@ -776,8 +783,18 @@ def _cc_vcycle(rhs, dx, dy, opts, east_dirichlet, d_wall):
     p = _cc_sweeps(jnp.zeros_like(rhs), rhs, dx, dy, omega, nu,
                    east_dirichlet, d_wall)
     r = _cc_residual(p, rhs, dx, dy, east_dirichlet, d_wall)
-    e_c = _cc_vcycle(_cc_restrict(r), 2 * dx, 2 * dy, opts,
-                     east_dirichlet, d_wall + dx / 2)
+    # A saturated axis (width 1: identity transfers, cell centers
+    # unchanged) must keep its OWN metric on the coarse level --
+    # doubling h / growing d_wall there would weaken the folded wall
+    # coupling 2-4x per level while the geometry it describes has not
+    # moved (round-2 review).
+    x_sat = _cc_coarse_size(nx) == nx
+    y_sat = _cc_coarse_size(ny) == ny
+    e_c = _cc_vcycle(_cc_restrict(r),
+                     dx if x_sat else 2 * dx,
+                     dy if y_sat else 2 * dy, opts,
+                     east_dirichlet,
+                     d_wall if x_sat else d_wall + dx / 2)
     p = p + _cc_prolong(e_c, ny, nx, east_dirichlet)
     return _cc_sweeps(p, rhs, dx, dy, omega, nu, east_dirichlet, d_wall)
 
@@ -906,7 +923,6 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
     implementation tier (XLA, whole-cycle Pallas, explicit shard_map)
     shares the identical threshold.
     """
-    import jax as _jax
     p0 = bc(pp0)
     if getattr(opts, "mgp_rtol", 0.0) > 0.0:
         err0 = jnp.max(jnp.abs(_mg_residual(p0, rhs, dx, dy)))
@@ -914,10 +930,7 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
                             opts.mgp_rtol * err0)
     diff = getattr(opts, "differentiable", False)
     bc_known = bc in (_apply_pprime_bcs, _apply_pprime_bcs_cavity)
-    pallas_ok = (opts.pressure_impl in ("auto", "pallas") and not diff
-                 and _jax.default_backend() in ("tpu", "axon")
-                 and pp0.dtype == jnp.float32 and bc_known
-                 and type(pp0).__name__ != "BatchTracer")
+    pallas_ok = _pallas_route_ok(pp0, opts) and bc_known
     if pallas_ok:
         from ..kernels.mg_pallas import (multigrid_production_pallas,
                                          multigrid_production_pallas_ok)
@@ -982,12 +995,7 @@ def multigrid(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     Pallas kernels (kernels.mg_pallas; same numerics to ~1e-8), not
     just the fine-level smoothing.
     """
-    import jax as _jax
-    if (opts.pressure_impl in ("auto", "pallas")
-            and not getattr(opts, "differentiable", False)
-            and _jax.default_backend() in ("tpu", "axon")
-            and pp0.dtype == jnp.float32
-            and type(pp0).__name__ != "BatchTracer"):
+    if _pallas_route_ok(pp0, opts):
         from ..kernels.mg_pallas import multigrid_pallas, multigrid_pallas_ok
         if multigrid_pallas_ok(pp0.shape[0], pp0.shape[1]):
             return multigrid_pallas(pp0, rhs, dx, dy, opts)

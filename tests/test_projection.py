@@ -526,3 +526,70 @@ def test_fused_smoother_gate_excludes_differentiable(monkeypatch):
     assert P._fused_smoother_ok(p, _opts(), 3)
     assert not P._fused_smoother_ok(p, _opts(differentiable=True), 3)
     assert not P._fused_smoother_ok(p, _opts(), 0)
+
+
+def test_fdm_width_one_axis_operator():
+    """Regression (round-2 review): _t1d's end folds overwrote the
+    diagonal instead of composing, so the m = 1 east-Dirichlet operator
+    was (1 + h/d)/h^2 instead of (h/d)/h^2 -- the 'exact' FDM bottom of
+    a saturated-axis hierarchy then removed only ~half the residual.
+    The direct solve on (N, 1) and (1, N) levels must satisfy the SAME
+    folded operator the aligned levels smooth (_cc_residual)."""
+    from cfd_demo_tpu.ops.fdm import _t1d, fdm_solve_interior
+    from cfd_demo_tpu.ops.poisson import _cc_residual
+    # unit values of the composed folds
+    h, d = 0.32, 0.9
+    np.testing.assert_allclose(_t1d(1, h, True, d), [[(h / d) / h**2]])
+    np.testing.assert_allclose(_t1d(1, h, False, 0.0), [[0.0]])
+    rng = np.random.default_rng(17)
+    for shape in ((8, 1), (1, 8)):
+        r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        e = jax.jit(lambda rr: fdm_solve_interior(
+            rr, 0.32, 0.4, True, 0.9))(r)
+        res = _cc_residual(e, r, 0.32, 0.4, True, 0.9)
+        floor = 64 * np.finfo(np.float32).eps * (
+            (2 / 0.32**2 + 2 / 0.4**2) * float(jnp.max(jnp.abs(e)))
+            + float(jnp.max(jnp.abs(r))))
+        assert float(jnp.max(jnp.abs(res))) <= floor, shape
+
+
+def test_cc_vcycle_saturated_axis_keeps_metric():
+    """Regression (round-2 review): once an axis saturates at width 1
+    (identity transfers), the recursion kept doubling its cell size and
+    growing d_wall, weakening the folded wall coupling on every coarser
+    level. One V-cycle on a saturated-axis hierarchy must contract the
+    residual strongly (the coarse levels solve the SAME 1-D-in-x
+    operator the fine level smooths)."""
+    from cfd_demo_tpu.ops.poisson import _cc_residual, _cc_vcycle
+    rng = np.random.default_rng(23)
+    rhs = jnp.asarray(rng.standard_normal((256, 1)), jnp.float32)
+    dx = dy = 1.0 / 256.0
+    opts = _opts(mgp_coarse_stop=8, mgp_scheme="aligned")
+    e = jax.jit(lambda r: _cc_vcycle(r, dx, dy, opts, True, dx))(rhs)
+    res = _cc_residual(e, rhs, dx, dy, True, dx)
+    contraction = float(jnp.max(jnp.abs(res)) / jnp.max(jnp.abs(rhs)))
+    assert contraction < 0.05, contraction
+
+
+def test_mgp_smooth_auto_falls_back_on_infeasible_blocks(monkeypatch):
+    """Regression (round-2 review): _mgp_smooth_auto must catch
+    ValueError from jacobi_fused_k (gate-passing but block-infeasible
+    geometry) and fall back to the XLA sweeps, exactly like its sibling
+    _mgp_smooth_res_auto."""
+    from cfd_demo_tpu.kernels import jacobi_pallas as K
+    from cfd_demo_tpu.ops import poisson as P
+
+    monkeypatch.setattr(P, "_fused_smoother_ok", lambda *a: True)
+
+    def boom(*a, **k):
+        raise ValueError("no valid block size")
+
+    monkeypatch.setattr(K, "jacobi_fused_k", boom)
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.standard_normal((16, 24)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((16, 24)), jnp.float32)
+    opts = _opts()
+    got = P._mgp_smooth_auto(p, rhs, 0.1, 0.1, 0.75, 3,
+                             P._apply_pprime_bcs, opts)
+    want = P._mgp_smooth(p, rhs, 0.1, 0.1, 0.75, 3, P._apply_pprime_bcs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
