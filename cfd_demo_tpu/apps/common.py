@@ -46,12 +46,14 @@ def params_from_args(args, flow_case=FlowCase.CHANNEL) -> SimulationParams:
 
 
 def rollout(scene, state, steps: int, chunk: int, log_every: int = 1):
-    """Scan-fused rollout in chunks; prints residual lines; returns
+    """Scan-fused rollout in chunks; prints a residual line every
+    ``log_every``-th chunk (and always the last); returns
     (state, last Residuals)."""
     from .. import make_run
     run = None
     rec = None
     done = 0
+    i = 0
     while done < steps:
         n = min(chunk, steps - done)
         if run is None or n != chunk:
@@ -61,12 +63,14 @@ def rollout(scene, state, steps: int, chunk: int, log_every: int = 1):
         res_u = float(state.res_u)  # forces completion (axon quirk)
         wall = time.perf_counter() - t0
         done += n
+        i += 1
         rec = Residuals(
             simulation_step=int(state.step), simulation_time=float(state.t),
             dt=float(state.dt), p=float(state.res_p), u=res_u,
             v=float(state.res_v), step_time=wall / n,
             piso_substeps=int(state.substeps))
-        print(rec.format_line(), f" ({n / wall:.1f} steps/s)")
+        if i % max(log_every, 1) == 0 or done >= steps:
+            print(rec.format_line(), f" ({n / wall:.1f} steps/s)")
     return state, rec
 
 

@@ -48,13 +48,17 @@ def main(argv=None):
         from ..render.colormap import VisualizationMode, render_field
         from ..render.png import write_png
         from ..ops.tracers import TRACER_INJECTION_INTERVAL
+        import jax.numpy as jnp
         ts = trc.init_tracers(grid)
-        advance = jax.jit(lambda ts, u, v, dt, k:
-                          trc.step_tracers(ts, u, v, grid, dt, k))
-        # advect through an extra visualization window
-        for k in range(1, 2 * TRACER_INJECTION_INTERVAL):
-            state_k = state  # frozen field advection for the viz window
-            ts = advance(ts, state_k.u, state_k.v, state_k.dt, k)
+        # Advect through an extra visualization window over the FROZEN
+        # final fields, scan-fused into ONE dispatch: a Python loop of
+        # ~200 un-synced per-step dispatches can wedge the axon tunnel
+        # (CLAUDE.md: never queue more than ~10 without a scalar read).
+        ks = jnp.arange(1, 2 * TRACER_INJECTION_INTERVAL)
+        advance_all = jax.jit(lambda ts, u, v, dt: jax.lax.scan(
+            lambda t, k: (trc.step_tracers(t, u, v, grid, dt, k), None),
+            ts, ks)[0])
+        ts = advance_all(ts, state.u, state.v, state.dt)
         img = np.asarray(render_field(state.u, state.v, state.p,
                                       grid=grid,
                                       mode=VisualizationMode.VELOCITY))

@@ -45,11 +45,26 @@ def main(argv=None):
         s, d = step_fn(scene, s)
         return s, (d.t, s.v[probe_j, probe_i])
 
-    run = jax.jit(lambda s: jax.lax.scan(step_with_probe, s, None,
-                                         length=args.steps))
-    state, (ts, probe) = run(state)
-    probe = np.asarray(probe)
-    ts = np.asarray(ts)
+    # Chunked dispatch with a scalar read between chunks: ONE scan over
+    # all --steps would be a single device dispatch, and dispatches
+    # running past ~2-4 min of device time kill the remote axon worker
+    # (CLAUDE.md). Chunk sizes repeat, so at most two compiles.
+    chunk_n = max(1, args.chunk)
+    runs = {}
+    ts_parts, probe_parts = [], []
+    done = 0
+    while done < args.steps:
+        n = min(chunk_n, args.steps - done)
+        if n not in runs:
+            runs[n] = jax.jit(lambda s, n=n: jax.lax.scan(
+                step_with_probe, s, None, length=n))
+        state, (t_c, p_c) = runs[n](state)
+        float(state.res_u)  # force completion (axon)
+        ts_parts.append(np.asarray(t_c))
+        probe_parts.append(np.asarray(p_c))
+        done += n
+    probe = np.concatenate(probe_parts)
+    ts = np.concatenate(ts_parts)
     assert np.isfinite(probe).all(), "probe diverged"
 
     # Shedding frequency from the dominant FFT peak of the cross-stream

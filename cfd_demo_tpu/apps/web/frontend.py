@@ -228,7 +228,9 @@ async function tesselate() {
        outer: sketch.outer, holes: sketch.holes})});
     if (!r.ok) { try { msg((await r.json()).error); } catch (e) { msg('invalid polygon'); } return; }
     msg('');
-    document.getElementById('meshimg').src = URL.createObjectURL(await r.blob());
+    const img = document.getElementById('meshimg');
+    if (img.src.startsWith('blob:')) URL.revokeObjectURL(img.src);  // no blob leak per click
+    img.src = URL.createObjectURL(await r.blob());
   } else {
     document.getElementById('meshimg').src =
       `/api/mesh?feature=${f}&max_cell=${m}&t=${Date.now()}`;

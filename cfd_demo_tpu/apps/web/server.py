@@ -222,37 +222,49 @@ class Handler(BaseHTTPRequestHandler):
             kw["pressure_solver"] = PressureSolver(p["solver"])
         if "flow_case" in p:
             kw["flow_case"] = FlowCase(p["flow_case"])
+        old_case = APP.params.flow_case
         APP.params = dataclasses.replace(APP.params, **kw)
         if APP.handle is not None:
-            if "flow_case" in p:
-                APP.start()  # different grid/BC family: rebuild
+            if APP.params.flow_case != old_case:
+                # Different GRID (cavity vs channel), not just a new
+                # compiled step: restart. Everything else hot-swaps
+                # through the driver (scalars in the carry; enum
+                # changes rebuild the jit step on the same state) --
+                # the frontend always sends flow_case, so keying on
+                # presence instead of change restarted the run (and
+                # paid a full recompile) on EVERY Update click.
+                APP.start()
             else:
                 APP.handle.set_params(APP.params)
 
     def _frame(self, q):
+        # Only the handle READ needs the lock; polling for the first
+        # frame (up to 8 s while the step compiles on axon) must not
+        # hold it -- it would block /api/control//api/params//api/state
+        # for the whole wait. The handle's own API is queue-based and
+        # safe against a concurrent reset (stale polls just 503).
         with APP.lock:
             h = APP.handle
-            if h is None:
-                img = np.full((APP.ny, APP.nx, 3), 24, np.uint8)
-                return self._send(200, png_bytes(img), "image/png")
-            mode = q.get("mode", "velocity")
-            try:
-                h.request_frame(mode)
-            except ValueError:
-                return self._send(400, b'{"error": "unknown mode"}')
-            import time
-            fr = None
-            # The axon tunnel's first render can take seconds while the
-            # step is still compiling; poll long enough that the first
-            # frame succeeds rather than 503ing.
-            for _ in range(800):
-                fr = h.get_last_available_frame(mode)
-                if fr is not None:
-                    break
-                time.sleep(0.01)
-            if fr is None:
-                return self._send(503, b"{}")
-            self._send(200, self._decorate_png(h, fr[0], q), "image/png")
+        if h is None:
+            img = np.full((APP.ny, APP.nx, 3), 24, np.uint8)
+            return self._send(200, png_bytes(img), "image/png")
+        mode = q.get("mode", "velocity")
+        try:
+            h.request_frame(mode)
+        except ValueError:
+            return self._send(400, b'{"error": "unknown mode"}')
+        fr = None
+        # The axon tunnel's first render can take seconds while the
+        # step is still compiling; poll long enough that the first
+        # frame succeeds rather than 503ing.
+        for _ in range(800):
+            fr = h.get_last_available_frame(mode)
+            if fr is not None:
+                break
+            time.sleep(0.01)
+        if fr is None:
+            return self._send(503, b"{}")
+        self._send(200, self._decorate_png(h, fr[0], q), "image/png")
 
     @staticmethod
     def _decorate_png(h, img, q) -> bytes:
@@ -362,6 +374,11 @@ class Handler(BaseHTTPRequestHandler):
                 raise ValueError("too many vertices (max 64)")
             poly = Polygon(outer)
             for ring in p.get("holes", [])[:8]:
+                # Same vertex cap as the outer ring: Polygon's
+                # self-intersection validation is O(N^2) host Python,
+                # so an uncapped hole is a request-level DoS.
+                if len(ring) > 64:
+                    raise ValueError("too many hole vertices (max 64)")
                 poly.add_hole(Polygon([(float(x), float(y))
                                        for x, y in ring]))
         except (ValueError, TypeError) as e:

@@ -51,6 +51,7 @@ class _Command:
     SNAPSHOT = "snapshot"
     FRAME = "frame"
     SET_PARAMS = "set_params"
+    TRACERS = "tracers"
 
 
 class SimulationHandle:
@@ -201,7 +202,16 @@ class SimulationHandle:
     def set_tracers(self, enabled: bool):
         """Enable/disable tracer particles (index.html tracer checkbox).
         Advection is fused into the step dispatch, so toggling rebuilds
-        the compiled chunk."""
+        the compiled chunk. Applied ON the sim thread via the command
+        queue (like set_params): mutating _tracer_state/_step from the
+        caller's thread races the in-flight dispatch (the old
+        tracers=True chunk could be called with ts=None)."""
+        if self._thread is None or not self._thread.is_alive():
+            self._set_tracers_now(bool(enabled))  # pre-start: no race
+            return
+        self._commands.put((_Command.TRACERS, bool(enabled)))
+
+    def _set_tracers_now(self, enabled: bool):
         if enabled == self._tracers_enabled:
             return
         self._tracers_enabled = enabled
@@ -261,6 +271,8 @@ class SimulationHandle:
             elif cmd == _Command.SET_PARAMS:
                 self._apply_params(arg)
                 self.error = None
+            elif cmd == _Command.TRACERS:
+                self._set_tracers_now(arg)
             elif cmd == _Command.SNAPSHOT and not snapshot_sent:
                 self._snapshots.put(self._snapshot(paused))
                 snapshot_sent = True

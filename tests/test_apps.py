@@ -115,6 +115,18 @@ def test_web_server_endpoints():
         frame = get("/api/frame?mode=velocity&tracers=1")
         assert frame[:8] == b"\x89PNG\r\n\x1a\n"
         post("/api/params", {"dt": 0.003})
+        # The frontend always sends flow_case; with the case UNCHANGED
+        # the update must hot-swap through the driver, never restart
+        # the run (regression: keying on key presence restarted -- and
+        # fully recompiled -- on every Update click).
+        h0 = websrv.APP.handle
+        post("/api/params", {"dt": 0.004, "viscosity": 2e-6,
+                             "inlet": 1.0, "scheme": "first",
+                             "profile": "uniform", "solver": "jacobi",
+                             "flow_case": "channel"})
+        assert websrv.APP.handle is h0
+        post("/api/params", {"flow_case": "cavity"})
+        assert websrv.APP.handle is not h0  # grid family changed
         mesh = get("/api/mesh?feature=0.4&max_cell=2.0")
         assert mesh[:8] == b"\x89PNG\r\n\x1a\n"
         # Custom sketch tesselation (POST): L-shape with a square hole.
@@ -130,6 +142,18 @@ def test_web_server_endpoints():
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "intersect" in json.loads(e.read())["error"]
+        # Uncapped hole rings would be a request-level DoS (O(N^2)
+        # host-side self-intersection validation): must 400, not hang.
+        try:
+            import math as _m
+            big = [[7 + _m.cos(2 * _m.pi * i / 65),
+                    5 + _m.sin(2 * _m.pi * i / 65)] for i in range(65)]
+            post("/api/mesh", {"outer": [[0, 0], [30, 0], [30, 10], [0, 10]],
+                               "holes": [big]})
+            raise AssertionError("oversized hole accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "hole vertices" in json.loads(e.read())["error"]
         post("/api/control", {"action": "pause"})
         post("/api/control", {"action": "reset"})
     finally:

@@ -243,3 +243,38 @@ def test_driver_survives_step_exception():
         assert snap is not None and np.isfinite(snap.u).all()
     finally:
         h.stop()
+
+
+def test_driver_set_tracers_live_toggle():
+    """set_tracers while the sim thread is stepping: applied ON the
+    sim thread via the command queue (regression: a caller-thread
+    mutation could null _tracer_state under the in-flight tracers=True
+    dispatch and auto-pause a healthy run)."""
+    sc = scene()
+    h = run(sc)  # tracers off
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < 3:
+            time.sleep(0.02)
+        h.set_tracers(True)
+        step0 = h._last_step
+        deadline = time.time() + 60
+        while time.time() < deadline and (h.tracer_state is None
+                                          or h._last_step < step0 + 3):
+            time.sleep(0.02)
+        assert h.tracer_state is not None
+        assert h.error is None
+        h.set_tracers(False)
+        deadline = time.time() + 60
+        while time.time() < deadline and h.tracer_state is not None:
+            time.sleep(0.02)
+        assert h.tracer_state is None
+        assert h.error is None
+        # still stepping after both rebuilds
+        step1 = h._last_step
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < step1 + 2:
+            time.sleep(0.02)
+        assert h._last_step >= step1 + 2
+    finally:
+        h.stop()

@@ -63,9 +63,16 @@ def bench_tier(scene, devices, tier, steps, interpret=False):
         s, _ = step(s)
     _sync(s)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        s, _ = step(s)
-    _sync(s)
+    done = 0
+    while done < steps:
+        # Bound dispatch depth: queueing many un-synced per-step
+        # dispatches can wedge the axon tunnel (CLAUDE.md); the sync
+        # every 10 steps costs one scalar read per batch, amortized.
+        n = min(10, steps - done)
+        for _ in range(n):
+            s, _ = step(s)
+        _sync(s)
+        done += n
     return time.perf_counter() - t0
 
 

@@ -94,12 +94,22 @@ def main():
 
     state = scene.init_state()
     t0 = time.perf_counter()
-    n_chunks_w = args.warmup // args.chunk
-    n_chunks_m = args.steps // args.chunk
+    # Round UP to whole chunks (one compiled chunk program, no
+    # remainder recompile on axon): silently truncating with // would
+    # measure a shorter, less-settled series than requested and change
+    # the Strouhal bin width.
+    n_chunks_w = -(-args.warmup // args.chunk)
+    n_chunks_m = -(-args.steps // args.chunk)
+    warmup_total = n_chunks_w * args.chunk
+    measure_total = n_chunks_m * args.chunk
+    if (warmup_total, measure_total) != (args.warmup, args.steps):
+        print(f"note: rounding to whole {args.chunk}-step chunks: "
+              f"warmup {warmup_total}, measure {measure_total}",
+              flush=True)
     for i in range(n_chunks_w):
         state, _ = chunk(state)
         _ = float(state.res_u)
-        print(f"warmup {(i + 1) * args.chunk}/{args.warmup} "
+        print(f"warmup {(i + 1) * args.chunk}/{warmup_total} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     ts, dts, fxs, fys = [], [], [], []
     for i in range(n_chunks_m):
@@ -107,7 +117,7 @@ def main():
         _ = float(state.res_u)
         ts.append(np.asarray(t)); dts.append(np.asarray(dt))
         fxs.append(np.asarray(fx)); fys.append(np.asarray(fy))
-        print(f"measure {(i + 1) * args.chunk}/{args.steps} "
+        print(f"measure {(i + 1) * args.chunk}/{measure_total} "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     t = np.concatenate(ts); dt = np.concatenate(dts)
     fx = np.concatenate(fxs); fy = np.concatenate(fys)
