@@ -1,15 +1,23 @@
-"""Checkpoint / resume.
+"""Checkpoint / resume (incl. elastic resharding).
 
 The reference has no persistence (SURVEY.md section 5: closest
 mechanisms are the visualization snapshot and pause/resume). This is a
 deliberate superset: the full State pytree round-trips through a
 single .npz (u, v, p, p_prime, scalars, counters), so long-horizon
 runs (BASELINE config 3, Re sweep) can resume across processes.
+
+Elastic resume: both loaders accept a target ``mesh`` so a checkpoint
+written under one device layout restores onto any other (different
+device count, 1-D rows or 2-D rows x cols) -- the npz path reshards
+via ``shard.mesh.shard_state``; the orbax path restores each shard
+DIRECTLY into the target NamedSharding with no host-side gather, which
+is the form that scales to multi-host pods.
 """
 from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,10 +47,23 @@ def save_orbax(path: str, state: State) -> None:
         ckptr.wait_until_finished()
 
 
-def load_orbax(path: str, template: State) -> State:
+def load_orbax(path: str, template: State,
+               mesh=None, axis: str = "y") -> State:
+    """Restore a State; with ``mesh``, restore every field directly
+    into its target NamedSharding (elastic resume across layouts --
+    no host-side gather; each host reads only its shards)."""
     import orbax.checkpoint as ocp
+    target = dataclasses_to_dict(template)
+    if mesh is not None:
+        from ..shard.mesh import _match, state_shardings
+        sh = _match(state_shardings(mesh, axis), template)
+        target = {
+            name: jax.ShapeDtypeStruct(
+                jnp.shape(val), jnp.asarray(val).dtype,
+                sharding=getattr(sh, name))
+            for name, val in target.items()}
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, dataclasses_to_dict(template))
+        restored = ckptr.restore(path, target)
     return State(**{f: restored.get(f) for f in _FIELDS})
 
 
@@ -51,9 +72,13 @@ def dataclasses_to_dict(state: State):
             if getattr(state, name) is not None}
 
 
-def load(path: str, template: Optional[State] = None) -> State:
+def load(path: str, template: Optional[State] = None,
+         mesh=None, axis: str = "y") -> State:
     """Restore a State. When ``template`` is given, dtypes/optional
-    fields follow it (e.g. u_prev present only in JS semantics)."""
+    fields follow it (e.g. u_prev present only in JS semantics).
+    With ``mesh``, the restored state is sharded over that layout
+    (elastic resume: the checkpoint's original layout is irrelevant --
+    .npz stores plain host arrays)."""
     with np.load(path) as data:
         kwargs = {}
         for name in _FIELDS:
@@ -70,4 +95,8 @@ def load(path: str, template: Optional[State] = None) -> State:
                 if tval is not None and kwargs[name] is not None:
                     kwargs[name] = jnp.asarray(kwargs[name],
                                                getattr(tval, "dtype", None))
-    return State(**kwargs)
+    state = State(**kwargs)
+    if mesh is not None:
+        from ..shard.mesh import shard_state
+        state = shard_state(state, mesh, axis)
+    return state

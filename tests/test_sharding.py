@@ -387,3 +387,107 @@ def test_spatial_2d_mesh_js_semantics():
         np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
                                       np.asarray(getattr(full, name)),
                                       err_msg=name)
+
+
+def test_elastic_reshard_resume_npz():
+    """Elastic resume: a checkpoint written mid-run under the 8-device
+    row layout restores onto a 4-device row mesh AND a 2x4 rows x cols
+    spatial mesh, and both continuations match the single-device
+    trajectory (SURVEY.md section 5 "elastic recovery" -- a superset of
+    the reference, which has no persistence at all)."""
+    import os
+    import tempfile
+    from cfd_demo_tpu.runtime import checkpoint
+    from cfd_demo_tpu.shard.mesh import (join_u, make_mesh2d_spatial,
+                                         make_sharded_step_2d,
+                                         shard_state_2d)
+
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = make_scene(grid, SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=5))
+
+    step1 = make_step(scene, donate=False)
+    s1 = scene.init_state()
+    mesh8 = make_mesh()
+    step8 = make_sharded_step(scene, mesh8)
+    s8 = shard_state(scene.init_state(), mesh8)
+    for _ in range(3):
+        s1, _ = step1(s1)
+        s8, _ = step8(s8)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        checkpoint.save(path, s8)
+
+        # single-device continuation = the truth
+        ref = s1
+        for _ in range(3):
+            ref, _ = step1(ref)
+
+        # resume on 4 devices (row layout)
+        mesh4 = make_mesh(jax.devices()[:4])
+        s4 = checkpoint.load(path, template=scene.init_state(), mesh=mesh4)
+        assert s4.u.sharding.mesh.size == 4
+        step4 = make_sharded_step(scene, mesh4)
+        for _ in range(3):
+            s4, _ = step4(s4)
+        for name in ("u", "v", "p", "p_prime"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(s4, name)), rtol=0, atol=1e-6,
+                err_msg=f"4-dev resume field {name}")
+
+        # resume on a 2x4 spatial mesh (Split2D jit boundary)
+        mesh24 = make_mesh2d_spatial(2, 4)
+        s24 = shard_state_2d(
+            checkpoint.load(path, template=scene.init_state()), mesh24)
+        step24 = make_sharded_step_2d(scene, mesh24)
+        for _ in range(3):
+            s24, _ = step24(s24)
+        full = join_u(s24)
+        for name in ("u", "v", "p", "p_prime"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(full, name)), rtol=0, atol=1e-6,
+                err_msg=f"2x4 resume field {name}")
+
+
+def test_orbax_elastic_restore_into_sharding():
+    """load_orbax(mesh=...) restores every field DIRECTLY into the
+    target NamedSharding (no host gather) and the resumed sharded run
+    matches the unsharded continuation."""
+    import os
+    import tempfile
+    from cfd_demo_tpu.runtime import checkpoint
+    from jax.sharding import PartitionSpec as P
+
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = make_scene(grid, SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    step1 = make_step(scene, donate=False)
+    st = scene.init_state()
+    for _ in range(3):
+        st, _ = step1(st)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck")
+        checkpoint.save_orbax(p, st)
+        mesh = make_mesh()
+        got = checkpoint.load_orbax(p, scene.init_state(), mesh=mesh)
+
+    assert got.u.sharding.mesh.size == len(jax.devices())
+    assert got.u.sharding.spec == P("y", None)
+    assert got.res_u.sharding.spec == P()
+    np.testing.assert_array_equal(np.asarray(st.u), np.asarray(got.u))
+    np.testing.assert_array_equal(np.asarray(st.p), np.asarray(got.p))
+
+    ref, _ = step1(st)
+    stepN = make_sharded_step(scene, mesh)
+    out, _ = stepN(got)
+    for name in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(out, name)), rtol=0, atol=1e-6,
+            err_msg=f"field {name}")
