@@ -52,6 +52,7 @@ class _Command:
     FRAME = "frame"
     SET_PARAMS = "set_params"
     TRACERS = "tracers"
+    SAVE = "save"
 
 
 class SimulationHandle:
@@ -70,7 +71,9 @@ class SimulationHandle:
 
     def __init__(self, scene: Scene, state: Optional[State] = None,
                  tracers: bool = False, forces: bool = False,
-                 steps_per_loop: int = 1):
+                 steps_per_loop: int = 1,
+                 autosave_path: Optional[str] = None,
+                 autosave_every: int = 1000):
         self._scene = scene
         self._state = state if state is not None else scene.init_state()
         self._steps_per_loop = max(1, int(steps_per_loop))
@@ -101,6 +104,14 @@ class SimulationHandle:
         self.diverged = False
         self.error: Optional[str] = None  # last sim-thread exception
         self._last_step = int(self._state.step)
+        # Failure recovery (SURVEY.md section 5 -- the reference has no
+        # persistence at all): periodic atomic checkpoints written ON
+        # the sim thread, skipped once the run diverges so the last
+        # good state always survives a NaN blow-up or a preemption.
+        self._autosave_path = autosave_path
+        self._autosave_every = max(1, int(autosave_every))
+        self.autosave_count = 0
+        self.last_autosave_step: int = self._last_step
 
     # residual-queue overflow bound (records; ~100 B each). Matches
     # ResidualHistory's spirit: bounded memory over multi-day runs.
@@ -247,6 +258,34 @@ class SimulationHandle:
                 paused = True
                 print(f"cfd-demo-tpu: sim thread error, auto-paused: "
                       f"{self.error}")
+        # Final checkpoint on clean stop (still on the sim thread,
+        # before join() returns): a stopped-and-restarted process
+        # resumes from the exact last step, not the last cadence hit.
+        if (self._autosave_path is not None and not self.diverged
+                and self.last_autosave_step != self._last_step):
+            self._save_checkpoint(self._autosave_path)
+
+    def _save_checkpoint(self, path: str):
+        """Atomic checkpoint of the CURRENT state, on the sim thread
+        (autosave cadence, the SAVE command, and the final stop save
+        all land here -- never concurrent with a dispatch). Write to a
+        temp file then os.replace: a crash or disk-full mid-write can
+        never corrupt the previous good checkpoint."""
+        import os
+        from . import checkpoint
+        tmp = f"{path}.tmp.npz"  # .npz suffix: np.savez keeps the name
+        try:
+            checkpoint.save(tmp, self._state)
+            os.replace(tmp, path)
+            self.autosave_count += 1
+            self.last_autosave_step = self._last_step
+        except Exception as e:  # noqa: BLE001 -- a full disk must not
+            # kill the run; record and keep stepping.
+            self.error = f"checkpoint[{path}]: {type(e).__name__}: {e}"
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _loop_once(self, paused: bool) -> bool:
         """One control-loop iteration; returns the new paused flag."""
@@ -273,6 +312,8 @@ class SimulationHandle:
                 self.error = None
             elif cmd == _Command.TRACERS:
                 self._set_tracers_now(arg)
+            elif cmd == _Command.SAVE:
+                self._save_checkpoint(arg)
             elif cmd == _Command.SNAPSHOT and not snapshot_sent:
                 self._snapshots.put(self._snapshot(paused))
                 snapshot_sent = True
@@ -362,6 +403,13 @@ class SimulationHandle:
             except queue.Empty:
                 break
         self._residuals.put(rec)
+        # Autosave AFTER the divergence check: the chunk that produced
+        # non-finite residuals set self.diverged above, so its NaN
+        # state can never overwrite the last good checkpoint.
+        if (self._autosave_path is not None and not self.diverged
+                and self._last_step - self.last_autosave_step
+                >= self._autosave_every):
+            self._save_checkpoint(self._autosave_path)
         return paused
 
     def _apply_params(self, params: SimulationParams):
@@ -411,6 +459,13 @@ class SimulationHandle:
     def request_snapshot(self):
         self._commands.put((_Command.SNAPSHOT, None))
 
+    def save_checkpoint(self, path: str):
+        """Queue an on-demand checkpoint, written ON the sim thread
+        between dispatches (atomic; see _save_checkpoint). Use
+        runtime.checkpoint.load(path) -- optionally with a target mesh
+        for elastic resume -- to restore."""
+        self._commands.put((_Command.SAVE, str(path)))
+
     def get_last_available_snapshot(self) -> Optional[SimSnapshot]:
         """Drain the snapshot queue, keep the latest (model.rs:76-86)."""
         last = None
@@ -446,9 +501,16 @@ class SimulationHandle:
 
 def run(scene: Scene, state: Optional[State] = None,
         tracers: bool = False, forces: bool = False,
-        steps_per_loop: int = 1) -> SimulationHandle:
+        steps_per_loop: int = 1,
+        autosave_path: Optional[str] = None,
+        autosave_every: int = 1000) -> SimulationHandle:
     """Model::run equivalent: start stepping on a background thread and
-    return the control handle."""
+    return the control handle. With ``autosave_path``, an atomic
+    checkpoint is written every ``autosave_every`` steps (plus a final
+    one on stop), skipped after divergence so the last good state
+    always survives."""
     return SimulationHandle(scene, state, tracers=tracers,
                             forces=forces,
-                            steps_per_loop=steps_per_loop).start()
+                            steps_per_loop=steps_per_loop,
+                            autosave_path=autosave_path,
+                            autosave_every=autosave_every).start()

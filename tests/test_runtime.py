@@ -278,3 +278,75 @@ def test_driver_set_tracers_live_toggle():
         assert h._last_step >= step1 + 2
     finally:
         h.stop()
+
+
+def test_driver_autosave_and_on_demand_save():
+    """Periodic atomic autosave + the SAVE command + the final save on
+    stop (failure-recovery superset of the reference, which has no
+    persistence -- SURVEY.md section 5)."""
+    sc = scene()
+    with tempfile.TemporaryDirectory() as d:
+        auto = os.path.join(d, "auto.npz")
+        man = os.path.join(d, "manual.npz")
+        h = run(sc, autosave_path=auto, autosave_every=2)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and h.autosave_count < 2:
+                time.sleep(0.05)
+            assert h.autosave_count >= 2
+            h.save_checkpoint(man)
+            deadline = time.time() + 30
+            while time.time() < deadline and not os.path.exists(man):
+                time.sleep(0.05)
+            assert os.path.exists(man)
+        finally:
+            h.stop()
+        # final save on stop: the checkpoint is at the exact last step
+        st = checkpoint.load(auto, template=sc.init_state())
+        assert int(st.step) == h._last_step
+        assert np.isfinite(np.asarray(st.u)).all()
+        assert not os.path.exists(auto + ".tmp.npz")  # atomic rename
+        # resumed run continues from the autosave bit-identically
+        step = make_step(sc, donate=False)
+        a, _ = step(st)
+        b, _ = step(checkpoint.load(auto, template=sc.init_state()))
+        np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+
+def test_driver_autosave_skips_diverged_state():
+    """Once the run diverges, autosave must stop: the last checkpoint
+    on disk stays the last GOOD state, never the NaN blow-up."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    sc = scene()
+    with tempfile.TemporaryDirectory() as d:
+        auto = os.path.join(d, "auto.npz")
+        h = run(sc, autosave_path=auto, autosave_every=1)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and h.autosave_count < 1:
+                time.sleep(0.05)
+            assert h.autosave_count >= 1
+            orig = h._step
+
+            def nan_step(s, ts):
+                s2, ts2, scal = orig(s, ts)
+                return (dc.replace(s2, u=s2.u * jnp.nan), ts2,
+                        scal * jnp.nan)
+
+            h._step = nan_step
+            deadline = time.time() + 30
+            while time.time() < deadline and not h.diverged:
+                time.sleep(0.05)
+            assert h.diverged
+            count_at_div = h.autosave_count
+            time.sleep(0.3)
+            assert h.autosave_count == count_at_div  # no post-NaN saves
+        finally:
+            h.stop()
+        # diverged: no final stop-save either; checkpoint is finite
+        st = checkpoint.load(auto, template=sc.init_state())
+        assert np.isfinite(np.asarray(st.u)).all()
+        assert np.isfinite(np.asarray(st.p)).all()
