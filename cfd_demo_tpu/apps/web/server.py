@@ -47,6 +47,9 @@ class AppState:
         self.lock = threading.Lock()
         self.nx, self.ny = nx, ny
         self.chunk = chunk  # driver steps_per_loop; 0 = auto (start())
+        self.autosave_path = None   # --autosave: periodic atomic ckpt
+        self.autosave_every = 1000
+        self.resume = False         # --resume: restore autosave at start
         self.params = SimulationParams(dt=0.005, viscosity=1e-6,
                                        target_inlet_velocity=1.0)
         self.handle: SimulationHandle | None = None
@@ -81,9 +84,33 @@ class AppState:
             # backend query would stall startup on the axon tunnel)
             import jax
             chunk = 8 if jax.default_backend() == "axon" else 1
+        state = None
+        # Resume only the FIRST start: later start() calls are user
+        # restarts / flow-case switches, where reloading the old
+        # checkpoint would silently undo the reset (and a same-shape
+        # checkpoint from a different case would be wrong physics).
+        if self.resume and self.autosave_path is not None:
+            self.resume = False
+            import os
+            if os.path.exists(self.autosave_path):
+                try:
+                    from cfd_demo_tpu.runtime import checkpoint
+                    state = checkpoint.load(self.autosave_path,
+                                            template=scene.init_state())
+                    if state.u.shape != scene.init_state().u.shape:
+                        raise ValueError("grid shape changed")
+                    print(f"resumed from {self.autosave_path} at step "
+                          f"{int(state.step)}")
+                except Exception as e:  # noqa: BLE001 -- a stale or
+                    # shape-incompatible checkpoint must not block the
+                    # server; start fresh and say so.
+                    print(f"autosave resume failed ({e}); starting fresh")
+                    state = None
         self.handle = SimulationHandle(
-            scene, tracers=True, forces=True,
-            steps_per_loop=chunk).start()
+            scene, state, tracers=True, forces=True,
+            steps_per_loop=chunk,
+            autosave_path=self.autosave_path,
+            autosave_every=self.autosave_every).start()
 
     def stop(self):
         if self.handle is not None:
@@ -414,9 +441,21 @@ def main(argv=None):
                          "axon dev tunnel (whose ~20 ms/call cost "
                          "makes per-step dispatch ~10 steps/s), 1 "
                          "elsewhere (reference cadence)")
+    ap.add_argument("--autosave", default=None, metavar="PATH",
+                    help="write an atomic checkpoint every "
+                         "--autosave-every steps (skipped after "
+                         "divergence; final save on stop)")
+    ap.add_argument("--autosave-every", type=int, default=1000)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the --autosave checkpoint at start "
+                         "(falls back to a fresh run if missing or "
+                         "shape-incompatible)")
     args = ap.parse_args(argv)
     APP.nx, APP.ny = args.nx, args.ny
     APP.chunk = args.chunk
+    APP.autosave_path = args.autosave
+    APP.autosave_every = max(1, args.autosave_every)
+    APP.resume = args.resume
     server = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
     print(f"cfd-demo-tpu web UI on http://127.0.0.1:{args.port}/")
     try:

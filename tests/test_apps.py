@@ -304,3 +304,45 @@ def test_bench_pod_smoke():
     measured = [r for r in rows if "cell_updates_per_s" in r]
     assert len(measured) >= 2, rows
     assert any(r["devices"] == 8 for r in measured), rows
+
+
+def test_web_server_autosave_resume(tmp_path):
+    """--autosave/--resume: the server writes periodic checkpoints and
+    a second server process resumes the run from the exact last step;
+    resume applies only to the FIRST start (a UI reset must not reload
+    the checkpoint it just discarded)."""
+    from cfd_demo_tpu.apps.web import server as websrv
+    from cfd_demo_tpu.runtime import checkpoint
+
+    auto = str(tmp_path / "auto.npz")
+    app = websrv.AppState(nx=48, ny=24)
+    app.autosave_path = auto
+    app.autosave_every = 2
+    app.resume = True  # no file yet: must start fresh, not error
+    app.start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and app.handle.autosave_count < 1:
+            time.sleep(0.05)
+        assert app.handle.autosave_count >= 1
+    finally:
+        app.stop()  # final stop-save captures the exact last step
+    saved = checkpoint.load(auto)
+    saved_step = int(saved.step)
+    assert saved_step > 0
+    assert np.isfinite(np.asarray(saved.u)).all()
+
+    # "process restart": a fresh AppState resumes from the autosave
+    app2 = websrv.AppState(nx=48, ny=24)
+    app2.autosave_path = auto
+    app2.autosave_every = 2
+    app2.resume = True
+    app2.start()
+    try:
+        assert app2.handle._last_step == saved_step
+        assert app2.resume is False  # consumed by the first start
+        # a user reset starts FRESH (does not reload the checkpoint)
+        app2.start()
+        assert app2.handle._last_step == 0
+    finally:
+        app2.stop()
