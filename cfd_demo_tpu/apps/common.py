@@ -32,6 +32,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", default=None,
                     help="write a resume checkpoint (.npz) at the end")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--autosave-every", type=int, default=0, metavar="N",
+                    help="also write --checkpoint atomically every ~N "
+                         "steps DURING the rollout (rounded up to chunk "
+                         "boundaries; skipped on non-finite residuals so "
+                         "the last checkpoint is always good); 0 = off")
     return ap
 
 
@@ -45,15 +50,24 @@ def params_from_args(args, flow_case=FlowCase.CHANNEL) -> SimulationParams:
         flow_case=flow_case)
 
 
-def rollout(scene, state, steps: int, chunk: int, log_every: int = 1):
+def rollout(scene, state, steps: int, chunk: int, log_every: int = 1,
+            autosave_path: str | None = None, autosave_every: int = 0):
     """Scan-fused rollout in chunks; prints a residual line every
     ``log_every``-th chunk (and always the last); returns
-    (state, last Residuals)."""
+    (state, last Residuals).
+
+    With ``autosave_path`` and ``autosave_every`` > 0, writes an atomic
+    checkpoint at the first chunk boundary past each cadence mark --
+    the preemption story for multi-minute TPU jobs (the per-chunk
+    scalar read already synchronizes the device, so the host copy is
+    consistent). Saves skip non-finite residuals: the last checkpoint
+    on disk stays the last good state."""
     from .. import make_run
     run = None
     rec = None
     done = 0
     i = 0
+    last_saved = int(state.step)
     while done < steps:
         n = min(chunk, steps - done)
         if run is None or n != chunk:
@@ -71,6 +85,14 @@ def rollout(scene, state, steps: int, chunk: int, log_every: int = 1):
             piso_substeps=int(state.substeps))
         if i % max(log_every, 1) == 0 or done >= steps:
             print(rec.format_line(), f" ({n / wall:.1f} steps/s)")
+        if (autosave_path and autosave_every > 0
+                and rec.simulation_step - last_saved >= autosave_every
+                and np.isfinite([rec.u, rec.v, rec.p]).all()):
+            from ..runtime import checkpoint
+            tmp = f"{autosave_path}.tmp.npz"
+            checkpoint.save(tmp, state)
+            os.replace(tmp, autosave_path)
+            last_saved = rec.simulation_step
     return state, rec
 
 

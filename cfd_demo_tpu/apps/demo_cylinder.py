@@ -37,7 +37,9 @@ def main(argv=None):
         state = checkpoint.load(args.resume, template=state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    state, _ = rollout(scene, state, args.steps, args.chunk)
+    state, _ = rollout(scene, state, args.steps, args.chunk,
+                       autosave_path=args.checkpoint,
+                       autosave_every=args.autosave_every)
     if args.forces:
         state = report_forces(scene, state, u_ref=args.inlet, length=1.5)
 
