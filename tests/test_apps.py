@@ -346,3 +346,39 @@ def test_web_server_autosave_resume(tmp_path):
         assert app2.handle._last_step == 0
     finally:
         app2.stop()
+
+
+def test_rollout_autosave(tmp_path):
+    """apps.common.rollout --autosave-every: atomic cadence saves,
+    skipped on non-finite residuals (the last checkpoint on disk is
+    always a good state)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              make_scene, solver_options_for)
+    from cfd_demo_tpu.apps.common import rollout
+    from cfd_demo_tpu.runtime import checkpoint
+
+    sc = make_scene(
+        Grid(nx=48, ny=24, lx=4.0, ly=1.5,
+             obstacles=(Cylinder(1.0, 0.75, 0.25),)),
+        SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    ck = str(tmp_path / "ck.npz")
+    state, rec = rollout(sc, sc.init_state(), steps=6, chunk=2,
+                         autosave_path=ck, autosave_every=2)
+    assert os.path.exists(ck)
+    assert not os.path.exists(ck + ".tmp.npz")
+    st = checkpoint.load(ck, template=sc.init_state())
+    assert 2 <= int(st.step) <= 6
+    assert np.isfinite(np.asarray(st.u)).all()
+
+    # non-finite residuals: the cadence save must be skipped
+    ck2 = str(tmp_path / "ck2.npz")
+    bad = dataclasses.replace(sc.init_state(),
+                              u=jnp.full((24, 49), jnp.nan, jnp.float32))
+    rollout(sc, bad, steps=2, chunk=2,
+            autosave_path=ck2, autosave_every=1)
+    assert not os.path.exists(ck2)
