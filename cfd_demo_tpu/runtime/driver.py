@@ -112,6 +112,7 @@ class SimulationHandle:
         self._autosave_every = max(1, int(autosave_every))
         self.autosave_count = 0
         self.last_autosave_step: int = self._last_step
+        self._autosave_writer: Optional[threading.Thread] = None
 
     # residual-queue overflow bound (records; ~100 B each). Matches
     # ResidualHistory's spirit: bounded memory over multi-day runs.
@@ -261,31 +262,64 @@ class SimulationHandle:
         # Final checkpoint on clean stop (still on the sim thread,
         # before join() returns): a stopped-and-restarted process
         # resumes from the exact last step, not the last cadence hit.
+        w = self._autosave_writer
+        if w is not None and w.is_alive():
+            w.join(timeout=120)  # let an in-flight cadence write land
         if (self._autosave_path is not None and not self.diverged
                 and self.last_autosave_step != self._last_step):
             self._save_checkpoint(self._autosave_path)
 
-    def _save_checkpoint(self, path: str):
-        """Atomic checkpoint of the CURRENT state, on the sim thread
-        (autosave cadence, the SAVE command, and the final stop save
-        all land here -- never concurrent with a dispatch). Write to a
-        temp file then os.replace: a crash or disk-full mid-write can
-        never corrupt the previous good checkpoint."""
+    def _save_checkpoint(self, path: str, asynchronous: bool = False):
+        """Atomic checkpoint of the CURRENT state, initiated on the sim
+        thread (autosave cadence, the SAVE command, and the final stop
+        save all land here -- never concurrent with a dispatch). Write
+        to a temp file then os.replace: a crash or disk-full mid-write
+        can never corrupt the previous good checkpoint.
+
+        ``asynchronous`` (the cadence path): the device->host copy
+        still happens here, synchronously, so the snapshot is
+        consistent -- but the compressed file write (seconds at
+        8192^2+) moves to a writer thread so stepping never stalls on
+        disk. At most one write is in flight; a cadence hit that finds
+        the writer busy is skipped (the next one catches up -- for
+        crash recovery, WHICH good step survives matters less than the
+        run never blocking). last_autosave_step is claimed up front so
+        the skip logic needs no lock."""
         import os
+        import jax
+
         from . import checkpoint
+
         tmp = f"{path}.tmp.npz"  # .npz suffix: np.savez keeps the name
-        try:
-            checkpoint.save(tmp, self._state)
-            os.replace(tmp, path)
-            self.autosave_count += 1
-            self.last_autosave_step = self._last_step
-        except Exception as e:  # noqa: BLE001 -- a full disk must not
-            # kill the run; record and keep stepping.
-            self.error = f"checkpoint[{path}]: {type(e).__name__}: {e}"
+        step_now = self._last_step
+
+        host_state = jax.device_get(self._state)
+
+        def write():
             try:
-                os.remove(tmp)
-            except OSError:
-                pass
+                checkpoint.save(tmp, host_state)
+                os.replace(tmp, path)
+                self.autosave_count += 1
+            except Exception as e:  # noqa: BLE001 -- a full disk must
+                # not kill the run; record and keep stepping.
+                self.error = f"checkpoint[{path}]: {type(e).__name__}: {e}"
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+        self.last_autosave_step = step_now
+        if asynchronous:
+            self._autosave_writer = threading.Thread(
+                target=write, daemon=True, name="cfd-autosave")
+            self._autosave_writer.start()
+        else:
+            # The SAVE command / final stop save: join any in-flight
+            # cadence writer first (same tmp file when the paths match).
+            w = self._autosave_writer
+            if w is not None and w.is_alive():
+                w.join(timeout=120)
+            write()
 
     def _loop_once(self, paused: bool) -> bool:
         """One control-loop iteration; returns the new paused flag."""
@@ -405,11 +439,16 @@ class SimulationHandle:
         self._residuals.put(rec)
         # Autosave AFTER the divergence check: the chunk that produced
         # non-finite residuals set self.diverged above, so its NaN
-        # state can never overwrite the last good checkpoint.
+        # state can never overwrite the last good checkpoint. The file
+        # write is async (skip-if-busy); only the consistent
+        # device->host copy happens on this thread.
         if (self._autosave_path is not None and not self.diverged
                 and self._last_step - self.last_autosave_step
                 >= self._autosave_every):
-            self._save_checkpoint(self._autosave_path)
+            w = self._autosave_writer
+            if w is None or not w.is_alive():
+                self._save_checkpoint(self._autosave_path,
+                                      asynchronous=True)
         return paused
 
     def _apply_params(self, params: SimulationParams):

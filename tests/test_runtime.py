@@ -341,6 +341,11 @@ def test_driver_autosave_skips_diverged_state():
             while time.time() < deadline and not h.diverged:
                 time.sleep(0.05)
             assert h.diverged
+            # let any pre-divergence async writer land (its snapshot is
+            # a good state; only post-NaN saves are forbidden)
+            w = h._autosave_writer
+            if w is not None:
+                w.join(timeout=30)
             count_at_div = h.autosave_count
             time.sleep(0.3)
             assert h.autosave_count == count_at_div  # no post-NaN saves
