@@ -1,0 +1,102 @@
+"""Multi-host: a 2-process x 4-device CPU job (gloo collectives) runs
+the GSPMD-sharded step on ONE global 8-device mesh and produces fields
+bit-identical to the single-process 8-device run.
+
+This is the process-boundary story the reference never had (its whole
+comm stack is in-process mpsc, SURVEY.md section 2.7): every sharding
+layout already spans jax.devices(), so after shard.distributed.
+init_distributed the same code scales across hosts -- here pinned on
+CPU, the same mechanism XLA uses across a real pod's ICI.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+_CHILD = """
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize override
+from cfd_demo_tpu.shard.distributed import (gather_to_host,
+                                            init_distributed,
+                                            shutdown_distributed)
+idx, cnt = init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                            num_processes=2, process_id=pid)
+assert (idx, cnt) == (pid, 2)
+assert len(jax.devices()) == 8, len(jax.devices())
+import cfd_demo_tpu as cfd
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          solver_options_for)
+from cfd_demo_tpu.shard.mesh import make_mesh, make_sharded_step, shard_state
+mesh = make_mesh()  # global: spans both processes
+grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+            obstacles=(Cylinder(1.0, 2.0, 0.4),))
+scene = cfd.make_scene(grid, SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=5))
+state = shard_state(scene.init_state(), mesh)
+step = make_sharded_step(scene, mesh)
+for _ in range(5):
+    state, diag = step(state)
+print("RES", repr(float(diag.res_u)), repr(float(diag.res_p)), flush=True)
+import numpy as np
+u = gather_to_host(state.u)   # allgather: full field on every process
+p = gather_to_host(state.p)
+if pid == 0:
+    np.savez(out, u=u, p=p)
+shutdown_distributed()
+"""
+
+
+def test_two_process_gspmd_step_matches_single_process(tmp_path):
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    out = str(tmp_path / "fields.npz")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), str(port), out],
+        cwd=ROOT, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for i in range(2)]
+    results = [p.communicate(timeout=300) for p in procs]
+    for i, (p, (stdout, stderr)) in enumerate(zip(procs, results)):
+        assert p.returncode == 0, f"child {i}: {stderr[-2000:]}"
+    res = [next(line for line in stdout.splitlines()
+                if line.startswith("RES")).split()[1:]
+           for stdout, _ in results]
+    # both processes report the same (globally reduced) residuals
+    assert res[0] == res[1]
+
+    # single-process 8-device reference: identical scene + layout
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.mesh import (make_mesh, make_sharded_step,
+                                         shard_state)
+    mesh = make_mesh()
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    state = shard_state(scene.init_state(), mesh)
+    step = make_sharded_step(scene, mesh)
+    for _ in range(5):
+        state, diag = step(state)
+    with np.load(out) as data:
+        # per-shard math is identical and the cross-shard reductions
+        # are order-independent maxes: bit-exact, not just close
+        np.testing.assert_array_equal(np.asarray(state.u), data["u"])
+        np.testing.assert_array_equal(np.asarray(state.p), data["p"])
+    assert float(diag.res_u) == float(res[0][0])
+    assert float(diag.res_p) == float(res[0][1])

@@ -90,6 +90,12 @@ def main():
                     help="8-virtual-device CPU mesh, tiny grid, "
                          "interpret-mode kernels (validates the tool "
                          "without a pod; timings are meaningless)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host: jax.distributed coordinator "
+                         "(launch one process per host; on TPU pods "
+                         "with auto-detection pass 'auto')")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     if args.smoke:
@@ -98,6 +104,14 @@ def main():
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator is not None:
+        from cfd_demo_tpu.shard.distributed import init_distributed
+        idx, cnt = init_distributed(
+            None if args.coordinator == "auto" else args.coordinator,
+            args.num_processes, args.process_id)
+        print(f"# process {idx}/{cnt}, "
+              f"{len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
     import cfd_demo_tpu as cfd
     from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
                               solver_options_for)
@@ -110,6 +124,12 @@ def main():
     while c <= len(devs):
         counts.append(c)
         c *= 2
+    if jax.process_count() > 1:
+        # Multi-host: every process must join every computation, so a
+        # submesh owned by a subset of hosts can't run -- bench the
+        # full global mesh only (scaling curves come from re-running
+        # the job at different host counts).
+        counts = [len(devs)]
     tiers = ["shmap", "gspmd"] if args.tier == "both" else [args.tier]
     modes = ["strong", "weak"] if args.mode == "both" else [args.mode]
 
