@@ -46,8 +46,22 @@ print("RES", repr(float(diag.res_u)), repr(float(diag.res_p)), flush=True)
 import numpy as np
 u = gather_to_host(state.u)   # allgather: full field on every process
 p = gather_to_host(state.p)
+
+# Tier 3 across processes: the explicitly sharded step (shard_map +
+# ppermute wide-halo exchanges around the kernel bodies, interpret
+# mode on CPU) -- the pod hot path. Needs >= 16 rows/shard.
+from cfd_demo_tpu.shard.step_shmap import make_step_shmap
+grid3 = Grid(nx=64, ny=128, lx=4.0, ly=8.0,
+             obstacles=(Cylinder(1.0, 4.0, 0.4),))
+scene3 = cfd.make_scene(grid3, SimulationParams(dt=0.002, viscosity=1e-4),
+                        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+st3 = shard_state(scene3.init_state(), mesh)
+step3 = make_step_shmap(scene3, mesh, interpret=True)
+st3, d3 = step3(st3)
+print("SHRES", repr(float(d3.res_p)), flush=True)
+u3 = gather_to_host(st3.u)
 if pid == 0:
-    np.savez(out, u=u, p=p)
+    np.savez(out, u=u, p=p, u3=u3)
 shutdown_distributed()
 """
 
@@ -93,10 +107,28 @@ def test_two_process_gspmd_step_matches_single_process(tmp_path):
     step = make_sharded_step(scene, mesh)
     for _ in range(5):
         state, diag = step(state)
+    # tier-3 (shard_map + ppermute) residuals agree across processes
+    shres = [next(line for line in stdout.splitlines()
+                  if line.startswith("SHRES")).split()[1]
+             for stdout, _ in results]
+    assert shres[0] == shres[1]
+
+    # single-process tier-3 reference on the same 8-device mesh
+    from cfd_demo_tpu.shard.step_shmap import make_step_shmap
+    grid3 = Grid(nx=64, ny=128, lx=4.0, ly=8.0,
+                 obstacles=(Cylinder(1.0, 4.0, 0.4),))
+    scene3 = cfd.make_scene(
+        grid3, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    st3 = shard_state(scene3.init_state(), mesh)
+    st3, d3 = make_step_shmap(scene3, mesh, interpret=True)(st3)
+
     with np.load(out) as data:
         # per-shard math is identical and the cross-shard reductions
         # are order-independent maxes: bit-exact, not just close
         np.testing.assert_array_equal(np.asarray(state.u), data["u"])
         np.testing.assert_array_equal(np.asarray(state.p), data["p"])
+        np.testing.assert_array_equal(np.asarray(st3.u), data["u3"])
     assert float(diag.res_u) == float(res[0][0])
     assert float(diag.res_p) == float(res[0][1])
+    assert float(d3.res_p) == float(shres[0])
