@@ -132,3 +132,85 @@ def test_two_process_gspmd_step_matches_single_process(tmp_path):
     assert float(diag.res_u) == float(res[0][0])
     assert float(diag.res_p) == float(res[0][1])
     assert float(d3.res_p) == float(shres[0])
+
+
+_ORBAX_CHILD = """
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; ckdir = sys.argv[3]; out = sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cfd_demo_tpu.shard.distributed import (gather_to_host,
+                                            init_distributed,
+                                            shutdown_distributed)
+init_distributed(f"127.0.0.1:{port}", 2, pid)
+import numpy as np
+import cfd_demo_tpu as cfd
+from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                          solver_options_for)
+from cfd_demo_tpu.shard.mesh import make_mesh, make_sharded_step, shard_state
+from cfd_demo_tpu.runtime import checkpoint
+mesh = make_mesh()
+grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+            obstacles=(Cylinder(1.0, 2.0, 0.4),))
+scene = cfd.make_scene(grid, SimulationParams(dt=0.002, viscosity=1e-4),
+                       solver_options_for(Semantics.RUST, ramp_up_steps=5))
+state = shard_state(scene.init_state(), mesh)
+step = make_sharded_step(scene, mesh)
+for _ in range(3):
+    state, diag = step(state)
+checkpoint.save_orbax(ckdir, state)   # each process writes its shards
+restored = checkpoint.load_orbax(ckdir, scene.init_state(), mesh=mesh)
+assert np.array_equal(gather_to_host(state.u), gather_to_host(restored.u))
+restored, d2 = step(restored)         # restored state steps on
+print("ORBAX_OK", repr(float(d2.res_p)), flush=True)
+if pid == 0:
+    np.savez(out, u=gather_to_host(state.u), p=gather_to_host(state.p))
+shutdown_distributed()
+"""
+
+
+def test_orbax_checkpoint_across_processes_elastic(tmp_path):
+    """Elastic multi-host persistence: a 2-process job writes an orbax
+    checkpoint (each process writes only its shards), round-trips it
+    onto its own global mesh, and the SINGLE-process suite then
+    restores the same checkpoint onto a different layout (8 devices,
+    one process) bit-exactly -- the checkpoint's original process
+    count and sharding are irrelevant on restore."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    child = tmp_path / "child.py"
+    child.write_text(_ORBAX_CHILD)
+    ckdir = str(tmp_path / "ck")
+    out = str(tmp_path / "fields.npz")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(child), str(i), str(port), ckdir, out],
+        cwd=ROOT, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for i in range(2)]
+    results = [p.communicate(timeout=300) for p in procs]
+    for i, (p, (stdout, stderr)) in enumerate(zip(procs, results)):
+        assert p.returncode == 0, f"child {i}: {stderr[-2000:]}"
+        assert any(line.startswith("ORBAX_OK")
+                   for line in stdout.splitlines())
+
+    # cross-layout restore: single process, 8-device mesh
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.runtime import checkpoint
+    from cfd_demo_tpu.shard.mesh import make_mesh
+    grid = Grid(nx=64, ny=64, lx=4.0, ly=4.0,
+                obstacles=(Cylinder(1.0, 2.0, 0.4),))
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST, ramp_up_steps=5))
+    restored = checkpoint.load_orbax(ckdir, scene.init_state(),
+                                     mesh=make_mesh())
+    with np.load(out) as data:
+        np.testing.assert_array_equal(np.asarray(restored.u), data["u"])
+        np.testing.assert_array_equal(np.asarray(restored.p), data["p"])
