@@ -104,6 +104,10 @@ class SimulationHandle:
         self.diverged = False
         self.error: Optional[str] = None  # last sim-thread exception
         self._last_step = int(self._state.step)
+        # Step the run began at (0 fresh, checkpoint step on resume):
+        # stable under the advancing sim thread, so resume paths can be
+        # asserted without racing _last_step.
+        self.initial_step = self._last_step
         # Failure recovery (SURVEY.md section 5 -- the reference has no
         # persistence at all): periodic atomic checkpoints written ON
         # the sim thread, skipped once the run diverges so the last
@@ -290,7 +294,13 @@ class SimulationHandle:
 
         from . import checkpoint
 
-        tmp = f"{path}.tmp.npz"  # .npz suffix: np.savez keeps the name
+        # Unique tmp per write: if a cadence writer outlives its 120 s
+        # join budget, the sync path must not interleave bytes into the
+        # SAME tmp file (os.replace is atomic, so with distinct tmps the
+        # last replace wins and the published file is always whole).
+        # The counter is only ever touched on the sim thread.
+        self._tmp_seq = getattr(self, "_tmp_seq", 0) + 1
+        tmp = f"{path}.tmp{self._tmp_seq}.npz"  # .npz: np.savez keeps it
         step_now = self._last_step
 
         host_state = jax.device_get(self._state)
@@ -308,7 +318,11 @@ class SimulationHandle:
                 except OSError:
                     pass
 
-        self.last_autosave_step = step_now
+        # Only the autosave file advances the cadence clock: an
+        # on-demand save to a DIFFERENT path must not postpone the next
+        # periodic autosave (or suppress the final stop-save).
+        if path == self._autosave_path:
+            self.last_autosave_step = step_now
         if asynchronous:
             self._autosave_writer = threading.Thread(
                 target=write, daemon=True, name="cfd-autosave")
@@ -484,7 +498,12 @@ class SimulationHandle:
     def stop(self):
         self._commands.put((_Command.STOP, None))
         if self._thread is not None:
-            self._thread.join(timeout=30)
+            # The final stop-save may first join an in-flight cadence
+            # writer (<=120 s) and then do a multi-second compressed
+            # write at large grids; the join budget must exceed that or
+            # the daemon thread dies at process exit with the promised
+            # final checkpoint silently lost.
+            self._thread.join(timeout=180)
 
     def pause(self):
         self._commands.put((_Command.PAUSE, None))

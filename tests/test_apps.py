@@ -339,11 +339,15 @@ def test_web_server_autosave_resume(tmp_path):
     app2.resume = True
     app2.start()
     try:
-        assert app2.handle._last_step == saved_step
+        # initial_step is fixed at construction -- asserting on
+        # _last_step here would race the already-running sim thread
+        # (flaky on warm jit caches).
+        assert app2.handle.initial_step == saved_step
+        assert app2.handle._last_step >= saved_step
         assert app2.resume is False  # consumed by the first start
         # a user reset starts FRESH (does not reload the checkpoint)
         app2.start()
-        assert app2.handle._last_step == 0
+        assert app2.handle.initial_step == 0
     finally:
         app2.stop()
 

@@ -82,7 +82,7 @@ def test_two_process_gspmd_step_matches_single_process(tmp_path):
         [sys.executable, str(child), str(i), str(port), out],
         cwd=ROOT, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True) for i in range(2)]
-    results = [p.communicate(timeout=300) for p in procs]
+    results = _communicate_all(procs, timeout=300)
     for i, (p, (stdout, stderr)) in enumerate(zip(procs, results)):
         assert p.returncode == 0, f"child {i}: {stderr[-2000:]}"
     res = [next(line for line in stdout.splitlines()
@@ -163,10 +163,30 @@ restored = checkpoint.load_orbax(ckdir, scene.init_state(), mesh=mesh)
 assert np.array_equal(gather_to_host(state.u), gather_to_host(restored.u))
 restored, d2 = step(restored)         # restored state steps on
 print("ORBAX_OK", repr(float(d2.res_p)), flush=True)
+# process_allgather is a collective: EVERY process must enter it, only
+# the file write stays pid-0 (round-2 deadlock: gathers under the guard
+# left process 0 stuck in the collective while 1 shut down).
+u = gather_to_host(state.u)
+p = gather_to_host(state.p)
 if pid == 0:
-    np.savez(out, u=gather_to_host(state.u), p=gather_to_host(state.p))
+    np.savez(out, u=u, p=p)
 shutdown_distributed()
 """
+
+
+def _communicate_all(procs, timeout):
+    """communicate() every child; on timeout kill ALL of them so no
+    CPU-eating orphans survive to slow the rest of the suite."""
+    try:
+        return [p.communicate(timeout=timeout) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        results = [p.communicate() for p in procs]
+        raise AssertionError(
+            "multi-process child timed out; outputs: "
+            + " | ".join(f"child {i}: {err[-1500:]}"
+                         for i, (_, err) in enumerate(results)))
 
 
 def test_orbax_checkpoint_across_processes_elastic(tmp_path):
@@ -192,7 +212,7 @@ def test_orbax_checkpoint_across_processes_elastic(tmp_path):
         [sys.executable, str(child), str(i), str(port), ckdir, out],
         cwd=ROOT, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True) for i in range(2)]
-    results = [p.communicate(timeout=300) for p in procs]
+    results = _communicate_all(procs, timeout=300)
     for i, (p, (stdout, stderr)) in enumerate(zip(procs, results)):
         assert p.returncode == 0, f"child {i}: {stderr[-2000:]}"
         assert any(line.startswith("ORBAX_OK")
