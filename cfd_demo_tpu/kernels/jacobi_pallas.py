@@ -67,12 +67,17 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     cp1.wait()
     cp2.wait()
 
-    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
-    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
-    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    # 1-D masks only (see _kernel2d): (w, 1) row predicates and
+    # (1, nxp) column predicates broadcast at use, instead of
+    # window-sized iota/bool buffers that each count against Mosaic's
+    # scoped-VMEM limit.
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
     # The convergence metric must only count rows this block *owns*:
     # halo rows are stale by the last fused iteration.
-    owned = interior & (gr >= row0) & (gr < row0 + bs)
+    owned_r = ((gr >= jnp.maximum(1, row0))
+               & (gr <= jnp.minimum(ny - 2, row0 + bs - 1)))
+    owned_c = (gc >= 1) & (gc <= nx - 2)
     is_bot = gr == 0
     is_top = gr == ny - 1
     is_left = gc == 0
@@ -84,8 +89,9 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     ay = jnp.float32(omega / (dy2 * denom))
     ar = jnp.float32(omega / denom)
     ac = jnp.float32(1.0 - omega)
-    # Pre-scale rhs once: new = ax*(E+W) + ay*(N+S) + ac*C - ar*rhs.
-    rhs = ar * rhs_win[:]
+    # Scale rhs in place: new = ax*(E+W) + ay*(N+S) + ac*C - rhs_win
+    # (a separate scaled copy would stay live across the sweep loop).
+    rhs_win[:] = ar * rhs_win[:]
 
     # pltpu.roll requires non-negative shifts; roll by size-1 is the
     # negative-direction shift.
@@ -126,12 +132,13 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
-        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs_win[:]
         # Only the final iteration's max |delta| is reported
         # (model.rs:821-823 reports the error of the exiting sweep);
         # it counts interior cells only, so the garbage the unmasked
         # store leaves in (never-read) boundary cells is inert.
-        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+        err = (jnp.max(jnp.where(owned_r & owned_c,
+                                 jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = new
         return err
@@ -218,10 +225,14 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     cp1.wait()
     cp2.wait()
 
-    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
-    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
-    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
-    owned = interior & (gr >= row0) & (gr < row0 + bs)
+    # 1-D masks (see _kernel2d): row predicates (w, 1), column
+    # predicates (1, nxp), broadcast at use -- full-window iota/bool
+    # buffers would each count against Mosaic's scoped-VMEM limit.
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    interior_r = (gr >= 1) & (gr <= ny - 2)
+    interior_c = (gc >= 1) & (gc <= nx - 2)
+    owned_r = interior_r & (gr >= row0) & (gr < row0 + bs)
     denom = 2.0 / dx2 + 2.0 / dy2
     ax = jnp.float32(omega / (dx2 * denom))
     ay = jnp.float32(omega / (dy2 * denom))
@@ -272,8 +283,8 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     pp = pp_win[:]
     E, W, N, S = folded(pp)
     r = rhs_win[:] - (bx * (E + W) + by * (N + S) - denom * pp)
-    r = jnp.where(interior, r, 0.0)
-    err = jnp.max(jnp.where(owned, jnp.abs(r), 0.0))
+    r = jnp.where(interior_r & interior_c, r, 0.0)
+    err = jnp.max(jnp.where(owned_r, jnp.abs(r), 0.0))
     if emit_res:
         rhs_win[:] = r
     # p' BCs once per launch (rows then columns, corner order).
@@ -398,11 +409,18 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     cp1.wait()
     cp2.wait()
 
-    gr = start + lax.broadcasted_iota(jnp.int32, (w, cw), 0)
-    gc = cstart + lax.broadcasted_iota(jnp.int32, (w, cw), 1)
-    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
-    owned = (interior & (gr >= row0) & (gr < row0 + bs)
-             & (gc >= col0) & (gc < col0 + bsx))
+    # 1-D masks only: every row predicate is a (w, 1) vector and every
+    # column predicate a (1, cw) vector, broadcast at the use site.
+    # The earlier (w, cw) iotas + booleans each counted as a full
+    # window-sized buffer in Mosaic's scoped-VMEM accounting (~12
+    # window-equivalents), which is what pinned the window budget far
+    # below the 16 MB limit and forced small, redundancy-heavy tiles.
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = cstart + lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    owned_r = ((gr >= jnp.maximum(1, row0))
+               & (gr <= jnp.minimum(ny - 2, row0 + bs - 1)))
+    owned_c = ((gc >= jnp.maximum(1, col0))
+               & (gc <= jnp.minimum(nx - 2, col0 + bsx - 1)))
     is_bot = gr == 0
     is_top = gr == ny - 1
     is_left = gc == 0
@@ -412,7 +430,9 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     ay = jnp.float32(omega / (dy2 * denom))
     ar = jnp.float32(omega / denom)
     ac = jnp.float32(1.0 - omega)
-    rhs = ar * rhs_win[:]
+    # Scale rhs in place: a separate scaled copy would stay live across
+    # the whole sweep loop (one more window against the scoped budget).
+    rhs_win[:] = ar * rhs_win[:]
 
     # Boundary-read folding: interior cells adjacent to a Neumann
     # boundary read their own value there (the per-iteration BC would
@@ -440,8 +460,9 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
             W = jnp.where(adj_left, pp, W)
             E = (jnp.where(adj_right, pp, E) if cavity
                  else jnp.where(adj_right, 0.0, E))
-        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
-        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs_win[:]
+        err = (jnp.max(jnp.where(owned_r & owned_c,
+                                 jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = new
         return err
@@ -485,8 +506,14 @@ def _kernel2d(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     err_ref[i * ncb + j, 0] = err
 
 
+def _compiler_params(vmem_limit):
+    if vmem_limit is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
+
+
 def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
-                cavity=False):
+                cavity=False, vmem_limit=None):
     """Launch the 2-D tile kernel (pp/rhs already width-padded; nx is
     the logical width for the BC/interior masks)."""
     ny, nxp = pp.shape
@@ -502,6 +529,7 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
     return pl.pallas_call(
         kern,
         grid=(nrb, ncb),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
@@ -522,7 +550,8 @@ def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
 def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
                    omega: float, k: int, block_rows: int = 256,
                    interpret: bool = False, cavity: bool = False,
-                   deep: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   deep: bool = True, window_budget: int = None,
+                   vmem_limit: int = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K fused Jacobi iterations. Returns (p', last-iteration max error).
 
     Requires ny % block_rows == 0 and ny >= block_rows + 2k (the caller
@@ -562,7 +591,13 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         # (4096^2, bs=128) OOMs at 17.14M scoped -- scoped accounting
         # stacks across nested regions. Shallow (rounds == 0) contexts
         # keep the 7 MiB budget, where 7,340,032 B is measured good.
-        budget = 6_815_744 if deep else 7 * 1024 * 1024
+        # ``window_budget``/``vmem_limit``: the tuned large-window mode
+        # (docs/PERF.md round 3) -- raising Mosaic's scoped-VMEM limit
+        # via CompilerParams lets taller blocks cut the halo redundancy.
+        if window_budget is not None:
+            budget = window_budget
+        else:
+            budget = 6_815_744 if deep else 7 * 1024 * 1024
 
         def vmem_model(bs, bsx, ch):
             return (2 * (bs + 2 * halo) * (bsx + 2 * ch)
@@ -600,7 +635,8 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         rhs = jnp.pad(rhs, pad)
     if use_2d:
         out, err = _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx,
-                               interpret, cavity=cavity)
+                               interpret, cavity=cavity,
+                               vmem_limit=vmem_limit)
         if nxp != nx:
             out = out[:, :nx]
         return out, jnp.max(err)
@@ -610,6 +646,7 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
     out, err = pl.pallas_call(
         kern,
         grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),
@@ -813,12 +850,16 @@ def mg_smooth_pallas_ok(ny: int, nx: int, k: int,
 
 def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
                   pp_win, rhs_win, sem,
-                  *, gny, nx, nxp, ext_ny, bs, halo, k, own_lo, own_hi,
+                  *, gny, gnx, nx, nxp, ext_ny, bs, halo, k,
+                  own_lo, own_hi, own_clo, own_chi,
                   dx2, dy2, omega, cavity):
-    """Like _kernel, but rows are a window of the *global* array:
-    global row = off_ref[0] + local row. ``own_lo:own_hi`` are the
-    local rows the shard actually owns (its exchanged halos are stale
-    by the last fused iteration and are discarded by the caller)."""
+    """Like _kernel, but rows (and, on the 2-D rows x cols tier,
+    columns) are a window of the *global* array: global row =
+    off_ref[0] + local row, global column = off_ref[1] + local column.
+    ``own_lo:own_hi`` / ``own_clo:own_chi`` are the local rows/columns
+    the shard actually owns (its exchanged halos are stale by the last
+    fused iteration and are discarded by the caller). ``nx`` is the
+    local array width, ``gnx`` the global one."""
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
@@ -835,22 +876,25 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
     cp1.wait()
     cp2.wait()
 
-    lr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)  # local row
-    gr = off_ref[0] + lr                                       # global row
-    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
-    interior = ((gr >= 1) & (gr <= gny - 2) & (gc >= 1) & (gc <= nx - 2))
-    owned = (interior & (lr >= row0) & (lr < row0 + bs)
-             & (lr >= own_lo) & (lr < own_hi))
+    # 1-D masks (see _kernel2d): (w, 1) row / (1, nxp) col predicates.
+    lr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # local row
+    gr = off_ref[0] + lr                                     # global row
+    lc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    gc = off_ref[1] + lc                                     # global col
+    owned_r = ((gr >= 1) & (gr <= gny - 2) & (lr >= row0)
+               & (lr < row0 + bs) & (lr >= own_lo) & (lr < own_hi))
+    owned_c = ((gc >= 1) & (gc <= gnx - 2)
+               & (lc >= own_clo) & (lc < own_chi))
     is_bot = gr == 0
     is_top = gr == gny - 1
     is_left = gc == 0
-    is_right = gc == nx - 1
+    is_right = gc == gnx - 1
     denom = 2.0 / dx2 + 2.0 / dy2
     ax = jnp.float32(omega / (dx2 * denom))
     ay = jnp.float32(omega / (dy2 * denom))
     ar = jnp.float32(omega / denom)
     ac = jnp.float32(1.0 - omega)
-    rhs = ar * rhs_win[:]
+    rhs_win[:] = ar * rhs_win[:]
 
     # Boundary-read folding: interior cells adjacent to a Neumann
     # boundary read their own value there (the per-iteration BC would
@@ -863,7 +907,7 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
     adj_bot = gr == 1
     adj_top = gr == gny - 2
     adj_left = gc == 1
-    adj_right = gc == nx - 2
+    adj_right = gc == gnx - 2
 
     def iterate(want_err, fold_rows=True):
         pp = pp_win[:]
@@ -877,8 +921,9 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
-        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs
-        err = (jnp.max(jnp.where(owned, jnp.abs(new - pp), 0.0))
+        new = ax * (E + W) + ay * (N + S) + ac * pp - rhs_win[:]
+        err = (jnp.max(jnp.where(owned_r & owned_c,
+                                 jnp.abs(new - pp), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = new
         return err
@@ -919,11 +964,22 @@ def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
                          dx: float, dy: float, omega: float, k: int,
                          own_lo: int, own_hi: int,
                          block_rows: int = 256, interpret: bool = False,
-                         cavity: bool = False):
+                         cavity: bool = False, col_offset=None,
+                         gnx: int = None, own_cols=None):
     """K fused iterations on a halo-extended (ext_ny, nx) local block
     whose row 0 is global row ``row_offset`` (traced scalar). Returns
-    (updated ext block, max |delta| over owned rows)."""
+    (updated ext block, max |delta| over owned rows).
+
+    ``col_offset``/``gnx``/``own_cols`` (2-D rows x cols tier): the
+    block is additionally a column block whose column 0 is global
+    column ``col_offset`` of a ``gnx``-wide array; the error metric
+    counts local columns in ``own_cols`` only."""
     ext_ny, nx = pp_ext.shape
+    if gnx is None:
+        gnx = nx
+    if col_offset is None:
+        col_offset = 0
+    own_clo, own_chi = own_cols if own_cols is not None else (0, nx)
     if ext_ny % 8 != 0:
         raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
@@ -945,8 +1001,9 @@ def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
         pp_ext = jnp.pad(pp_ext, pad)
         rhs_ext = jnp.pad(rhs_ext, pad)
     kern = functools.partial(
-        _kernel_shard, gny=gny, nx=nx, nxp=nxp, ext_ny=ext_ny, bs=bs,
-        halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        _kernel_shard, gny=gny, gnx=gnx, nx=nx, nxp=nxp, ext_ny=ext_ny,
+        bs=bs, halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        own_clo=own_clo, own_chi=own_chi,
         dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
     out, err = pl.pallas_call(
         kern,
@@ -966,7 +1023,8 @@ def jacobi_fused_k_shard(pp_ext: jnp.ndarray, rhs_ext: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray(row_offset, jnp.int32).reshape(1), pp_ext, rhs_ext)
+    )(jnp.stack([jnp.asarray(row_offset, jnp.int32),
+                 jnp.asarray(col_offset, jnp.int32)]), pp_ext, rhs_ext)
     if nxp != nx:
         out = out[:, :nx]
     return out, jnp.max(err)

@@ -56,12 +56,15 @@ _VMEM_LIMIT = 14 * 1024 * 1024  # margin under the 16 MB scoped limit
 
 class RollCtx(StencilCtx):
     """Stencil provider on a (w, nxp) VMEM window whose row 0 is global
-    row ``start`` (traced). Shifts are pltpu.roll with zero-fill of the
-    wrapped rows/columns, reproducing the zero-padding semantics of
-    ops.stencil.shifted at array edges."""
+    row ``start`` (traced) and column 0 is global column ``start_col``
+    (traced; 0 except on the 2-D rows x cols shard tier, where the
+    window is a column block of the global array). Shifts are
+    pltpu.roll with zero-fill of the wrapped rows/columns, reproducing
+    the zero-padding semantics of ops.stencil.shifted at array edges."""
 
-    def __init__(self, start_row, w: int, nxp: int):
+    def __init__(self, start_row, w: int, nxp: int, start_col=0):
         self.start = start_row
+        self.start_col = start_col
         self.w = w
         self.nxp = nxp
         shape = (w, nxp)
@@ -72,7 +75,7 @@ class RollCtx(StencilCtx):
         return _RollShifts(src, self)
 
     def col_index(self, shape):
-        return self._lc
+        return self.start_col + self._lc
 
     def row_index(self, shape):
         return self.start + self._lr
@@ -170,9 +173,11 @@ def _kernel_pre(scal_ref, u_hbm, v_hbm, us_out, vs_out, rhs_out,
     dt_sub = scal_ref[0]
     nu = scal_ref[1]
     # Global row of local row 0 (sharded blocks; f32-encoded scalar is
-    # exact for any realistic grid height). 0 on a single chip.
+    # exact for any realistic grid height). 0 on a single chip. coff:
+    # global column of local column 0 (2-D rows x cols shard tier).
     off = scal_ref[2].astype(jnp.int32)
-    ctx = RollCtx(off + start, w, nxp)
+    coff = scal_ref[3].astype(jnp.int32)
+    ctx = RollCtx(off + start, w, nxp, start_col=coff)
     mask_u, mask_v, _, _ = masks_traced(grid, semantics, jnp.float32,
                                         ctx=ctx, shp_u=(w, nxp),
                                         shp_v=(w, nxp))
@@ -198,7 +203,7 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
                        grid: Grid, scheme: VelocityScheme,
                        semantics: Semantics, block_rows: int = 256,
                        interpret: bool = False, pad_io: bool = True,
-                       row_offset=None):
+                       row_offset=None, col_offset=None):
     """Fused predictor + divergence.
 
     ``pad_io=True`` (tests / generic widths): takes and returns the
@@ -212,6 +217,10 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
     inputs are a halo-extended *local* row block of a grid.ny-row
     global array whose row 0 is global row ``row_offset``; outputs
     cover the same local rows (the caller discards the halo rows).
+    ``col_offset`` (2-D rows x cols shard tier): the inputs are
+    additionally a halo-extended column block -- u covering global
+    faces [col_offset, col_offset + u.shape[1]) and v/outputs the same
+    cell columns -- and every mask/BC predicate uses global columns.
     """
     nx = grid.nx
     ny = u.shape[0]       # local rows (== grid.ny on a single chip)
@@ -219,22 +228,30 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
     if row_offset is None:
         assert ny == gny
         row_offset = 0
-    nxp = _round_up(nx + 1, 128)
+    if col_offset is None:
+        col_offset = 0
+        width_u = nx + 1
+    else:
+        width_u = u.shape[1]  # local column block (2-D tier)
+        assert v.shape[1] == width_u - 1
+    nxp = _round_up(width_u, 128)
     bs, halo = _tile_rows(ny, nxp, 3, 3, 12, block_rows)
     w = bs + 2 * halo
-    aligned = nx % 128 == 0
+    aligned = (width_u - 1) % 128 == 0
     if pad_io:
-        up = jnp.pad(u, ((0, 0), (0, nxp - (nx + 1))))
+        up = jnp.pad(u, ((0, 0), (0, nxp - width_u)))
     else:
         assert aligned and u.shape[1] == nxp
         up = u
     if aligned:
-        vp, wv, wo = v, nx, nx
+        vp, wv, wo = v, width_u - 1, width_u - 1
     else:
-        vp, wv, wo = jnp.pad(v, ((0, 0), (0, nxp - nx))), nxp, nxp
+        vp = jnp.pad(v, ((0, 0), (0, nxp - (width_u - 1))))
+        wv, wo = nxp, nxp
     scal = jnp.stack([jnp.asarray(dt_sub, jnp.float32),
                       jnp.asarray(nu, jnp.float32),
-                      jnp.asarray(row_offset, jnp.float32)])
+                      jnp.asarray(row_offset, jnp.float32),
+                      jnp.asarray(col_offset, jnp.float32)])
     kern = functools.partial(
         _kernel_pre, grid=grid, scheme=scheme,
         avg_conv_v=(semantics == Semantics.JS), semantics=semantics,
@@ -258,10 +275,10 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
         interpret=interpret,
     )(scal, up, vp)
     if pad_io:
-        us = us[:, :nx + 1]
+        us = us[:, :width_u]
     if not aligned:
-        vs = vs[:, :nx]
-        rhs = rhs[:, :nx]
+        vs = vs[:, :width_u - 1]
+        rhs = rhs[:, :width_u - 1]
     return us, vs, rhs
 
 
@@ -273,7 +290,7 @@ def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
                  u_out, v_out, p_out, red_ref,
                  us_win, vs_win, p_win, pp_win, sem,
                  *, grid, profile, flow_case, semantics, ny_arr, gny, nx,
-                 nxp, wp, bs, halo, own_lo, own_hi):
+                 nxp, wp, bs, halo, own_lo, own_hi, oc_lo, oc_hi):
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
@@ -295,7 +312,8 @@ def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
     dt_sub = scal_ref[0]
     inlet = scal_ref[1]
     off = scal_ref[2].astype(jnp.int32)
-    ctx = RollCtx(off + start, w, nxp)
+    coff = scal_ref[3].astype(jnp.int32)
+    ctx = RollCtx(off + start, w, nxp, start_col=coff)
     u, v, p_new = correct(us_win[:], vs_win[:], p_win[:], pp_win[:],
                           dt_sub, grid.dx, grid.dy, ctx=ctx, nx=nx)
     _, _, mask_u_bc, mask_v_bc = masks_traced(grid, semantics, jnp.float32,
@@ -315,14 +333,18 @@ def _kernel_post(scal_ref, us_hbm, vs_hbm, p_hbm, pp_hbm, ue_ref, ve_ref,
 
     # Residual / CFL reductions on the owned block (model.rs:333-348,
     # :877-889), masking the lane padding beyond each field's width and
-    # -- in shard mode -- the exchanged halo rows outside
-    # [own_lo, own_hi), which the caller discards.
+    # -- in shard mode -- the exchanged halo rows/columns outside
+    # [own_lo, own_hi) x [oc_lo, oc_hi), which the caller discards.
     lr = row0 + lax.broadcasted_iota(jnp.int32, (bs, nxp), 0)
     lrv = row0 + lax.broadcasted_iota(jnp.int32, (bs, wp), 0)
     lc = lax.broadcasted_iota(jnp.int32, (bs, nxp), 1)
     lcv = lax.broadcasted_iota(jnp.int32, (bs, wp), 1)
-    u_own = (lc <= nx) & (lr >= own_lo) & (lr < own_hi)   # u: nx+1 cols
-    v_own = (lcv <= nx - 1) & (lrv >= own_lo) & (lrv < own_hi)
+    gc = coff + lc
+    gcv = coff + lcv
+    u_own = ((gc <= nx) & (lc >= oc_lo) & (lc < oc_hi)    # u: nx+1 cols
+             & (lr >= own_lo) & (lr < own_hi))
+    v_own = ((gcv <= nx - 1) & (lcv >= oc_lo) & (lcv < oc_hi)
+             & (lrv >= own_lo) & (lrv < own_hi))
     u_fin = u_out[:]
     v_fin = v_out[:]
     red_ref[i, 0] = jnp.max(jnp.where(u_own, jnp.abs(u_fin - ue_ref[:]), 0.0))
@@ -339,7 +361,8 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
                       flow_case: FlowCase, semantics: Semantics,
                       block_rows: int = 256, interpret: bool = False,
                       pad_io: bool = True, row_offset=None,
-                      own_rows=None, return_padded_u: bool = False):
+                      own_rows=None, return_padded_u: bool = False,
+                      col_offset=None, own_cols=None):
     """Fused corrector + BCs + step reductions. Returns
     (u, v, p, res_u, res_v, max_vel) where res_* = max|field - entry|
     (the model.rs:333-348 residuals) and max_vel feeds the CFL dt
@@ -353,7 +376,10 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     ``row_offset``/``own_rows`` (multi-chip shard_map path): inputs are
     halo-extended local row blocks whose row 0 is global row
     ``row_offset``; the residual/CFL reductions only count local rows
-    in ``own_rows`` = (lo, hi).
+    in ``own_rows`` = (lo, hi). ``col_offset``/``own_cols`` (2-D
+    rows x cols tier): inputs are additionally halo-extended column
+    blocks -- u covering global faces starting at ``col_offset`` --
+    and the reductions count local columns in ``own_cols`` only.
     """
     nx = grid.nx
     ny = u_star.shape[0]   # local rows (== grid.ny on a single chip)
@@ -361,13 +387,20 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     if row_offset is None:
         assert ny == gny
         row_offset = 0
+    if col_offset is None:
+        col_offset = 0
+        width_u = nx + 1
+    else:
+        width_u = u_star.shape[1]  # local column block (2-D tier)
+        assert v_star.shape[1] == width_u - 1
     own_lo, own_hi = own_rows if own_rows is not None else (0, ny)
-    nxp = _round_up(nx + 1, 128)
+    nxp = _round_up(width_u, 128)
+    oc_lo, oc_hi = own_cols if own_cols is not None else (0, nxp)
     bs, halo = _tile_rows(ny, nxp, 4, 5, 8, block_rows)
     w = bs + 2 * halo
-    aligned = nx % 128 == 0
-    pad_u = ((0, 0), (0, nxp - (nx + 1)))
-    pad_p = ((0, 0), (0, nxp - nx))
+    aligned = (width_u - 1) % 128 == 0
+    pad_u = ((0, 0), (0, nxp - width_u))
+    pad_p = ((0, 0), (0, nxp - (width_u - 1)))
     if pad_io:
         usp = jnp.pad(u_star, pad_u)
         uep = jnp.pad(u_entry, pad_u)
@@ -375,7 +408,7 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         assert aligned and u_star.shape[1] == nxp
         usp, uep = u_star, u_entry
     if aligned:
-        wp = nx
+        wp = width_u - 1
         vsp, pa, ppa, vep = v_star, p, p_prime, v_entry
     else:
         wp = nxp
@@ -385,12 +418,14 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         vep = jnp.pad(v_entry, pad_p)
     scal = jnp.stack([jnp.asarray(dt_sub, jnp.float32),
                       jnp.asarray(inlet, jnp.float32),
-                      jnp.asarray(row_offset, jnp.float32)])
+                      jnp.asarray(row_offset, jnp.float32),
+                      jnp.asarray(col_offset, jnp.float32)])
     nblocks = ny // bs
     kern = functools.partial(
         _kernel_post, grid=grid, profile=profile, flow_case=flow_case,
         semantics=semantics, ny_arr=ny, gny=gny, nx=nx, nxp=nxp, wp=wp,
-        bs=bs, halo=halo, own_lo=own_lo, own_hi=own_hi)
+        bs=bs, halo=halo, own_lo=own_lo, own_hi=own_hi,
+        oc_lo=oc_lo, oc_hi=oc_hi)
     u, v, p_new, red = pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -417,10 +452,10 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         interpret=interpret,
     )(scal, usp, vsp, pa, ppa, uep, vep)
     if not return_padded_u:
-        u = u[:, :nx + 1]
+        u = u[:, :width_u]
     if not aligned:
-        v = v[:, :nx]
-        p_new = p_new[:, :nx]
+        v = v[:, :width_u - 1]
+        p_new = p_new[:, :width_u - 1]
     return (u, v, p_new,
             jnp.max(red[:, 0]), jnp.max(red[:, 1]), jnp.max(red[:, 2]))
 

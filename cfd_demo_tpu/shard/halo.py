@@ -50,6 +50,28 @@ def exchange_cols(x: jnp.ndarray, axis: str, width: int) -> jnp.ndarray:
     return jnp.concatenate([from_left, x, from_right], axis=1)
 
 
+def exchange_rows_cols(x: jnp.ndarray, yaxis: str, xaxis: str,
+                       wr: int, wc: int) -> jnp.ndarray:
+    """Both-axis halo exchange for the 2-D rows x cols tier: columns
+    first, then rows OF THE COLUMN-EXTENDED block -- so the corner
+    halos carry the diagonal neighbors' data (the row ppermute forwards
+    the column halos it just received)."""
+    return exchange_rows(exchange_cols(x, xaxis, wc), yaxis, wr)
+
+
+def bcast_from_last(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Replicate the LAST shard's value to every shard along ``axis``
+    with a chain of n-1 ppermutes (gather-free; the payload here is a
+    single column, so the chain costs ~nothing). After round r, shards
+    n-1-r.. hold the true value; n-1 rounds cover all."""
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    for _ in range(n - 1):
+        y = lax.ppermute(x, axis, _perm_down(n))
+        x = jnp.where(idx == n - 1, x, y)
+    return x
+
+
 def global_row_index(local_rows: int, axis: str, halo: int = 0):
     """Global row index of each row of a (halo + local + halo) block."""
     shard = lax.axis_index(axis)

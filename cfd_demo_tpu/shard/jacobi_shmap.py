@@ -168,6 +168,70 @@ def jacobi_pallas_shard_body(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
     return pp_loc, err
 
 
+def jacobi_pallas_shard_body_2d(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
+                                gny: int, gnx: int, yaxis: str, xaxis: str,
+                                dx: float, dy: float, omega: float,
+                                iters: int, k: int = 10,
+                                interpret: bool = False,
+                                cavity: bool = False, tol: float = 0.0,
+                                early_exit: bool = False):
+    """2-D (rows x cols) twin of jacobi_pallas_shard_body: each fused-K
+    launch is preceded by ONE both-axis wide-halo exchange (row AND
+    column ppermutes, corners included), and the per-shard kernel runs
+    on the (loc_y + 2h, loc_x + 2h) extended block with global row and
+    column offsets. Returns (local p', global last-launch max error).
+    Requires iters % k == 0, local rows % 8 == 0 and local rows/cols
+    >= halo8(k)."""
+    from ..kernels.jacobi_pallas import _halo8, jacobi_fused_k_shard
+    from .halo import exchange_rows_cols
+
+    loc_y, loc_x = pp_loc.shape
+    halo = _halo8(k)
+    assert iters % k == 0 and loc_y % 8 == 0
+    assert loc_y >= halo and loc_x >= halo
+
+    rhs_ext = exchange_rows_cols(rhs_loc, yaxis, xaxis, halo, halo)
+    row_off = lax.axis_index(yaxis) * loc_y - halo
+    col_off = lax.axis_index(xaxis) * loc_x - halo
+
+    def one_launch(pp_loc):
+        ppx = exchange_rows_cols(pp_loc, yaxis, xaxis, halo, halo)
+        out_ext, err = jacobi_fused_k_shard(
+            ppx, rhs_ext, row_off, gny, dx, dy, omega, k,
+            own_lo=halo, own_hi=halo + loc_y,
+            interpret=interpret, cavity=cavity,
+            col_offset=col_off, gnx=gnx,
+            own_cols=(halo, halo + loc_x))
+        return (out_ext[halo:halo + loc_y, halo:halo + loc_x],
+                lax.pmax(lax.pmax(err, yaxis), xaxis))
+
+    if early_exit and tol > 0.0:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_and(it < iters // k, err >= tol)
+
+        def body(carry):
+            pp_loc, _, it = carry
+            pp_loc, err = one_launch(pp_loc)
+            return pp_loc, err, it + 1
+
+        pp_loc, err, _ = lax.while_loop(
+            cond, body,
+            (pp_loc, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pp_loc, err
+
+    def launch(carry, _):
+        pp_loc, _ = carry
+        pp_loc, err = one_launch(pp_loc)
+        return (pp_loc, err), None
+
+    err0 = jnp.asarray(jnp.inf, jnp.float32)
+    (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
+                                length=iters // k)
+    return pp_loc, err
+
+
 def jacobi_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
                         dx: float, dy: float, omega: float, iters: int,
                         k: int = 10, axis: str = "y",

@@ -1,0 +1,258 @@
+"""Fast-mode PISO step explicitly sharded over a 2-D rows x cols mesh.
+
+Round-3 extension of shard.step_shmap (VERDICT r2 item 4): the rows-only
+explicit tier caps at ny/16 devices and its halo bytes scale with the
+full nx; this module composes the SAME fused Pallas kernels over a
+``make_mesh2d_spatial`` (rows x cols) mesh, so both grid axes scale and
+every ICI transfer is a visible row- or column-ppermute
+(SURVEY.md:201 "ghost columns/rows per neighbor").
+
+Per PISO substep (model.rs:529-730, fast schedule):
+  1. one both-axis 8-halo exchange of (u, v)  -> 4 ppermute pairs
+     (columns first, then rows of the column-extended block, so corner
+     halos carry the diagonal neighbors' data)
+  2. fused predictor+divergence kernel on the (row+col)-extended block
+     (kernels.substep_pallas with global row AND column offsets)
+  3. fused-K Jacobi: one both-axis k-wide halo exchange per K
+     iterations (shard.jacobi_shmap.jacobi_pallas_shard_body_2d)
+  4. both-axis 8-halo p' exchange, fused corrector+BC+reduction kernel
+     with owned-row x owned-column reduction masks
+  5. pmax residual/CFL reductions over BOTH mesh axes
+  6. replicated scalar step logic shared with solver.piso
+
+Boundary representation: shard.mesh.Split2D (u's odd nx+1-th column
+carried separately, row-sharded and column-replicated). Inside the
+step the last x-shard re-joins it as the global face-nx column; the
+updated face nx (pure BC output) is re-replicated with a chain of
+ppermutes (halo.bcast_from_last -- gather-free).
+
+Scope: the deterministic fast mode (outer_corrector_rounds == 0,
+PressureSolver.JACOBI) in both semantics -- BASELINE config 5's
+multi-chip throughput shape. Other solvers/modes: use the rows-only
+tier (step_shmap) or the GSPMD 2-D tier (mesh.make_sharded_step_2d).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import FlowCase, PressureSolver, Semantics
+from ..solver.piso import (Scene, StepDiagnostics, adapt_substeps,
+                           dt_control, ramped_inlet, resolve_fuse_k)
+from .halo import (_perm_down, _perm_up, bcast_from_last, exchange_rows,
+                   exchange_rows_cols)
+from .jacobi_shmap import jacobi_pallas_shard_body_2d
+from .mesh import COL_AXIS, ROW_AXIS, Split2D
+
+_HALO = 8  # row/column halo for the substep kernels (stencils <= 3)
+
+
+def _exchange_u(u_core, u_last, xaxis: str, width: int):
+    """Column halo exchange for the staggered u field: the core block
+    holds faces [c0, c0 + loc_x); the extended block must span
+    [c0 - width, c0 + loc_x + width] INCLUSIVE (one wider than the
+    cell fields, mirroring u's global nx+1 width), so the right
+    exchange ships width+1 columns. The rightmost shard's first
+    right-halo column is the REAL global face nx, carried in
+    ``u_last`` (ppermute zero-fills it otherwise)."""
+    n = lax.axis_size(xaxis)
+    loc_x = u_core.shape[1]
+    from_left = lax.ppermute(u_core[:, -width:], xaxis, _perm_up(n))
+    from_right = lax.ppermute(u_core[:, :width + 1], xaxis, _perm_down(n))
+    ue = jnp.concatenate([from_left, u_core, from_right], axis=1)
+    lc = lax.broadcasted_iota(jnp.int32, ue.shape, 1)
+    inject = jnp.logical_and(lax.axis_index(xaxis) == n - 1,
+                             lc == width + loc_x)
+    return jnp.where(inject, u_last, ue)
+
+
+def _check_supported(scene: Scene, mesh: Mesh):
+    opts, g = scene.opts, scene.grid
+    if scene.params.pressure_solver != PressureSolver.JACOBI:
+        raise ValueError("step_shmap_2d: fast-mode JACOBI only; other "
+                         "solvers run on the rows tier (step_shmap) or "
+                         "the GSPMD 2-D tier")
+    if opts.outer_corrector_rounds != 0:
+        raise ValueError("step_shmap_2d: outer corrector rounds need the "
+                         "rows tier (step_shmap)")
+    k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
+    if opts.jacobi_iters % k != 0:
+        raise ValueError("step_shmap_2d: jacobi_iters must be a multiple "
+                         "of the (resolved) pallas_fuse_k")
+    from ..kernels.jacobi_pallas import _halo8
+    min_loc = max(_HALO, _halo8(k))
+    Sy, Sx = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+    loc_y, loc_x = g.ny // Sy, g.nx // Sx
+    if g.ny % Sy != 0 or loc_y % 8 != 0 or loc_y < min_loc:
+        raise ValueError(f"step_shmap_2d: ny={g.ny} must split into {Sy} "
+                         f"shards of >= {min_loc} rows (multiples of 8)")
+    if g.nx % Sx != 0 or loc_x < min_loc + 1:
+        raise ValueError(f"step_shmap_2d: nx={g.nx} must split into {Sx} "
+                         f"shards of >= {min_loc + 1} columns")
+
+
+def make_step_shmap_2d(scene: Scene, mesh: Mesh,
+                       interpret: bool = False, jit: bool = True):
+    """Explicit 2-D multi-chip fast step: Split2D -> (Split2D, diag),
+    fields (rows x cols)-sharded, scalars replicated. Wrap with
+    shard.mesh.shard_state_2d / split_u / join_u."""
+    _check_supported(scene, mesh)
+    g, opts, params = scene.grid, scene.opts, scene.params
+    ny, nx = g.ny, g.nx
+    Sy, Sx = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+    loc_y, loc_x = ny // Sy, nx // Sx
+    cavity = params.flow_case == FlowCase.CAVITY
+    js = opts.semantics == Semantics.JS
+    fuse_k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
+    H = _HALO
+
+    def shard_fn(u, v, p, pp, u_last, dt_sub, nu, inlet, substeps):
+        from ..kernels.substep_pallas import (correct_bc_pallas,
+                                              predict_div_pallas)
+        off_r = lax.axis_index(ROW_AXIS) * loc_y
+        off_c = lax.axis_index(COL_AXIS) * loc_x
+        u_entry, v_entry, ul_entry = u, v, u_last
+
+        def substep(u, v, p, pp, u_last):
+            # 1-2: predictor + divergence on the both-axis extended
+            # block (u one column wider, with the real face nx
+            # injected on the rightmost shard).
+            ue = exchange_rows(_exchange_u(u, u_last, COL_AXIS, H),
+                               ROW_AXIS, H)
+            ve = exchange_rows_cols(v, ROW_AXIS, COL_AXIS, H, H)
+            us_e, vs_e, rhs_e = predict_div_pallas(
+                ue, ve, dt_sub, nu, g, params.velocity_scheme,
+                opts.semantics, block_rows=opts.pallas_block_rows,
+                interpret=interpret, row_offset=off_r - H,
+                col_offset=off_c - H)
+            rhs = rhs_e[H:H + loc_y, H:H + loc_x]
+            # 3: Jacobi (Rust warm start model.rs:682; JS zero init).
+            pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
+            pp_new, err = jacobi_pallas_shard_body_2d(
+                pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
+                opts.jacobi_omega, opts.jacobi_iters, k=fuse_k,
+                interpret=interpret, cavity=cavity, tol=opts.jacobi_tol,
+                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+            # 4: fused corrector + BCs + reductions. p' needs real
+            # neighbor halos; u*, v* come halo-extended straight from
+            # the predictor kernel; p and the entry fields only matter
+            # on owned rows/columns, so zero padding keeps shapes
+            # uniform.
+            ppe = exchange_rows_cols(pp_new, ROW_AXIS, COL_AXIS, H, H)
+            zboth = ((H, H), (H, H))
+            zu = ((H, H), (H, H + 1))  # u entry: width loc_x+1+2H
+            u2e, v2e, p2e, res_u, res_v, max_vel = correct_bc_pallas(
+                us_e, vs_e, jnp.pad(p, zboth), ppe,
+                jnp.pad(u_entry, zu), jnp.pad(v_entry, zboth),
+                dt_sub, inlet, g, params.inlet_profile,
+                params.flow_case, opts.semantics,
+                block_rows=opts.pallas_block_rows,
+                interpret=interpret, row_offset=off_r - H,
+                col_offset=off_c - H,
+                own_rows=(H, H + loc_y), own_cols=(H, H + loc_x))
+            sly, slx = slice(H, H + loc_y), slice(H, H + loc_x)
+            u2 = u2e[sly, slx]
+            v2 = v2e[sly, slx]
+            p2 = p2e[sly, slx]
+            # Global face nx: pure BC output, valid in the rightmost
+            # shard's first right-halo column; re-replicate along x and
+            # fold its residual/CFL contribution in (the kernel's owned
+            # masks exclude it).
+            ul_new = bcast_from_last(
+                u2e[sly, H + loc_x:H + loc_x + 1], COL_AXIS)
+            res_u = jnp.maximum(res_u, jnp.max(jnp.abs(ul_new - ul_entry)))
+            max_vel = jnp.maximum(max_vel, jnp.max(jnp.abs(ul_new)))
+            return (u2, v2, p2, pp_new, ul_new, err,
+                    (res_u, res_v, max_vel))
+
+        def sub_body(i, carry):
+            u, v, p, pp, u_last, max_res_p, red = carry
+            u, v, p, pp, u_last, err, red = substep(u, v, p, pp, u_last)
+            # JS tracks the max residual across substeps
+            # (index.html:288-293); Rust reports the last substep's.
+            max_res_p = jnp.maximum(max_res_p, err) if js else err
+            return u, v, p, pp, u_last, max_res_p, red
+
+        zero = jnp.asarray(0.0, u.dtype)
+        zero3 = (zero, zero, zero)
+        carry0 = (u, v, p, pp, u_last, zero, zero3)
+        if not opts.substeps_adaptive and opts.substeps_init == 1:
+            u, v, p, pp, u_last, res_p, red = sub_body(0, carry0)
+        else:
+            u, v, p, pp, u_last, res_p, red = lax.fori_loop(
+                0, substeps, sub_body, carry0)
+        res_u, res_v, max_vel = red
+
+        def pmax2(x):
+            return lax.pmax(lax.pmax(x, ROW_AXIS), COL_AXIS)
+
+        return (u, v, p, pp, u_last, pmax2(res_p), pmax2(res_u),
+                pmax2(res_v), pmax2(max_vel))
+
+    rc = P(ROW_AXIS, COL_AXIS)
+    row = P(ROW_AXIS, None)
+    sharded_substeps = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rc, rc, rc, rc, row, P(), P(), P(), P()),
+        out_specs=(rc, rc, rc, rc, row, P(), P(), P(), P()),
+        check_vma=False)
+
+    def step(s: Split2D):
+        state = s.core
+        f32 = state.u.dtype
+        u_enter, v_enter = state.u, state.v
+        ul_enter = s.u_last
+        u, v, u_last = u_enter, v_enter, ul_enter
+        if js and opts.extrapolate:
+            # JS extrapolated initial guess (index.html:263-270);
+            # elementwise on the sharded global arrays.
+            nonzero = state.step > 0
+            u = jnp.where(nonzero, 2.0 * u - state.u_prev, u)
+            v = jnp.where(nonzero, 2.0 * v - state.v_prev, v)
+            u_last = jnp.where(nonzero, 2.0 * u_last - s.u_prev_last,
+                               u_last)
+        inlet = ramped_inlet(opts, state, f32)
+        substeps = state.substeps
+        if not opts.substeps_adaptive and opts.substeps_init == 1:
+            substeps = jnp.asarray(opts.substeps_init, substeps.dtype)
+        dt_sub = state.dt / substeps.astype(f32)
+        executed_substeps = substeps
+        (u, v, p, pp, u_last, res_p, res_u, res_v,
+         max_vel) = sharded_substeps(u, v, state.p, state.p_prime, u_last,
+                                     dt_sub, state.nu, inlet, substeps)
+        if js and opts.substeps_adaptive:
+            substeps = adapt_substeps(opts, substeps, res_u, res_v, res_p,
+                                      f32)
+        new_step = state.step + 1
+        new_t = state.t + state.dt
+        new_dt = dt_control(g, opts, state, max_vel, res_p)
+        new_core = dataclasses.replace(
+            state, u=u, v=v, p=p, p_prime=pp,
+            u_prev=u_enter if js else None, v_prev=v_enter if js else None,
+            dt=new_dt, t=new_t, step=new_step, substeps=substeps,
+            res_u=res_u, res_v=res_v, res_p=res_p)
+        new_s = Split2D(core=new_core, u_last=u_last,
+                        u_prev_last=ul_enter if js else None)
+        diag = StepDiagnostics(step=new_step, t=new_t, dt=state.dt,
+                               res_u=res_u, res_v=res_v, res_p=res_p,
+                               substeps=executed_substeps)
+        return new_s, diag
+
+    return jax.jit(step) if jit else step
+
+
+def make_run_shmap_2d(scene: Scene, mesh: Mesh, n_steps: int,
+                      interpret: bool = False):
+    """n steps of the explicitly 2-D-sharded step under lax.scan."""
+    step = make_step_shmap_2d(scene, mesh, interpret, jit=False)
+
+    def run(s: Split2D):
+        def body(c, _):
+            return step(c)
+        return lax.scan(body, s, None, length=n_steps)
+
+    return jax.jit(run)

@@ -615,3 +615,135 @@ def test_sor_k_divides_jacobi_iters():
         scene = cfd.make_scene(grid, params, opts)
         k = _sor_k(scene)
         assert k >= 1 and iters % k == 0, (nx, iters, k)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (rows x cols) explicit tier -- shard.step_shmap2d (round 3)
+# ---------------------------------------------------------------------------
+
+def _mesh2d():
+    from cfd_demo_tpu.shard.mesh import make_mesh2d_spatial
+    return make_mesh2d_spatial(2, 4)
+
+
+def _scene_2d(semantics, flow_case=None, nx=128, ny=64):
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, FlowCase, Grid, SimulationParams,
+                              solver_options_for)
+    kw = {}
+    if flow_case is not None:
+        kw["flow_case"] = flow_case
+    if flow_case == FlowCase.CAVITY:
+        grid = Grid(nx=nx, ny=ny, lx=1.0, ly=1.0)
+    else:
+        grid = Grid(nx=nx, ny=ny, lx=8.0, ly=4.0,
+                    obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    opts = solver_options_for(
+        semantics, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=0, early_exit=False, pallas_fuse_k=10)
+    return cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4, **kw), opts)
+
+
+def _run_2d(scene, n_steps):
+    from cfd_demo_tpu.shard.mesh import join_u, shard_state_2d
+    from cfd_demo_tpu.shard.step_shmap2d import make_run_shmap_2d
+    mesh = _mesh2d()
+    s = shard_state_2d(scene.init_state(), mesh)
+    s, diags = make_run_shmap_2d(scene, mesh, n_steps, interpret=True)(s)
+    return join_u(s), diags
+
+
+@pytest.mark.parametrize("semantics", ["RUST", "JS"])
+def test_step_shmap_2d_matches_single_device(semantics):
+    """The fully explicit 2-D rows x cols step (both-axis ppermute
+    halos + fused kernels with global row/column offsets) reproduces
+    the single-device fast step: fields bitwise-close, scalars equal --
+    including JS extrapolation + adaptive substeps riding the tier."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import Semantics
+    sem = getattr(Semantics, semantics)
+    scene = _scene_2d(sem)
+
+    ref_state, ref_diags = cfd.make_run(scene, 5, donate=False)(
+        scene.init_state())
+    got_state, got_diags = _run_2d(scene, 5)
+
+    # JS accumulates large p (zero-init solves, ~1e2 field scale), so
+    # reassociation ulps between the two lowered programs need a
+    # relative term there -- same envelope as the rows-tier JS test.
+    tols = ({"p": dict(rtol=1e-4, atol=1e-6),
+             "p_prime": dict(rtol=1e-4, atol=1e-6)}
+            if semantics == "JS" else {})
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)),
+            **tols.get(f, dict(rtol=0, atol=1e-6)), err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
+    np.testing.assert_array_equal(np.asarray(ref_diags.substeps),
+                                  np.asarray(got_diags.substeps))
+    np.testing.assert_allclose(np.asarray(ref_diags.res_p),
+                               np.asarray(got_diags.res_p),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_step_shmap_2d_cavity():
+    """Cavity flow case on the 2-D tier: all-Neumann p' BCs with the
+    gauge pin land on the right global rows/columns of every shard."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import FlowCase, Semantics
+    scene = _scene_2d(Semantics.RUST, flow_case=FlowCase.CAVITY,
+                      nx=128, ny=64)
+
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(
+        scene.init_state())
+    got_state, _ = _run_2d(scene, 4)
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=1e-6,
+            err_msg=f)
+
+
+def test_step_shmap_2d_collective_pattern():
+    """The 2-D tier's compiled communication stays pinned gather-free:
+    row/column ppermutes (collective-permute) + scalar all-reduce only
+    -- no full-field all-gather or all-to-all on either mesh axis."""
+    from cfd_demo_tpu import Semantics
+    from cfd_demo_tpu.shard.mesh import shard_state_2d
+    from cfd_demo_tpu.shard.step_shmap2d import make_step_shmap_2d
+
+    scene = _scene_2d(Semantics.RUST)
+    mesh = _mesh2d()
+    step = make_step_shmap_2d(scene, mesh, interpret=True, jit=False)
+    s = shard_state_2d(scene.init_state(), mesh)
+    txt = jax.jit(step).lower(s).compile().as_text()
+    assert txt.count("all-gather") == 0, "full-field gather crept in"
+    assert txt.count("all-to-all") == 0
+    assert txt.count("collective-permute") > 0
+
+
+def test_step_shmap_2d_rejects_unsupported():
+    """Non-fast modes route to the rows tier with a clear error."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.step_shmap2d import make_step_shmap_2d
+    grid = Grid(nx=128, ny=64, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    mesh = _mesh2d()
+    with pytest.raises(ValueError, match="rows tier"):
+        make_step_shmap_2d(cfd.make_scene(
+            grid, SimulationParams(dt=0.002, viscosity=1e-4),
+            solver_options_for(Semantics.RUST)), mesh)
+    with pytest.raises(ValueError, match="JACOBI"):
+        make_step_shmap_2d(cfd.make_scene(
+            grid, SimulationParams(dt=0.002, viscosity=1e-4,
+                                   pressure_solver=PressureSolver.SOR),
+            solver_options_for(Semantics.RUST, jacobi_tol=0.0,
+                               outer_corrector_rounds=0,
+                               early_exit=False)), mesh)
