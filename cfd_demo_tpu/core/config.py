@@ -267,6 +267,14 @@ class SolverOptions:
     # schemes satisfy the same exit contract; only cycle counts and
     # rounding differ.
     mgp_scheme: str = "auto"
+    # > 0: run EXACTLY this many V-cycles per solve instead of the
+    # adaptive exit -- a deterministic, data-independent schedule. In
+    # differentiable mode this enables the O(1)-memory fast adjoint
+    # (ops.poisson.fixed_linear_adjoint): the fixed-cycle solve is
+    # linear in (p'0, rhs), so the backward pass is the transposed
+    # cycle recursion with NO stored iterates and a Pallas-eligible
+    # forward. 0 (default): the adaptive divergence-calibrated exit.
+    mgp_fixed_cycles: int = 0
     # aligned-hierarchy levels at or below this many cells per side
     # stop recursing and solve exactly on the MXU (ops.fdm). 96
     # measured 10% faster than 48 at 8192^2 (one less latency-bound

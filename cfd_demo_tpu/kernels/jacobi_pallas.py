@@ -512,6 +512,29 @@ def _compiler_params(vmem_limit):
     return pltpu.CompilerParams(vmem_limit_bytes=int(vmem_limit))
 
 
+# Round-3 large-window mode (docs/PERF.md): raising Mosaic's scoped-VMEM
+# limit via CompilerParams admits FULL-WIDTH 1-D row blocks on wide
+# grids, eliminating the 2-D tiling's column-halo redundancy (1.41-1.69x
+# window re-reads -> 1.06-1.25x). The scoped-cost model calibrated on
+# v5e is (6w + bs) * nxp * 4 bytes -- two windows + the output block +
+# ~4 window-sized live temporaries of the sweep body: bs=256 at 8192
+# lanes (65 MB) compiles and runs 24.7 ms/50-iter solve vs the 2-D
+# tiling's 32.7; bs=512 (124 MB) is rejected by the toolchain.
+_LARGE_VMEM_LIMIT = 100 * 1024 * 1024
+_LARGE_SCOPED_BUDGET = 96 * 1024 * 1024
+
+
+def _large_window_bs(ny: int, nxp: int, halo: int):
+    """Largest full-width row-block size the calibrated scoped model
+    admits (None if none fits)."""
+    for bs in (512, 256, 128, 64):
+        if (ny % bs == 0 and ny >= bs + 2 * halo
+                and (6 * (bs + 2 * halo) + bs) * nxp * 4
+                <= _LARGE_SCOPED_BUDGET):
+            return bs
+    return None
+
+
 def _fused_k_2d(pp, rhs, dx, dy, omega, k, bs, bsx, nx, interpret,
                 cavity=False, vmem_limit=None):
     """Launch the 2-D tile kernel (pp/rhs already width-padded; nx is
@@ -579,6 +602,19 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         # Whole array fits comfortably in VMEM: single block, no halo,
         # no redundant compute.
         bs, halo, nblocks = ny, 0, 1
+    elif (window_budget is None and vmem_limit is None and not deep
+          and not interpret and nxp >= 4096
+          and _large_window_bs(ny, nxp, _halo8(k)) is not None):
+        # Large-window mode (see _LARGE_VMEM_LIMIT above): full-width
+        # row blocks under the raised scoped limit. Gated to shallow
+        # (fast-mode) compile contexts, where the model is calibrated;
+        # deep contexts keep the conservative tiling. Measured v5e
+        # 50-iter solve: 4096^2 6.6 -> 5.8 ms, 8192^2 32.7 -> 24.7,
+        # 16384^2 129.9 -> 109.9 (tools/probe_jacobi_r3*.py).
+        halo = _halo8(k)
+        bs = _large_window_bs(ny, nxp, halo)
+        nblocks = ny // bs
+        vmem_limit = _LARGE_VMEM_LIMIT
     else:
         halo = _halo8(k)
         # Window budget calibrated for the *in-program* compile context

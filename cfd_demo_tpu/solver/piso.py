@@ -184,7 +184,10 @@ def resolve_fuse_k(opts: SolverOptions, grid: Grid,
     (one whole-solve launch) ~9% SLOWER (a long serial fori_loop in
     one program loses the inter-launch DMA/compute overlap); k = 25
     at 2048^2 loses 20% to halo redundancy (halo8(25) = 32 forces
-    bs = 128).
+    bs = 128). The former >= 48M-cell k = 25 tier is gone since the
+    round-3 large-window mode (kernels.jacobi_pallas): full-width row
+    blocks make k = 16 the best measured everywhere (8192^2: 24.44 ms
+    vs 24.52 at k = 25; 16384^2: 109.9 vs 115.3 at k = 8).
 
     ``divide`` > 0 (the explicit shard_map step, whose per-shard chain
     has no remainder launch) constrains auto to the largest k <= base
@@ -193,7 +196,7 @@ def resolve_fuse_k(opts: SolverOptions, grid: Grid,
     """
     if opts.pallas_fuse_k:
         return opts.pallas_fuse_k
-    base = 25 if grid.nx * grid.ny >= 48_000_000 else 16
+    base = 16
     if divide:
         while base > 1 and divide % base != 0:
             base -= 1
@@ -348,6 +351,53 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                                      opts.jacobi_iters,
                                      early_exit=opts.early_exit, bc=bc,
                                      fixed_trip=opts.differentiable)
+        if (opts.differentiable and opts.jacobi_tol == 0.0
+                and not opts.residual_dt_scaling):
+            # Fast adjoint (ops.poisson.fixed_linear_adjoint): the
+            # fixed-schedule red/black solve is linear in (p'0, rhs)
+            # exactly like the fixed Jacobi schedule -- one transposed
+            # sweep recursion, no stored iterates, Pallas-eligible
+            # forward. Same err-gradient-is-zero convention and
+            # residual_dt_scaling gate as the Jacobi fast path.
+            from ..ops.poisson import (_iota_masks, _sor_sweep,
+                                       fixed_linear_adjoint)
+            n_it = opts.jacobi_iters
+
+            def sor_iter(p_, r_):
+                # masks built INSIDE the map: anything traced closed
+                # over here would leak a scan-trace tracer into the
+                # transpose jaxpr as a constant
+                _, rr_, cc_ = _iota_masks(p_.shape)
+                return _sor_sweep(p_, r_, g.dx, g.dy, opts.sor_omega,
+                                  (rr_ + cc_) % 2 == 0,
+                                  (rr_ + cc_) % 2 == 1, bc)[0]
+
+            from ..core.config import FlowCase
+            from ..kernels.sor_pallas import sor_pallas, sor_pallas_ok
+            k_s = max(resolve_fuse_k(opts, g, divide=n_it) // 2, 1)
+            if (opts.pressure_impl in ("auto", "pallas")
+                    and _pallas_ok(scene, rhs, allow_differentiable=True)
+                    and pp0.dtype == jnp.float32
+                    and sor_pallas_ok(g.ny, g.nx, k_s,
+                                      opts.pallas_block_rows)):
+                def forward(p0, r):
+                    pp_, err_, _ = sor_pallas(
+                        p0, r, g.dx, g.dy, opts.sor_omega, 0.0, n_it,
+                        k=k_s, block_rows=opts.pallas_block_rows,
+                        early_exit=False,
+                        cavity=(scene.params.flow_case
+                                == FlowCase.CAVITY))
+                    return pp_, err_
+            else:
+                def forward(p0, r):
+                    pp_, err_, _ = sor(p0, r, g.dx, g.dy, opts.sor_omega,
+                                       0.0, n_it, early_exit=False,
+                                       bc=bc, fixed_trip=True)
+                    return pp_, err_
+
+            pp_out, err_out = fixed_linear_adjoint(sor_iter, n_it,
+                                                   forward, pp0, rhs)
+            return pp_out, err_out, jnp.asarray(max(1, n_it), jnp.int32)
         impl = opts.pressure_impl
         if impl == "auto":
             impl = ("pallas" if (g.nx * g.ny >= 2_000_000

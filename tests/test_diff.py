@@ -241,3 +241,110 @@ def test_make_scene_rejects_incompatible_options():
         opts = solver_options_for(Semantics.JS, early_exit=False,
                                   differentiable=True)  # JS default is
         cfd.make_scene(grid, SimulationParams(), opts)   # adaptive
+
+
+def test_sor_fast_adjoint_transpose_is_exact():
+    """Round 3 (VERDICT r2 item 7): the fixed-schedule red/black SOR
+    solve through ops.poisson.fixed_linear_adjoint vs unrolled AD at
+    the solve level -- d/d(pp0) bitwise, d/d(rhs) to accumulation-order
+    noise. The sweep composition (red half, black half reading updated
+    reds, BCs) is linear in (p'0, rhs) exactly like the Jacobi
+    schedule."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs, _iota_masks,
+                                          _sor_sweep, fixed_linear_adjoint,
+                                          sor)
+    rng = np.random.default_rng(5)
+    pp0 = _apply_pprime_bcs(jnp.asarray(
+        rng.standard_normal((32, 48)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    dx, dy, om, it = 1 / 48, 1 / 32, 1.7, 9
+    _, r_, c_ = _iota_masks((32, 48))
+    red, black = (r_ + c_) % 2 == 0, (r_ + c_) % 2 == 1
+
+    def loss_unroll(p0, r):
+        pp, _, _ = sor(p0, r, dx, dy, om, 0.0, it,
+                       early_exit=False, fixed_trip=True)
+        return jnp.sum(pp ** 2)
+
+    def loss_fast(p0, r):
+        def forward(a, b):
+            pp, err, _ = sor(a, b, dx, dy, om, 0.0, it,
+                             early_exit=False, fixed_trip=True)
+            return pp, err
+
+        def one(p, rr):
+            return _sor_sweep(p, rr, dx, dy, om, red, black,
+                              _apply_pprime_bcs)[0]
+
+        pp, _ = fixed_linear_adjoint(one, it, forward, p0, r)
+        return jnp.sum(pp ** 2)
+
+    ga = jax.jit(jax.grad(loss_unroll, argnums=(0, 1)))(pp0, rhs)
+    gb = jax.jit(jax.grad(loss_fast, argnums=(0, 1)))(pp0, rhs)
+    np.testing.assert_array_equal(np.asarray(ga[0]), np.asarray(gb[0]))
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_mgp_fixed_cycles_fast_adjoint():
+    """mgp_fixed_cycles > 0 + differentiable: the fixed-cycle aligned
+    V-cycle solve takes the fast-adjoint path. Solve-level check vs
+    unrolled AD through the same XLA cycles: d/d(pp0) bitwise,
+    d/d(rhs) to accumulation-order noise."""
+    import dataclasses as dc
+
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                          multigrid_production)
+    rng = np.random.default_rng(7)
+    pp0 = _apply_pprime_bcs(jnp.asarray(
+        rng.standard_normal((32, 48)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    dx, dy = 1 / 48, 1 / 32
+    base = solver_options_for(Semantics.RUST, mgp_fixed_cycles=3,
+                              early_exit=False,
+                              outer_corrector_rounds=0)
+    o_fast = dc.replace(base, differentiable=True)
+    o_unroll = dc.replace(base, differentiable=False)
+
+    def loss_fast(p0, r):
+        pp, _, _ = multigrid_production(p0, r, dx, dy, o_fast, 0.0)
+        return jnp.sum(pp ** 2)
+
+    def loss_unroll(p0, r):
+        # same fixed-cycle forward, plain AD through the XLA cycles
+        pp, _, _ = multigrid_production(p0, r, dx, dy, o_unroll, 0.0)
+        return jnp.sum(pp ** 2)
+
+    # forward parity first: identical fields either way
+    pa, _, na = multigrid_production(pp0, rhs, dx, dy, o_fast, 0.0)
+    pb, _, nb = multigrid_production(pp0, rhs, dx, dy, o_unroll, 0.0)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert int(na) == int(nb) == 3
+
+    ga = jax.jit(jax.grad(loss_unroll, argnums=(0, 1)))(pp0, rhs)
+    gb = jax.jit(jax.grad(loss_fast, argnums=(0, 1)))(pp0, rhs)
+    # the transposed recursion reassociates the multi-level cycle's
+    # float ops vs unrolled AD of the same map: equal to ~1 ulp
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.parametrize("solver,over", [
+    ("sor", {"jacobi_tol": 0.0}),
+    ("mg-production", {"mgp_fixed_cycles": 3}),
+])
+def test_fast_adjoint_end_to_end_alt_solvers(solver, over):
+    """End-to-end rollout gradients through the SOR / fixed-cycle MGP
+    fast-adjoint paths: finite, nonzero, FD-consistent."""
+    loss = _loss_fn(_scene(solver=solver, **over), 3)
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    i0 = jnp.asarray(1.0, jnp.float32)
+    gnu, gin = jax.grad(loss, argnums=(0, 1))(nu0, i0)
+    assert np.isfinite(float(gnu)) and np.isfinite(float(gin))
+    assert float(gin) != 0.0
+    eps = 1e-3
+    fd_in = (loss(nu0, i0 + eps) - loss(nu0, i0 - eps)) / (2 * eps)
+    assert np.isclose(float(gin), float(fd_in), rtol=2e-2), \
+        (float(gin), float(fd_in))
