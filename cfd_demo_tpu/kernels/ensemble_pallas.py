@@ -149,11 +149,101 @@ def make_jacobi_solve(pp_w, rhs_w, *, ny, nx, nxp, dx, dy, omega, jtol,
     return solve
 
 
+def make_sor_solve(pp_w, rhs_w, *, ny, nx, nxp, dx, dy, omega, jtol,
+                   jiters, cavity):
+    """In-kernel red/black SOR twin of make_jacobi_solve
+    (ops.poisson.sor semantics; kernels.sor_pallas._kernel formulas:
+    two color half-sweeps per iteration, the black half reading the
+    red half's updates, boundary-read folding valid because a boundary
+    cell always mirrors the very neighbor that reads it and that
+    neighbor cannot have changed between the end-of-iteration BC
+    application and the read in either half)."""
+    gr = lax.broadcasted_iota(jnp.int32, (ny, nxp), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (ny, nxp), 1)
+    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
+    red = interior & (((gr + gc) % 2) == 0)
+    black = interior & (((gr + gc) % 2) == 1)
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    om = jnp.float32(omega)
+
+    def north(a):
+        return pltpu.roll(a, ny - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - 1, 1)
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    def half(pp, mask, rhs):
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        update = bx * (E + W) + by * (N + S) - rhs
+        new = (1.0 - om) * pp + om * update
+        return jnp.where(mask, new, pp)
+
+    def solve():
+        rhs = br * rhs_w[:]
+
+        def cond(c):
+            err, it = c
+            return jnp.logical_or(
+                it == 0, jnp.logical_and(it < jiters, err >= jtol))
+
+        def body(c):
+            _, it = c
+            old = pp_w[:]
+            pp = half(old, red, rhs)
+            pp = half(pp, black, rhs)
+            err2 = jnp.max(jnp.where(interior, jnp.abs(pp - old), 0.0))
+            pp_w[:] = pp
+            return err2, it + 1
+
+        err, _ = lax.while_loop(
+            cond, body, (jnp.float32(jnp.inf), jnp.int32(0)))
+        pp = pp_w[:]
+        pp = jnp.where(is_bot, north(pp), pp)
+        pp = jnp.where(is_top, south(pp), pp)
+        pp = jnp.where(is_left, east(pp), pp)
+        if cavity:
+            pp = jnp.where(is_right, west(pp), pp)
+            pp = jnp.where(jnp.logical_and(is_bot, is_left), 0.0, pp)
+        else:
+            pp = jnp.where(is_right, 0.0, pp)
+        pp_w[:] = pp
+        return err
+
+    return solve
+
+
 def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
                 u_out, v_out, p_out, pp_out, err_ref,
                 u_w, v_w, p_w, pp_w, rhs_w, sem,
                 *, grid, scheme, semantics, profile, flow_case,
-                ny, nx, nxp, omega, jtol, jiters, rounds, outer_tol):
+                ny, nx, nxp, omega, jtol, jiters, rounds, outer_tol,
+                solver):
     b = pl.program_id(0)
     js = semantics == Semantics.JS
     cavity = flow_case == FlowCase.CAVITY
@@ -178,7 +268,8 @@ def _kernel_sub(scal_ref, u_hbm, v_hbm, p_hbm, pp_hbm,
         grid, semantics, jnp.float32, ctx=ctx, shp_u=(ny, nxp),
         shp_v=(ny, nxp))
 
-    jacobi_solve = make_jacobi_solve(
+    make_solve = make_sor_solve if solver == "sor" else make_jacobi_solve
+    jacobi_solve = make_solve(
         pp_w, rhs_w, ny=ny, nx=nx, nxp=nxp, dx=grid.dx, dy=grid.dy,
         omega=omega, jtol=jtol, jiters=jiters, cavity=cavity)
 
@@ -247,13 +338,17 @@ def substep_batch_pallas(u: jnp.ndarray, v: jnp.ndarray, p: jnp.ndarray,
     ppa = jnp.pad(p_prime, pad_p)
     bfill = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (B,))
     scal = jnp.stack([bfill(dt_sub), bfill(nu), bfill(inlet)], axis=1)
+    from ..core.config import PressureSolver
+    is_sor = scene.params.pressure_solver == PressureSolver.SOR
     kern = functools.partial(
         _kernel_sub, grid=g, scheme=scene.params.velocity_scheme,
         semantics=opts.semantics, profile=scene.params.inlet_profile,
         flow_case=scene.params.flow_case, ny=ny, nx=nx, nxp=nxp,
-        omega=opts.jacobi_omega, jtol=opts.jacobi_tol,
+        omega=opts.sor_omega if is_sor else opts.jacobi_omega,
+        jtol=opts.jacobi_tol,
         jiters=opts.jacobi_iters, rounds=opts.outer_corrector_rounds,
-        outer_tol=opts.outer_corrector_tol)
+        outer_tol=opts.outer_corrector_tol,
+        solver="sor" if is_sor else "jacobi")
     blk = pl.BlockSpec((1, ny, nxp), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     uo, vo, po, ppo, err = pl.pallas_call(

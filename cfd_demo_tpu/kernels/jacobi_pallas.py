@@ -334,11 +334,25 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
         # two halo windows + the output block(s)
         return (2 * (bs + 2 * halo) * nxp + n_out * bs * nxp) * 4
 
+    vmem_limit = None
     budget = 6_815_744
     bs = 256
     while bs >= 8 and (ny % bs != 0 or ny < bs + 2 * halo
                        or vmem_model(bs) > budget):
         bs //= 2
+    if not interpret and nxp >= 4096:
+        # Large-window mode (see _LARGE_VMEM_LIMIT): the conservative
+        # budget forces tiny blocks on wide grids (bs=32 at 8192 lanes
+        # = 2x window redundancy for this kernel's 2 outputs); the
+        # raised scoped limit admits bs=256 (73 MB under the
+        # calibrated model, +1 output block vs the plain sweep).
+        for cand in (256, 128, 64):
+            if (cand > bs and ny % cand == 0 and ny >= cand + 2 * halo
+                    and ((6 + n_out - 1) * (cand + 2 * halo) + n_out * cand)
+                    * nxp * 4 <= _LARGE_SCOPED_BUDGET):
+                bs = cand
+                vmem_limit = _LARGE_VMEM_LIMIT
+                break
     if bs < 8:
         raise ValueError(f"no valid block size for ny={ny}, k={k}")
     nblocks = ny // bs
@@ -357,6 +371,7 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
     outs = pl.pallas_call(
         kern,
         grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[field_spec] * n_out + [

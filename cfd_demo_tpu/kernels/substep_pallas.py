@@ -45,6 +45,7 @@ from ..ops.corrector import correct
 from ..ops.divergence import divergence_rhs
 from ..ops.predictor import predict
 from ..ops.stencil import StencilCtx
+from .jacobi_pallas import _compiler_params
 
 _HALO = 8          # sublane-aligned row halo; stencils need <= 3 rows
 # Mosaic's ~16 MB scoped-VMEM limit covers explicit buffers PLUS the
@@ -67,9 +68,12 @@ class RollCtx(StencilCtx):
         self.start_col = start_col
         self.w = w
         self.nxp = nxp
-        shape = (w, nxp)
-        self._lr = lax.broadcasted_iota(jnp.int32, shape, 0)
-        self._lc = lax.broadcasted_iota(jnp.int32, shape, 1)
+        # 1-D index vectors, broadcast at use (lean-mask form, round 3):
+        # full (w, nxp) iotas each counted as a window-sized buffer
+        # against Mosaic's scoped-VMEM limit and cost whole-window
+        # compares wherever only a row or column predicate is needed.
+        self._lr = lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        self._lc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
 
     def shifts(self, src, out_shape):
         return _RollShifts(src, self)
@@ -116,25 +120,38 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _tile_rows(ny: int, nxp: int, n_windows: int, n_blocks: int,
-               n_temps: int, block_rows: int) -> Tuple[int, int]:
-    """(bs, halo): row-block size for a kernel holding ``n_windows``
-    (bs+2*halo, nxp) windows plus ``n_blocks`` (bs, nxp) blocks in
-    VMEM, with ``n_temps`` window-sized live temporaries estimated for
-    the kernel body. Whole-array single block (halo 0) when it fits."""
+               n_temps: int, block_rows: int) -> Tuple[int, int, int]:
+    """(bs, halo, vmem_limit): row-block size for a kernel holding
+    ``n_windows`` (bs+2*halo, nxp) windows plus ``n_blocks`` (bs, nxp)
+    blocks in VMEM, with ``n_temps`` window-sized live temporaries
+    estimated for the kernel body. Whole-array single block (halo 0)
+    when it fits. vmem_limit is None under the default scoped limit; on
+    very wide grids where no >= 32-row block fits it (8192^2 would tile
+    at bs=8, 3x window reads), the raised Mosaic limit admits efficient
+    blocks -- the round-3 large-window mode validated for the Jacobi
+    kernels (kernels.jacobi_pallas._LARGE_VMEM_LIMIT)."""
+    from .jacobi_pallas import _LARGE_SCOPED_BUDGET, _LARGE_VMEM_LIMIT
     row_bytes = nxp * 4
 
-    def fits(bs: int, halo: int) -> bool:
+    def fits(bs: int, halo: int, limit: int) -> bool:
         w = bs + 2 * halo
         return ((n_windows + n_temps) * w + n_blocks * bs) * row_bytes \
-            <= _VMEM_LIMIT
+            <= limit
 
-    if ny % 8 == 0 and fits(ny, 0):
-        return ny, 0
+    if ny % 8 == 0 and fits(ny, 0, _VMEM_LIMIT):
+        return ny, 0, None
     # Candidate block sizes: multiples of 8 dividing ny, largest first,
     # capped at block_rows (ny need not be a power of two: 264 -> 88).
     for bs in range(min(block_rows, ny), 7, -8):
-        if ny % bs == 0 and ny >= bs + 2 * _HALO and fits(bs, _HALO):
-            return bs, _HALO
+        if ny % bs == 0 and ny >= bs + 2 * _HALO \
+                and fits(bs, _HALO, _VMEM_LIMIT):
+            if bs >= 32:
+                return bs, _HALO, None
+            break
+    for bs in (256, 128, 64, 32):
+        if (bs <= block_rows and ny % bs == 0 and ny >= bs + 2 * _HALO
+                and fits(bs, _HALO, _LARGE_SCOPED_BUDGET)):
+            return bs, _HALO, _LARGE_VMEM_LIMIT
     raise ValueError(f"no Pallas substep tiling for ny={ny}, width={nxp}")
 
 
@@ -235,7 +252,7 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
         width_u = u.shape[1]  # local column block (2-D tier)
         assert v.shape[1] == width_u - 1
     nxp = _round_up(width_u, 128)
-    bs, halo = _tile_rows(ny, nxp, 3, 3, 12, block_rows)
+    bs, halo, vmem_limit = _tile_rows(ny, nxp, 3, 3, 12, block_rows)
     w = bs + 2 * halo
     aligned = (width_u - 1) % 128 == 0
     if pad_io:
@@ -259,6 +276,7 @@ def predict_div_pallas(u: jnp.ndarray, v: jnp.ndarray, dt_sub, nu,
     us, vs, rhs = pl.pallas_call(
         kern,
         grid=(ny // bs,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
@@ -396,7 +414,7 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     own_lo, own_hi = own_rows if own_rows is not None else (0, ny)
     nxp = _round_up(width_u, 128)
     oc_lo, oc_hi = own_cols if own_cols is not None else (0, nxp)
-    bs, halo = _tile_rows(ny, nxp, 4, 5, 8, block_rows)
+    bs, halo, vmem_limit = _tile_rows(ny, nxp, 4, 5, 8, block_rows)
     w = bs + 2 * halo
     aligned = (width_u - 1) % 128 == 0
     pad_u = ((0, 0), (0, nxp - width_u))
@@ -429,6 +447,7 @@ def correct_bc_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     u, v, p_new, red = pl.pallas_call(
         kern,
         grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [pl.BlockSpec((bs, nxp), lambda i: (i, 0),
@@ -532,7 +551,7 @@ def correct_div_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
         assert ny == grid.ny
         row_offset = 0
     nxp = _round_up(nx + 1, 128)
-    bs, halo = _tile_rows(ny, nxp, 4, 4, 8, block_rows)
+    bs, halo, vmem_limit = _tile_rows(ny, nxp, 4, 4, 8, block_rows)
     w = bs + 2 * halo
     aligned = nx % 128 == 0
     if pad_io:
@@ -556,6 +575,7 @@ def correct_div_pallas(u_star: jnp.ndarray, v_star: jnp.ndarray,
     u, v, p_new, rhs = pl.pallas_call(
         kern,
         grid=(ny // bs,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),

@@ -162,9 +162,9 @@ def _use_fused_substep(scene: "Scene", dtype, example=None) -> bool:
             # (8192^2 would tile at bs=8 -> 3x reads; jnp is faster).
             from ..kernels.substep_pallas import _round_up, _tile_rows
             try:
-                bs, _ = _tile_rows(scene.grid.ny,
-                                   _round_up(scene.grid.nx + 1, 128),
-                                   4, 5, 8, scene.opts.pallas_block_rows)
+                bs, _, _ = _tile_rows(scene.grid.ny,
+                                      _round_up(scene.grid.nx + 1, 128),
+                                      4, 5, 8, scene.opts.pallas_block_rows)
             except ValueError:
                 bs = 0
             ok = bs >= 32
@@ -564,10 +564,13 @@ def _substep_unfused(scene: Scene):
         opts = scene.opts
         if (jax.default_backend() in ("tpu", "axon")
                 and args[0].dtype == jnp.float32
-                # The whole-scene kernel solves pressure with the
-                # in-kernel Jacobi only; SOR/multigrid scenes must take
-                # the vmapped jnp path.
-                and scene.params.pressure_solver == PressureSolver.JACOBI
+                # The whole-scene kernel carries in-kernel Jacobi AND
+                # red/black SOR solvers (round 3); multigrid scenes and
+                # the sequential lexicographic SOR ordering take the
+                # vmapped jnp path.
+                and (scene.params.pressure_solver == PressureSolver.JACOBI
+                     or (scene.params.pressure_solver == PressureSolver.SOR
+                         and opts.sor_ordering != "lexicographic"))
                 and opts.pressure_impl in ("auto", "pallas")
                 and opts.substep_impl in ("auto", "pallas")
                 and not any(_is_batched(a) for a in args)
