@@ -60,6 +60,12 @@ INDEX_HTML = r"""<!DOCTYPE html>
     <label>case <select id="flow_case">
       <option value="channel">Channel + cylinder</option>
       <option value="cavity">Lid-driven cavity</option></select></label>
+    <label>semantics <select id="semantics" onchange="semanticsChanged()">
+      <option value="rust">Rust (fixed substeps)</option>
+      <option value="js">JS (adaptive substeps)</option></select></label>
+    <label id="rdslabel" style="display:none"><input type="checkbox"
+      id="residual_dt_scaling"> residual dt scaling</label>
+    <span id="substeps" style="font-size:.85rem"></span>
     <button onclick="sendParams()">Update</button>
   </div>
   <img id="frame" class="frame" src="/api/frame" width="800">
@@ -119,9 +125,16 @@ async function sendParams() {
   const p = {};
   for (const k of ['dt', 'viscosity', 'inlet'])
     p[k] = parseFloat(document.getElementById(k).value);
-  for (const k of ['scheme', 'profile', 'solver', 'flow_case'])
+  for (const k of ['scheme', 'profile', 'solver', 'flow_case', 'semantics'])
     p[k] = document.getElementById(k).value;
+  p.residual_dt_scaling =
+    document.getElementById('residual_dt_scaling').checked;
   await fetch('/api/params', {method: 'POST', body: JSON.stringify(p)});
+}
+function semanticsChanged() {
+  // residual-based dt scaling is the JS twin's checkbox (index.html:75)
+  const js = document.getElementById('semantics').value === 'js';
+  document.getElementById('rdslabel').style.display = js ? '' : 'none';
 }
 function refreshFrame() {
   const tr = document.getElementById('tracers').checked ? 1 : 0;
@@ -168,6 +181,9 @@ async function poll() {
       : (s.forces ? 'forces: diverged' : '');
     const el = document.getElementById('log');
     el.scrollTop = el.scrollHeight;
+    document.getElementById('substeps').textContent =
+      (s.substeps != null && s.params.semantics === 'js')
+      ? `substeps: ${s.substeps}` : '';
     drawGraph(s.history);
     if (s.running && !streaming) refreshFrame();
   } catch (e) {}

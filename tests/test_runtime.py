@@ -355,3 +355,78 @@ def test_driver_autosave_skips_diverged_state():
         st = checkpoint.load(auto, template=sc.init_state())
         assert np.isfinite(np.asarray(st.u)).all()
         assert np.isfinite(np.asarray(st.p)).all()
+
+
+def test_driver_set_options_semantics_switch():
+    """Round 3 (VERDICT r2 item 5): SolverOptions replacement mid-run
+    -- the JS-twin runtime semantics become reachable from a live
+    handle. The rebuild compiles in the background and swaps when
+    ready; fields carry over with the JS-only u_prev/v_prev leaves
+    added (and dropped on the way back)."""
+    from cfd_demo_tpu import Semantics, solver_options_for
+
+    sc = scene()
+    h = run(sc)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < 2:
+            time.sleep(0.02)
+        h.set_options(solver_options_for(Semantics.JS, ramp_up_steps=5))
+        deadline = time.time() + 120
+        while time.time() < deadline and \
+                h._scene.opts.semantics != Semantics.JS:
+            time.sleep(0.05)
+        assert h._scene.opts.semantics == Semantics.JS
+        assert h.error is None
+        # JS state structure: extrapolation fields present; stepping on
+        step0 = h._last_step
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < step0 + 2:
+            time.sleep(0.02)
+        assert h._last_step >= step0 + 2
+        assert h._state.u_prev is not None
+        assert np.isfinite(np.asarray(h._state.u)).all()
+        # and back to RUST: u_prev dropped, still stepping
+        h.set_options(solver_options_for(Semantics.RUST, ramp_up_steps=5))
+        deadline = time.time() + 120
+        while time.time() < deadline and \
+                h._scene.opts.semantics != Semantics.RUST:
+            time.sleep(0.05)
+        assert h._scene.opts.semantics == Semantics.RUST
+        assert h._state.u_prev is None
+        assert h.error is None
+    finally:
+        h.stop()
+
+
+def test_driver_background_rebuild_does_not_block_stream():
+    """An enum change must not stall the control loop: steps keep
+    landing between the set_params call and the swap (the old
+    configuration streams while the new one compiles)."""
+    from cfd_demo_tpu import SimulationParams, VelocityScheme
+
+    sc = scene()
+    h = run(sc)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < 2:
+            time.sleep(0.02)
+        old_scene = h._scene
+        h.set_params(SimulationParams(
+            dt=0.002, viscosity=1e-4,
+            velocity_scheme=VelocityScheme.QUICK))
+        # stepping continues regardless of which scene is live
+        step0 = h._last_step
+        deadline = time.time() + 60
+        while time.time() < deadline and h._last_step < step0 + 3:
+            time.sleep(0.02)
+        assert h._last_step >= step0 + 3
+        # and the swap eventually lands
+        deadline = time.time() + 120
+        while time.time() < deadline and h._scene is old_scene:
+            time.sleep(0.05)
+        assert h._scene.params.velocity_scheme == VelocityScheme.QUICK
+        assert h.error is None
+        assert np.isfinite(np.asarray(h._state.u)).all()
+    finally:
+        h.stop()
