@@ -396,9 +396,16 @@ def test_web_semantics_switch_live():
     the JS adaptive substep count becomes visible."""
     import urllib.request
     from http.server import ThreadingHTTPServer
+    from cfd_demo_tpu import Semantics as _Sem, SimulationParams as _SP
     from cfd_demo_tpu.apps.web import server as websrv
 
     websrv.APP.nx, websrv.APP.ny = 48, 24
+    # the module-global APP carries state across tests (an earlier test
+    # may have left flow_case=cavity, which would force a restart here)
+    websrv.APP.params = _SP(dt=0.005, viscosity=1e-6,
+                            target_inlet_velocity=1.0)
+    websrv.APP.semantics = _Sem.RUST
+    websrv.APP.residual_dt_scaling = False
     srv = ThreadingHTTPServer(("127.0.0.1", 0), websrv.Handler)
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()

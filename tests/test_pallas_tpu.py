@@ -575,3 +575,46 @@ def test_vmap_non_jacobi_routes_around_ensemble_kernel():
         np.testing.assert_allclose(np.asarray(getattr(a, f)),
                                    np.asarray(getattr(b, f)),
                                    rtol=1e-5, atol=1e-5, err_msg=f)
+
+
+def test_vmap_ensemble_sor_kernel_matches_jnp_hw():
+    """Round 3 (VERDICT r2 item 8): the whole-scene kernel's in-kernel
+    red/black SOR solver on the real chip -- vmapped SOR ensemble via
+    the kernel vs the forced-XLA batch path, fixed schedule."""
+    import dataclasses
+    from functools import partial
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.solver.piso import step_fn
+
+    grid = Grid(nx=64, ny=32, lx=4.0, ly=2.0,
+                obstacles=(Cylinder(1.0, 1.0, 0.3),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.SOR)
+    B = 8
+    nus = np.geomspace(1e-5, 1e-3, B).astype(np.float32)
+    states = {}
+    for impl in ("jnp", "auto"):
+        opts = solver_options_for(Semantics.RUST, ramp_up_steps=5,
+                                  early_exit=False, jacobi_tol=0.0,
+                                  jacobi_iters=30, pressure_impl=impl,
+                                  substep_impl=impl)
+        scene = cfd.make_scene(grid, params, opts)
+        base = scene.init_state()
+        batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), base)
+        batched = dataclasses.replace(batched, nu=jnp.asarray(nus))
+        step = jax.jit(jax.vmap(partial(step_fn, scene)))
+        for _ in range(3):
+            batched, _ = step(batched)
+        float(batched.res_u[0])
+        states[impl] = batched
+    a, b = states["jnp"], states["auto"]
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                   np.asarray(getattr(b, f)),
+                                   rtol=1e-4, atol=1e-4, err_msg=f)
