@@ -1229,3 +1229,185 @@ def jacobi_pallas_batch(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float,
     if nxp != nx:
         out = out[:, :, :nx]
     return out, err[:, 0], n[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Cell-centered coarse-level variant (MGP aligned hierarchy, round 3).
+#
+# The aligned V-cycle's coarse levels (ops.poisson._cc_sweeps /
+# _cc_residual) ran as XLA passes; at 8192^2 the correction chain was
+# ~20 ms of the ~28 ms cycle (tools/probe_mgp_phase_r3.py). This kernel
+# runs k damped sweeps (+ optionally the residual) on the
+# interior-unknown arrays in one launch: every cell is an unknown (no
+# boundary ring), Neumann edges mirror (ghost = self), the east edge
+# reads the 0-valued Dirichlet ghost, and the outlet diagonal carries
+# the distance-aware fold (1 + dx/d)/dx^2 when the wall sits at
+# d != dx from the last center (ops.poisson._cc_diag).
+# ---------------------------------------------------------------------------
+
+def _kernel_cc(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nyp, nxp, bs,
+               halo, k, dx2, dy2, omega, east_dirichlet, extra, emit_res):
+    if emit_res:
+        res_ref, pp_win, rhs_win, sem = refs
+    else:
+        pp_win, rhs_win, sem = refs
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    # margin k (+1 when the fused residual reads one ring past the
+    # k-sweep contamination depth; see _kernel_res)
+    m = k + 1 if emit_res else k
+    start = pl.multiple_of(
+        jnp.clip(((row0 - m) // 8) * 8, 0, nyp - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / dx2)
+    by = jnp.float32(1.0 / dy2)
+    om = jnp.float32(omega)
+    if extra:
+        dg = jnp.where(is_right, jnp.float32(denom + extra),
+                       jnp.float32(denom))
+        inv_dg = 1.0 / dg
+    else:
+        dg = jnp.float32(denom)
+        inv_dg = jnp.float32(1.0 / denom)
+
+    def folded(pp):
+        E = pltpu.roll(pp, nxp - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        S = jnp.where(is_bot, pp, S)
+        N = jnp.where(is_top, pp, N)
+        W = jnp.where(is_left, pp, W)
+        E = (jnp.where(is_right, 0.0, E) if east_dirichlet
+             else jnp.where(is_right, pp, E))
+        return E, W, N, S
+
+    def iterate(fold_rows=True):
+        pp = pp_win[:]
+        E = pltpu.roll(pp, nxp - 1, 1)
+        W = pltpu.roll(pp, 1, 1)
+        N = pltpu.roll(pp, w - 1, 0)
+        S = pltpu.roll(pp, 1, 0)
+        if fold_rows:
+            S = jnp.where(is_bot, pp, S)
+            N = jnp.where(is_top, pp, N)
+        W = jnp.where(is_left, pp, W)
+        E = (jnp.where(is_right, 0.0, E) if east_dirichlet
+             else jnp.where(is_right, pp, E))
+        upd = (bx * (E + W) + by * (N + S) - rhs_win[:]) * inv_dg
+        pp_win[:] = (1.0 - om) * pp + om * upd
+
+    inner_rows = jnp.logical_and(start >= 1, start + w <= ny - 1)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k, lambda _, c: (iterate(False), c)[1], 0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k, lambda _, c: (iterate(True), c)[1], 0)
+
+    if emit_res:
+        pp = pp_win[:]
+        E, W, N, S = folded(pp)
+        rhs_win[:] = rhs_win[:] - (bx * (E + W) + by * (N + S) - dg * pp)
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    if emit_res:
+        res_cp = pltpu.make_async_copy(rhs_win.at[pl.ds(out_lo, bs), :],
+                                       res_ref, sem.at[1])
+        res_cp.start()
+        res_cp.wait()
+    out_cp.wait()
+
+
+def cc_sweeps_pallas(p: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                     dy: float, omega: float, k: int,
+                     east_dirichlet: bool, d_wall: float,
+                     emit_res: bool = False, interpret: bool = False):
+    """k damped sweeps on the cell-centered folded operator
+    (ops.poisson._cc_sweeps semantics, reciprocal-multiplier
+    arithmetic), optionally + the residual (ops.poisson._cc_residual)
+    in the same launch. Returns (p', r | None). Odd sizes row-pad to a
+    multiple of 8 (the mirror folds key on the LOGICAL edges, so pad
+    rows are inert garbage the valid region never reads).
+    Raises ValueError when no feasible block exists."""
+    ny, nx = p.shape
+    nyp = -(-ny // 8) * 8
+    nxp = -(-nx // 128) * 128
+    halo = _halo8(k + 1 if emit_res else k)
+    n_out = 2 if emit_res else 1
+    extra = 0.0
+    if east_dirichlet and d_wall != dx:
+        extra = (dx / d_wall - 1.0) / (dx * dx)
+
+    def vmem_model(bs):
+        return (2 * (bs + 2 * halo) * nxp + n_out * bs * nxp) * 4
+
+    vmem_limit = None
+    budget = 6_815_744
+    bs = 256
+    while bs >= 8 and (nyp % bs != 0 or nyp < bs + 2 * halo
+                       or vmem_model(bs) > budget):
+        bs //= 2
+    if not interpret and nxp >= 4096:
+        for cand in (256, 128, 64):
+            if (cand > bs and nyp % cand == 0 and nyp >= cand + 2 * halo
+                    and ((6 + n_out - 1) * (cand + 2 * halo)
+                         + n_out * cand) * nxp * 4 <= _LARGE_SCOPED_BUDGET):
+                bs = cand
+                vmem_limit = _LARGE_VMEM_LIMIT
+                break
+    if bs < 8:
+        raise ValueError(f"no valid cc block for ny={ny}, k={k}")
+    nblocks = nyp // bs
+    w = bs + 2 * halo
+    if (nyp, nxp) != (ny, nx):
+        pad = ((0, nyp - ny), (0, nxp - nx))
+        p = jnp.pad(p, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(
+        _kernel_cc, ny=ny, nx=nx, nyp=nyp, nxp=nxp, bs=bs, halo=halo,
+        k=k, dx2=dx * dx, dy2=dy * dy, omega=omega,
+        east_dirichlet=east_dirichlet, extra=extra, emit_res=emit_res)
+    field_spec = pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    field_shape = jax.ShapeDtypeStruct((nyp, nxp), p.dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[field_spec] * n_out,
+        out_shape=[field_shape] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), p.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(p, rhs)
+    if emit_res:
+        out, res = outs
+        return out[:ny, :nx], res[:ny, :nx]
+    return outs[0][:ny, :nx], None

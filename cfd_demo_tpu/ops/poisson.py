@@ -709,6 +709,28 @@ def _cc_sweeps(p, rhs, dx, dy, omega, iters, east_dirichlet, d_wall):
     return p
 
 
+def _cc_sweeps_res_auto(p, rhs, dx, dy, omega, iters, east_dirichlet,
+                        d_wall, opts, need_res):
+    """Coarse-level smoothing (+ residual) through the fused cc kernel
+    on TPU at >= 2M cells (kernels.jacobi_pallas.cc_sweeps_pallas) --
+    the XLA sweeps of the big coarse levels were ~70% of the aligned
+    V-cycle at 8192^2 (docs/PERF.md round 3). Same values to the
+    reciprocal-multiplier ulp envelope of every other fused kernel."""
+    if (iters > 0 and _pallas_route_ok(rhs, opts)
+            and rhs.shape[0] * rhs.shape[1] >= 2_000_000):
+        from ..kernels.jacobi_pallas import cc_sweeps_pallas
+        try:
+            return cc_sweeps_pallas(p, rhs, dx, dy, omega, iters,
+                                    east_dirichlet, d_wall,
+                                    emit_res=need_res)
+        except ValueError:
+            pass
+    p = _cc_sweeps(p, rhs, dx, dy, omega, iters, east_dirichlet, d_wall)
+    r = (_cc_residual(p, rhs, dx, dy, east_dirichlet, d_wall)
+         if need_res else None)
+    return p, r
+
+
 def _cc_coarse_size(m: int) -> int:
     """Coarse cell count along one axis. Even m halves exactly; odd m
     picks whichever of (m+1)/2 (mirror-pad a ghost on the west/south
@@ -838,9 +860,9 @@ def _cc_vcycle(rhs, dx, dy, opts, east_dirichlet, d_wall):
         from .fdm import fdm_solve_interior
         return fdm_solve_interior(rhs, dx, dy, east_dirichlet, d_wall)
     omega, nu = opts.jacobi_omega, opts.mgp_smooth
-    p = _cc_sweeps(jnp.zeros_like(rhs), rhs, dx, dy, omega, nu,
-                   east_dirichlet, d_wall)
-    r = _cc_residual(p, rhs, dx, dy, east_dirichlet, d_wall)
+    p, r = _cc_sweeps_res_auto(jnp.zeros_like(rhs), rhs, dx, dy, omega,
+                               nu, east_dirichlet, d_wall, opts,
+                               need_res=True)
     # A saturated axis (width 1: identity transfers, cell centers
     # unchanged) must keep its OWN metric on the coarse level --
     # doubling h / growing d_wall there would weaken the folded wall
@@ -854,7 +876,9 @@ def _cc_vcycle(rhs, dx, dy, opts, east_dirichlet, d_wall):
                      east_dirichlet,
                      d_wall if x_sat else d_wall + dx / 2)
     p = p + _cc_prolong(e_c, ny, nx, east_dirichlet)
-    return _cc_sweeps(p, rhs, dx, dy, omega, nu, east_dirichlet, d_wall)
+    return _cc_sweeps_res_auto(p, rhs, dx, dy, omega, nu,
+                               east_dirichlet, d_wall, opts,
+                               need_res=False)[0]
 
 
 def _cc_correction_from_coarse(r_c, ny_int, nx_int, dx, dy, opts,

@@ -69,3 +69,38 @@ def test_fused_2d_tiles_match_jnp_interpret(bs, bsx, cavity):
                                rtol=0, atol=1e-6)
     # err is the raw per-block SMEM vector (the caller maxes it)
     assert np.isclose(float(err_ref), float(jnp.max(err)), rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (63, 97)])  # odd row-pad
+@pytest.mark.parametrize("east_dirichlet,d_wall_mult", [
+    (True, 1.0), (True, 1.5), (False, 1.0)])
+@pytest.mark.parametrize("emit_res", [True, False])
+def test_cc_sweeps_kernel_matches_xla_interpret(shape, east_dirichlet,
+                                                d_wall_mult, emit_res):
+    """Round 3: the cell-centered coarse-level sweep kernel
+    (kernels.jacobi_pallas.cc_sweeps_pallas) against the XLA folded
+    operator (ops.poisson._cc_sweeps/_cc_residual) -- mirror folds,
+    Dirichlet east ghost, distance-aware outlet diagonal, odd-size
+    row padding."""
+    from cfd_demo_tpu.kernels.jacobi_pallas import cc_sweeps_pallas
+    from cfd_demo_tpu.ops.poisson import _cc_residual, _cc_sweeps
+
+    ny, nx = shape
+    dx, dy = 1.0 / nx, 1.0 / ny
+    d_wall = d_wall_mult * dx
+    rng = np.random.default_rng(11)
+    p0 = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k = 3
+    ref = _cc_sweeps(p0, rhs, dx, dy, 0.75, k, east_dirichlet, d_wall)
+    got, r_got = cc_sweeps_pallas(p0, rhs, dx, dy, 0.75, k,
+                                  east_dirichlet, d_wall,
+                                  emit_res=emit_res, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+    if emit_res:
+        r_ref = _cc_residual(ref, rhs, dx, dy, east_dirichlet, d_wall)
+        np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
+                                   rtol=1e-4, atol=1e-3)
+    else:
+        assert r_got is None
