@@ -1005,6 +1005,16 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
     implementation tier (XLA, whole-cycle Pallas, explicit shard_map)
     shares the identical threshold.
     """
+    import dataclasses as _dc
+    if (opts.mgp_smooth == 3
+            and pp0.shape[-2] * pp0.shape[-1] >= 48_000_000):
+        # Size-aware smoothing strength (round 3, measured at 8192^2
+        # with the fused cc coarse sweeps): 5 sweeps/position cost
+        # ~2 ms more per cycle but cut the steady adaptive cycle count
+        # enough for 117 -> 101 ms/step (0.57 -> 0.66e9 cups,
+        # per-step probe protocol); smooth=8 is flat vs 5. Applied only
+        # to the untouched default so an explicit mgp_smooth wins.
+        opts = _dc.replace(opts, mgp_smooth=5)
     p0 = bc(pp0)
     diff = getattr(opts, "differentiable", False)
     fixed_cycles = getattr(opts, "mgp_fixed_cycles", 0)

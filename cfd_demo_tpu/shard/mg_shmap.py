@@ -331,7 +331,14 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
     opts.mgp_rtol > 0 widens tol_r to max(tol_r, rtol * r0) exactly as
     ops.poisson.multigrid_production does, with r0 the globally pmax'd
     warm-start residual. Returns (local p', global max|residual|)."""
+    import dataclasses as _dc
+
     from ..ops.poisson import _masked_while, _mgp_noise_floor
+
+    if opts.mgp_smooth == 3 and gny * nx >= 48_000_000:
+        # mirror multigrid_production's size-aware smoothing strength
+        # so the tiers keep identical numerics at every size
+        opts = _dc.replace(opts, mgp_smooth=5)
 
     def cycle(p_loc):
         p_loc = _vcycle_mgp_shard(p_loc, rhs_loc, gny, nx, dx, dy,
