@@ -630,6 +630,17 @@ def jacobi_fused_k(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float, dy: float,
         bs = _large_window_bs(ny, nxp, halo)
         nblocks = ny // bs
         vmem_limit = _LARGE_VMEM_LIMIT
+        # At >= 16384 lanes even the large 1-D window caps at bs=128
+        # (1.25x row redundancy); a 256 x nxp/2 large-window 2-D tile
+        # fits the scoped model at 1.16x total redundancy and measured
+        # 100.8 vs 107.4 ms for the 16384^2 50-iteration solve.
+        bsx = nxp // 2
+        if (bs < 256 and ny % 256 == 0 and ny >= 256 + 2 * halo
+                and bsx % 128 == 0 and k <= COL_HALO
+                and (6 * (256 + 2 * halo) * (bsx + 2 * COL_HALO)
+                     + 256 * bsx) * 4 <= _LARGE_SCOPED_BUDGET):
+            bs = 256
+            use_2d = True
     else:
         halo = _halo8(k)
         # Window budget calibrated for the *in-program* compile context

@@ -570,7 +570,13 @@ def _substep_unfused(scene: Scene):
                 # vmapped jnp path.
                 and (scene.params.pressure_solver == PressureSolver.JACOBI
                      or (scene.params.pressure_solver == PressureSolver.SOR
-                         and opts.sor_ordering != "lexicographic"))
+                         and opts.sor_ordering != "lexicographic"
+                         # measured (docs/PERF.md round 3): the SOR
+                         # kernel wins 1.35x at B=8 but loses 18% at
+                         # B=64 (the 2k-ring color sweeps cost more
+                         # VPU than the XLA batch path's HBM floor
+                         # saves at large B)
+                         and axis_size <= 16))
                 and opts.pressure_impl in ("auto", "pallas")
                 and opts.substep_impl in ("auto", "pallas")
                 and not any(_is_batched(a) for a in args)
