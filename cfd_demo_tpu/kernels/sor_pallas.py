@@ -417,13 +417,17 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
 
 def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
                   pp_win, rhs_win, sem,
-                  *, gny, nx, nxp, ext_ny, bs, halo, k, own_lo, own_hi,
+                  *, gny, gnx, nx, nxp, ext_ny, bs, halo, k,
+                  own_lo, own_hi, own_clo, own_chi,
                   dx2, dy2, omega, cavity):
-    """Like _kernel, but rows are a window of the *global* array:
-    global row = off_ref[0] + local row (the multi-chip analog, mirror
-    of jacobi_pallas._kernel_shard). ``own_lo:own_hi`` are the local
-    rows the shard owns; its exchanged halos go stale two rings per
-    iteration and are discarded by the caller."""
+    """Like _kernel, but rows (and, on the 2-D rows x cols tier,
+    columns) are a window of the *global* array: global row =
+    off_ref[0] + local row, global column = off_ref[1] + local column
+    (mirror of jacobi_pallas._kernel_shard; the red/black parity mask
+    uses GLOBAL (row + col), so color assignment is shard-invariant).
+    ``own_lo:own_hi`` / ``own_clo:own_chi`` are the local rows/columns
+    the shard owns; exchanged halos go stale two rings per iteration
+    and are discarded by the caller."""
     i = pl.program_id(0)
     w = bs + 2 * halo
     row0 = i * bs
@@ -441,22 +445,29 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
     cp1.wait()
     cp2.wait()
 
-    lr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)  # local row
-    gr = off_ref[0] + lr                                       # global row
-    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
-    interior = ((gr >= 1) & (gr <= gny - 2) & (gc >= 1) & (gc <= nx - 2))
-    owned = (interior & (lr >= row0) & (lr < row0 + bs)
-             & (lr >= own_lo) & (lr < own_hi))
-    red = interior & (((gr + gc) % 2) == 0)
-    black = interior & (((gr + gc) % 2) == 1)
+    # 1-D masks (lean form, see jacobi_pallas._kernel_shard); only the
+    # red/black parity needs a true 2-D combine, built once.
+    lr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # local row
+    gr = off_ref[0] + lr                                     # global row
+    lc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    gc = off_ref[1] + lc                                     # global col
+    interior_r = ((gr >= 1) & (gr <= gny - 2))
+    interior_c = ((gc >= 1) & (gc <= gnx - 2))
+    owned_r = (interior_r & (lr >= row0) & (lr < row0 + bs)
+               & (lr >= own_lo) & (lr < own_hi))
+    owned_c = (interior_c & (lc >= own_clo) & (lc < own_chi))
+    interior = interior_r & interior_c
+    par = (gr + gc) % 2
+    red = interior & (par == 0)
+    black = interior & (par == 1)
     is_bot = gr == 0
     is_top = gr == gny - 1
     is_left = gc == 0
-    is_right = gc == nx - 1
+    is_right = gc == gnx - 1
     adj_bot = gr == 1
     adj_top = gr == gny - 2
     adj_left = gc == 1
-    adj_right = gc == nx - 2
+    adj_right = gc == gnx - 2
     denom = 2.0 / dx2 + 2.0 / dy2
     bx = jnp.float32(1.0 / (dx2 * denom))
     by = jnp.float32(1.0 / (dy2 * denom))
@@ -483,7 +494,8 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
         old = pp_win[:]
         pp = half(old, red, fold_rows)
         pp = half(pp, black, fold_rows)
-        err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
+        err = (jnp.max(jnp.where(owned_r & owned_c,
+                                 jnp.abs(pp - old), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = pp
         return err
@@ -523,12 +535,22 @@ def _kernel_shard(off_ref, pp_hbm, rhs_hbm, out_ref, err_ref,
 def sor_fused_k_shard(pp_ext, rhs_ext, row_offset, gny: int,
                       dx: float, dy: float, omega: float, k: int,
                       own_lo: int, own_hi: int, block_rows: int = 256,
-                      interpret: bool = False, cavity: bool = False):
+                      interpret: bool = False, cavity: bool = False,
+                      col_offset=None, gnx: int = None, own_cols=None):
     """K fused red/black iterations on a halo-extended (ext_ny, nx)
     local block whose row 0 is global row ``row_offset`` (traced
     scalar). Returns (updated ext block, max |delta| over owned rows).
-    The halo must span 2K rows (two rings per iteration)."""
+    The halo must span 2K rows (two rings per iteration).
+
+    ``col_offset``/``gnx``/``own_cols`` (2-D rows x cols tier): the
+    block is additionally a column block whose column 0 is global
+    column ``col_offset`` of a ``gnx``-wide array."""
     ext_ny, nx = pp_ext.shape
+    if gnx is None:
+        gnx = nx
+    if col_offset is None:
+        col_offset = 0
+    own_clo, own_chi = own_cols if own_cols is not None else (0, nx)
     if ext_ny % 8 != 0:
         raise ValueError(f"ext_ny={ext_ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
@@ -546,8 +568,9 @@ def sor_fused_k_shard(pp_ext, rhs_ext, row_offset, gny: int,
         pp_ext = jnp.pad(pp_ext, pad)
         rhs_ext = jnp.pad(rhs_ext, pad)
     kern = functools.partial(
-        _kernel_shard, gny=gny, nx=nx, nxp=nxp, ext_ny=ext_ny, bs=bs,
-        halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        _kernel_shard, gny=gny, gnx=gnx, nx=nx, nxp=nxp, ext_ny=ext_ny,
+        bs=bs, halo=halo, k=k, own_lo=own_lo, own_hi=own_hi,
+        own_clo=own_clo, own_chi=own_chi,
         dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
     out, err = pl.pallas_call(
         kern,
@@ -567,7 +590,8 @@ def sor_fused_k_shard(pp_ext, rhs_ext, row_offset, gny: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(jnp.asarray(row_offset, jnp.int32).reshape(1), pp_ext, rhs_ext)
+    )(jnp.stack([jnp.asarray(row_offset, jnp.int32),
+                 jnp.asarray(col_offset, jnp.int32)]), pp_ext, rhs_ext)
     if nxp != nx:
         out = out[:, :nx]
     return out, jnp.max(err)

@@ -94,3 +94,66 @@ def sor_pallas_shmap(pp: jnp.ndarray, rhs: jnp.ndarray, mesh: Mesh,
                        out_specs=(P(axis, None), P()),
                        check_vma=False)
     return fn(pp, rhs)
+
+
+def sor_pallas_shard_body_2d(pp_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
+                             gny: int, gnx: int, yaxis: str, xaxis: str,
+                             dx: float, dy: float, omega: float,
+                             iters: int, k: int = 5,
+                             interpret: bool = False,
+                             cavity: bool = False, tol: float = 0.0,
+                             early_exit: bool = False):
+    """2-D (rows x cols) twin of sor_pallas_shard_body (round 3,
+    mirroring jacobi_shmap.jacobi_pallas_shard_body_2d): one both-axis
+    2K-wide halo exchange per fused-K launch, the shard kernel running
+    with global row AND column offsets (the red/black parity is keyed
+    on global row+col, so colors are shard-invariant). Returns
+    (local p', global last-launch max error)."""
+    from ..kernels.sor_pallas import sor_fused_k_shard
+    from .halo import exchange_rows_cols
+
+    loc_y, loc_x = pp_loc.shape
+    halo = _halo8(2 * k)
+    assert iters % k == 0 and loc_y % 8 == 0
+    assert loc_y >= halo and loc_x >= halo
+
+    rhs_ext = exchange_rows_cols(rhs_loc, yaxis, xaxis, halo, halo)
+    row_off = lax.axis_index(yaxis) * loc_y - halo
+    col_off = lax.axis_index(xaxis) * loc_x - halo
+
+    def one_launch(pp_loc):
+        ppx = exchange_rows_cols(pp_loc, yaxis, xaxis, halo, halo)
+        out_ext, err = sor_fused_k_shard(
+            ppx, rhs_ext, row_off, gny, dx, dy, omega, k,
+            own_lo=halo, own_hi=halo + loc_y,
+            interpret=interpret, cavity=cavity,
+            col_offset=col_off, gnx=gnx,
+            own_cols=(halo, halo + loc_x))
+        return (out_ext[halo:halo + loc_y, halo:halo + loc_x],
+                lax.pmax(lax.pmax(err, yaxis), xaxis))
+
+    if early_exit and tol > 0.0:
+        def cond(carry):
+            _, err, it = carry
+            return jnp.logical_and(it < iters // k, err >= tol)
+
+        def body(carry):
+            pp_loc, _, it = carry
+            pp_loc, err = one_launch(pp_loc)
+            return pp_loc, err, it + 1
+
+        pp_loc, err, _ = lax.while_loop(
+            cond, body,
+            (pp_loc, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pp_loc, err
+
+    def launch(carry, _):
+        pp_loc, _ = carry
+        pp_loc, err = one_launch(pp_loc)
+        return (pp_loc, err), None
+
+    err0 = jnp.asarray(jnp.inf, jnp.float32)
+    (pp_loc, err), _ = lax.scan(launch, (pp_loc, err0), None,
+                                length=iters // k)
+    return pp_loc, err

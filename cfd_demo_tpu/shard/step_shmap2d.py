@@ -26,8 +26,10 @@ step the last x-shard re-joins it as the global face-nx column; the
 updated face nx (pure BC output) is re-replicated with a chain of
 ppermutes (halo.bcast_from_last -- gather-free).
 
-Scope: the deterministic fast mode (outer_corrector_rounds == 0,
-PressureSolver.JACOBI) in both semantics -- BASELINE config 5's
+Scope: the deterministic fast mode (outer_corrector_rounds == 0) in
+both semantics with PressureSolver.JACOBI, red/black SOR (the 2K-ring
+fused shard kernel with globally-keyed colors) or FDM (exact direct
+solve, replicated after a both-axis gather) -- BASELINE config 5's
 multi-chip throughput shape. Other solvers/modes: use the rows-only
 tier (step_shmap) or the GSPMD 2-D tier (mesh.make_sharded_step_2d).
 """
@@ -71,20 +73,36 @@ def _exchange_u(u_core, u_last, xaxis: str, width: int):
 
 
 def _check_supported(scene: Scene, mesh: Mesh):
+    from ..kernels.jacobi_pallas import _halo8
+    from .step_shmap import _sor_k
     opts, g = scene.opts, scene.grid
-    if scene.params.pressure_solver != PressureSolver.JACOBI:
-        raise ValueError("step_shmap_2d: fast-mode JACOBI only; other "
-                         "solvers run on the rows tier (step_shmap) or "
-                         "the GSPMD 2-D tier")
+    solver = scene.params.pressure_solver
+    if solver not in (PressureSolver.JACOBI, PressureSolver.SOR,
+                      PressureSolver.FDM):
+        raise ValueError("step_shmap_2d: fast-mode JACOBI/SOR/FDM only; "
+                         "other solvers run on the rows tier "
+                         "(step_shmap) or the GSPMD 2-D tier")
     if opts.outer_corrector_rounds != 0:
         raise ValueError("step_shmap_2d: outer corrector rounds need the "
                          "rows tier (step_shmap)")
-    k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
-    if opts.jacobi_iters % k != 0:
-        raise ValueError("step_shmap_2d: jacobi_iters must be a multiple "
-                         "of the (resolved) pallas_fuse_k")
-    from ..kernels.jacobi_pallas import _halo8
-    min_loc = max(_HALO, _halo8(k))
+    if solver == PressureSolver.JACOBI:
+        k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
+        if opts.jacobi_iters % k != 0:
+            raise ValueError("step_shmap_2d: jacobi_iters must be a "
+                             "multiple of the (resolved) pallas_fuse_k")
+        min_loc = max(_HALO, _halo8(k))
+    elif solver == PressureSolver.SOR:
+        if opts.sor_ordering == "lexicographic":
+            raise ValueError(
+                "step_shmap_2d: lexicographic SOR is sequential along "
+                "both sharded axes; use the GSPMD tier or "
+                "sor_ordering='redblack'")
+        if opts.jacobi_iters % _sor_k(scene) != 0:
+            raise ValueError("step_shmap_2d: jacobi_iters must be a "
+                             "multiple of the resolved SOR fuse k")
+        min_loc = max(_HALO, _halo8(2 * _sor_k(scene)))
+    else:  # FDM: gather-based direct solve, substep halo floor only
+        min_loc = _HALO
     Sy, Sx = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
     loc_y, loc_x = g.ny // Sy, g.nx // Sx
     if g.ny % Sy != 0 or loc_y % 8 != 0 or loc_y < min_loc:
@@ -109,6 +127,49 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
     js = opts.semantics == Semantics.JS
     fuse_k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
     H = _HALO
+    solver = params.pressure_solver
+
+    if solver == PressureSolver.JACOBI:
+        def solve(pp0, rhs):
+            return jacobi_pallas_shard_body_2d(
+                pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
+                opts.jacobi_omega, opts.jacobi_iters, k=fuse_k,
+                interpret=interpret, cavity=cavity, tol=opts.jacobi_tol,
+                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    elif solver == PressureSolver.SOR:
+        from .step_shmap import _sor_k
+        from .sor_shmap import sor_pallas_shard_body_2d
+        k_s = _sor_k(scene)
+
+        def solve(pp0, rhs):
+            return sor_pallas_shard_body_2d(
+                pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
+                opts.sor_omega, opts.jacobi_iters, k=k_s,
+                interpret=interpret, cavity=cavity, tol=opts.jacobi_tol,
+                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    else:  # FDM: exact direct projection, replicated after a both-axis
+        # gather (the rows tier's documented pattern; one gather per
+        # projection vs one halo pair per K iterations)
+        from ..ops.fdm import fdm_solve_interior
+        from ..ops.poisson import _mg_residual, pprime_bc_fn
+        bc_full = pprime_bc_fn(params.flow_case)
+
+        def solve(pp0, rhs_loc):
+            del pp0
+            rhs_full = lax.all_gather(
+                lax.all_gather(rhs_loc, COL_AXIS, axis=1, tiled=True),
+                ROW_AXIS, axis=0, tiled=True)
+            e_int = fdm_solve_interior(
+                rhs_full[1:ny - 1, 1:nx - 1], g.dx, g.dy,
+                east_dirichlet=not cavity, d_wall=g.dx,
+                precision=getattr(opts, "fdm_precision", "highest"))
+            pp_full = bc_full(jnp.pad(e_int, 1))
+            err = jnp.max(jnp.abs(_mg_residual(pp_full, rhs_full,
+                                               g.dx, g.dy)))
+            i0 = lax.axis_index(ROW_AXIS) * (ny // Sy)
+            j0 = lax.axis_index(COL_AXIS) * (nx // Sx)
+            return lax.dynamic_slice(pp_full, (i0, j0),
+                                     (ny // Sy, nx // Sx)), err
 
     def shard_fn(u, v, p, pp, u_last, dt_sub, nu, inlet, substeps):
         from ..kernels.substep_pallas import (correct_bc_pallas,
@@ -130,13 +191,10 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
                 interpret=interpret, row_offset=off_r - H,
                 col_offset=off_c - H)
             rhs = rhs_e[H:H + loc_y, H:H + loc_x]
-            # 3: Jacobi (Rust warm start model.rs:682; JS zero init).
+            # 3: pressure solve (Rust warm start model.rs:682; JS zero
+            # init) -- fused-K Jacobi/SOR halos or the FDM gather.
             pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
-            pp_new, err = jacobi_pallas_shard_body_2d(
-                pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
-                opts.jacobi_omega, opts.jacobi_iters, k=fuse_k,
-                interpret=interpret, cavity=cavity, tol=opts.jacobi_tol,
-                early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+            pp_new, err = solve(pp0, rhs)
             # 4: fused corrector + BCs + reductions. p' needs real
             # neighbor halos; u*, v* come halo-extended straight from
             # the predictor kernel; p and the entry fields only matter

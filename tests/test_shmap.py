@@ -740,10 +740,48 @@ def test_step_shmap_2d_rejects_unsupported():
         make_step_shmap_2d(cfd.make_scene(
             grid, SimulationParams(dt=0.002, viscosity=1e-4),
             solver_options_for(Semantics.RUST)), mesh)
-    with pytest.raises(ValueError, match="JACOBI"):
+    with pytest.raises(ValueError, match="JACOBI/SOR/FDM"):
+        make_step_shmap_2d(cfd.make_scene(
+            grid, SimulationParams(
+                dt=0.002, viscosity=1e-4,
+                pressure_solver=PressureSolver.MULTIGRID),
+            solver_options_for(Semantics.RUST, jacobi_tol=0.0,
+                               outer_corrector_rounds=0,
+                               early_exit=False)), mesh)
+    with pytest.raises(ValueError, match="lexicographic"):
         make_step_shmap_2d(cfd.make_scene(
             grid, SimulationParams(dt=0.002, viscosity=1e-4,
                                    pressure_solver=PressureSolver.SOR),
             solver_options_for(Semantics.RUST, jacobi_tol=0.0,
                                outer_corrector_rounds=0,
-                               early_exit=False)), mesh)
+                               early_exit=False,
+                               sor_ordering="lexicographic")), mesh)
+
+
+@pytest.mark.parametrize("solver", ["sor", "fdm"])
+def test_step_shmap_2d_alt_solvers(solver):
+    """Round-3 widening: red/black SOR (globally-keyed colors through
+    the 2-D offset shard kernel) and FDM (both-axis gather + replicated
+    exact solve) on the explicit rows x cols tier."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=128, ny=64, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=0, early_exit=False, pallas_fuse_k=10)
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4,
+                               pressure_solver=PressureSolver(solver)),
+        opts)
+
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(
+        scene.init_state())
+    got_state, _ = _run_2d(scene, 4)
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=2e-5,
+            err_msg=f)
