@@ -618,3 +618,37 @@ def test_vmap_ensemble_sor_kernel_matches_jnp_hw():
         np.testing.assert_allclose(np.asarray(getattr(a, f)),
                                    np.asarray(getattr(b, f)),
                                    rtol=1e-4, atol=1e-4, err_msg=f)
+
+
+def test_cc_sweeps_kernel_matches_xla_hw():
+    """Round 3: the cell-centered coarse-level sweep kernel
+    (kernels.jacobi_pallas.cc_sweeps_pallas -- the aligned MGP cycle's
+    coarse smoothing) on the real chip, against the XLA folded
+    operator, incl. the distance-aware outlet fold and an odd size."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.jacobi_pallas import cc_sweeps_pallas
+    from cfd_demo_tpu.ops.poisson import _cc_residual, _cc_sweeps
+
+    for (ny, nx), ed, dwm in (((2048, 2048), True, 1.5),
+                              ((2047, 2047), True, 1.0),
+                              ((1024, 2048), False, 1.0)):
+        dx, dy = 1.0 / nx, 1.0 / ny
+        d_wall = dwm * dx
+        rng = np.random.default_rng(13)
+        p0 = jnp.asarray(rng.standard_normal((ny, nx)) * 0.1, jnp.float32)
+        rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+        k = 3
+        ref = jax.jit(lambda a, b: _cc_sweeps(a, b, dx, dy, 0.75, k,
+                                              ed, d_wall))(p0, rhs)
+        got, r_got = jax.jit(lambda a, b: cc_sweeps_pallas(
+            a, b, dx, dy, 0.75, k, ed, d_wall, emit_res=True))(p0, rhs)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{ny}x{nx}")
+        r_ref = jax.jit(lambda a, b: _cc_residual(ref, b, dx, dy, ed,
+                                                  d_wall))(p0, rhs)
+        np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
+                                   rtol=1e-3, atol=1e-2,
+                                   err_msg=f"res {ny}x{nx}")
