@@ -53,12 +53,17 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     cp1.wait()
     cp2.wait()
 
-    gr = start + lax.broadcasted_iota(jnp.int32, (w, nxp), 0)
-    gc = lax.broadcasted_iota(jnp.int32, (w, nxp), 1)
-    interior = ((gr >= 1) & (gr <= ny - 2) & (gc >= 1) & (gc <= nx - 2))
-    owned = interior & (gr >= row0) & (gr < row0 + bs)
-    red = interior & (((gr + gc) % 2) == 0)
-    black = interior & (((gr + gc) % 2) == 1)
+    # 1-D masks (lean form, round 3 -- see jacobi_pallas); only the
+    # red/black parity needs the true 2-D combine, built once.
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    interior_r = (gr >= 1) & (gr <= ny - 2)
+    interior_c = (gc >= 1) & (gc <= nx - 2)
+    owned_r = interior_r & (gr >= row0) & (gr < row0 + bs)
+    interior = interior_r & interior_c
+    par = (gr + gc) % 2
+    red = interior & (par == 0)
+    black = interior & (par == 1)
     is_bot = gr == 0
     is_top = gr == ny - 1
     is_left = gc == 0
@@ -72,7 +77,9 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     by = jnp.float32(1.0 / (dy2 * denom))
     br = jnp.float32(1.0 / denom)
     om = jnp.float32(omega)
-    rhs = br * rhs_win[:]
+    # scale rhs in place: a separate scaled copy would stay live across
+    # the whole sweep loop
+    rhs_win[:] = br * rhs_win[:]
 
     def half(pp, mask, fold_rows=True):
         E = pltpu.roll(pp, nxp - 1, 1)
@@ -85,7 +92,7 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         W = jnp.where(adj_left, pp, W)
         E = (jnp.where(adj_right, pp, E) if cavity
              else jnp.where(adj_right, 0.0, E))
-        update = bx * (E + W) + by * (N + S) - rhs
+        update = bx * (E + W) + by * (N + S) - rhs_win[:]
         new = (1.0 - om) * pp + om * update
         return jnp.where(mask, new, pp)
 
@@ -93,7 +100,8 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
         old = pp_win[:]
         pp = half(old, red, fold_rows)
         pp = half(pp, black, fold_rows)
-        err = (jnp.max(jnp.where(owned, jnp.abs(pp - old), 0.0))
+        err = (jnp.max(jnp.where(owned_r & interior_c,
+                                 jnp.abs(pp - old), 0.0))
                if want_err else jnp.float32(0.0))
         pp_win[:] = pp
         return err
@@ -349,6 +357,24 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
         raise ValueError(f"ny={ny} must be a multiple of 8")
     nxp = -(-nx // 128) * 128
     tile = _tiles(ny, nxp, k, block_rows, tiling)
+    vmem_limit = None
+    if tiling == "auto" and not interpret and nxp >= 4096:
+        # Large-window mode (round 3, mirrors jacobi_pallas): the
+        # raised scoped limit admits full-width 1-D row blocks where
+        # the 14 MB model forced tiny blocks or 2-D tiles. SOR model:
+        # (2 + _N_TEMPS) windows + the out block under 96 MB.
+        from .jacobi_pallas import _LARGE_SCOPED_BUDGET, _LARGE_VMEM_LIMIT
+        halo_l = _halo8(2 * k)
+        small_1d = tile is None or tile[0] == "2d" or (
+            tile[0] == "1d" and tile[2] > 0 and tile[1] < 128)
+        if small_1d:
+            for cand in (256, 128, 64):
+                if (ny % cand == 0 and ny >= cand + 2 * halo_l
+                        and ((2 + _N_TEMPS) * (cand + 2 * halo_l) + cand)
+                        * nxp * 4 <= _LARGE_SCOPED_BUDGET):
+                    tile = ("1d", cand, halo_l)
+                    vmem_limit = _LARGE_VMEM_LIMIT
+                    break
     if tile is None:
         raise ValueError(f"no SOR tiling for ny={ny}, k={k}")
     if nxp != nx:
@@ -363,9 +389,11 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
             _kernel2d, ny=ny, nx=nx, nxp=nxp, bs=bs, bsx=bsx, halo=halo,
             k=k, dx2=dx * dx, dy2=dy * dy, omega=omega,
             cavity=cavity)
+        from .jacobi_pallas import _compiler_params
         out, err = pl.pallas_call(
             kern,
             grid=(nrb, ncb),
+            compiler_params=_compiler_params(vmem_limit),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[pl.BlockSpec((bs, bsx), lambda i, j: (i, j),
@@ -392,9 +420,11 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
     kern = functools.partial(
         _kernel, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
         dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    from .jacobi_pallas import _compiler_params
     out, err = pl.pallas_call(
         kern,
         grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((bs, nxp), lambda i: (i, 0),

@@ -515,7 +515,9 @@ def test_sor_2d_tiling_on_hardware():
     from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs, sor
 
     ny, nx = 256, 8192
-    k = 12  # resolve_fuse_k(8192^2) // 2
+    k = 12
+    # the 2-D resolution still exists (forced below); the AUTO route
+    # now prefers the round-3 large-window 1-D blocks at this width
     assert _tiles(ny, nx, k, 256)[0] == "2d"
     dx, dy = 1.0 / nx, 1.0 / ny
     rng = np.random.default_rng(12)
@@ -525,12 +527,15 @@ def test_sor_2d_tiling_on_hardware():
     ref, err_ref, _ = jax.jit(
         lambda p, r: sor(p, r, dx, dy, 1.7, 0.0, k,
                          early_exit=False))(pp, rhs)
-    got, err = jax.jit(
-        lambda p, r: sor_fused_k(p, r, dx, dy, 1.7, k))(pp, rhs)
-    atol = 4e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
-                               rtol=0, atol=atol)
-    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+    for tiling in ("2d", "auto"):  # auto = large-window 1-D (round 3)
+        got, err = jax.jit(
+            lambda p, r: sor_fused_k(p, r, dx, dy, 1.7, k,
+                                     tiling=tiling))(pp, rhs)
+        atol = 4e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=0, atol=atol, err_msg=tiling)
+        assert np.isclose(float(err_ref), float(err), rtol=1e-4,
+                          atol=1e-7), tiling
 
 
 def test_vmap_non_jacobi_routes_around_ensemble_kernel():
