@@ -654,6 +654,13 @@ def test_cc_sweeps_kernel_matches_xla_hw():
                                    err_msg=f"{ny}x{nx}")
         r_ref = jax.jit(lambda a, b: _cc_residual(ref, b, dx, dy, ed,
                                                   d_wall))(p0, rhs)
+        # the residual evaluation cancels O(denom |p|) intermediates,
+        # so its tolerance is the f32 floor formula (docs/PERF.md
+        # item 14), not a fixed atol -- at 2047^2 the floor is ~0.5
+        denom = 2 / (dx * dx) + 2 / (dy * dy)
+        floor = 4 * np.float32(1.2e-7) * (
+            denom * float(jnp.max(jnp.abs(ref)))
+            + float(jnp.max(jnp.abs(rhs))))
         np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
-                                   rtol=1e-3, atol=1e-2,
+                                   rtol=0, atol=max(floor, 1e-3),
                                    err_msg=f"res {ny}x{nx}")
