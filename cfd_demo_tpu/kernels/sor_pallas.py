@@ -369,8 +369,12 @@ def sor_fused_k(pp, rhs, dx, dy, omega, k, block_rows=256,
             tile[0] == "1d" and tile[2] > 0 and tile[1] < 128)
         if small_1d:
             for cand in (256, 128, 64):
+                # +2 over the 14 MB model's temp count: the measured
+                # scoped usage at bs=256/8192 lanes was 105.4 MB where
+                # (2+_N_TEMPS) predicted 93 (the two half-sweeps pin
+                # more live windows under the raised limit)
                 if (ny % cand == 0 and ny >= cand + 2 * halo_l
-                        and ((2 + _N_TEMPS) * (cand + 2 * halo_l) + cand)
+                        and ((4 + _N_TEMPS) * (cand + 2 * halo_l) + cand)
                         * nxp * 4 <= _LARGE_SCOPED_BUDGET):
                     tile = ("1d", cand, halo_l)
                     vmem_limit = _LARGE_VMEM_LIMIT
