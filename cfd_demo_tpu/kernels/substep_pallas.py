@@ -142,16 +142,28 @@ def _tile_rows(ny: int, nxp: int, n_windows: int, n_blocks: int,
         return ny, 0, None
     # Candidate block sizes: multiples of 8 dividing ny, largest first,
     # capped at block_rows (ny need not be a power of two: 264 -> 88).
+    fallback = None
     for bs in range(min(block_rows, ny), 7, -8):
         if ny % bs == 0 and ny >= bs + 2 * _HALO \
                 and fits(bs, _HALO, _VMEM_LIMIT):
-            if bs >= 32:
-                return bs, _HALO, None
+            # On wide grids small blocks pay heavy window-read
+            # redundancy; prefer large-window blocks when the default
+            # search lands below 128 rows (measured: 4096^2 fast step
+            # 12.1 -> 10.4 ms at bs 32 -> 256; at 2048 lanes the big
+            # windows LOSE -- 2.03 -> 2.50 ms -- hence the nxp gate).
+            if bs >= 128 or nxp < 4096:
+                if bs >= 32:
+                    return bs, _HALO, None
+            elif bs >= 32:
+                fallback = (bs, _HALO, None)
             break
     for bs in (256, 128, 64, 32):
         if (bs <= block_rows and ny % bs == 0 and ny >= bs + 2 * _HALO
-                and fits(bs, _HALO, _LARGE_SCOPED_BUDGET)):
+                and fits(bs, _HALO, _LARGE_SCOPED_BUDGET)
+                and (fallback is None or bs > fallback[0])):
             return bs, _HALO, _LARGE_VMEM_LIMIT
+    if fallback is not None:
+        return fallback
     raise ValueError(f"no Pallas substep tiling for ny={ny}, width={nxp}")
 
 
