@@ -785,3 +785,44 @@ def test_step_shmap_2d_alt_solvers(solver):
             np.asarray(getattr(ref_state, f)),
             np.asarray(getattr(got_state, f)), rtol=0, atol=2e-5,
             err_msg=f)
+
+
+def test_step_shmap_2d_shape_fuzz():
+    """Randomized grid/mesh shapes through the 2-D explicit tier:
+    uneven aspect ratios, 4x2 vs 2x4 meshes, obstacle near a shard
+    corner -- equality vs single-device for each draw."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+    from cfd_demo_tpu.shard.mesh import (join_u, make_mesh2d_spatial,
+                                         shard_state_2d)
+    from cfd_demo_tpu.shard.step_shmap2d import make_run_shmap_2d
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        rows, cols = [(2, 4), (4, 2), (2, 4)][trial]
+        loc_y = 8 * int(rng.integers(2, 5))       # 16..32 rows/shard
+        loc_x = int(rng.integers(18, 40))         # >= min_loc+1 cols
+        ny, nx = rows * loc_y, cols * loc_x
+        lx, ly = nx / 16.0, ny / 16.0
+        cx = float(rng.uniform(0.3 * lx, 0.7 * lx))
+        cy = float(rng.uniform(0.3 * ly, 0.7 * ly))
+        r = float(rng.uniform(0.1, 0.2)) * min(lx, ly)
+        grid = Grid(nx=nx, ny=ny, lx=lx, ly=ly,
+                    obstacles=(Cylinder(cx, cy, r),))
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=4, jacobi_tol=0.0,
+            jacobi_iters=16, outer_corrector_rounds=0, early_exit=False,
+            pallas_fuse_k=8)
+        scene = cfd.make_scene(
+            grid, SimulationParams(dt=0.002, viscosity=1e-4), opts)
+        ref, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())
+        mesh = make_mesh2d_spatial(rows, cols)
+        s = shard_state_2d(scene.init_state(), mesh)
+        s, _ = make_run_shmap_2d(scene, mesh, 3, interpret=True)(s)
+        got = join_u(s)
+        for f in ("u", "v", "p"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f)),
+                np.asarray(getattr(got, f)), rtol=0, atol=1e-6,
+                err_msg=f"trial {trial} {ny}x{nx} {rows}x{cols} {f}")
