@@ -82,10 +82,43 @@ def probe_bf16_roll() -> dict:
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
+def check_regressions(benches: dict, prev: dict) -> list:
+    """Perf-regression tripwire (VERDICT r3 item 5): diff every bench
+    metric against the PREVIOUS evidence file and flag >5% drops.
+    docs/PERF.md pins ~5% as the day-to-day variance band (the 2048^2
+    headline slid 2.176 -> 2.089e9 across two rounds with nothing
+    watching); a flagged metric fails ``ok`` so a real routing
+    regression cannot close a round silently. Set
+    CFD_EVIDENCE_BASELINE=skip to bypass after an investigated,
+    documented variance call."""
+    if os.environ.get("CFD_EVIDENCE_BASELINE") == "skip":
+        return []
+    out = []
+    prev_bench = (prev or {}).get("bench", {})
+    for key, cur in benches.items():
+        old = prev_bench.get(key, {})
+        ov, nv = old.get("value"), cur.get("value")
+        if not ov or not nv:
+            continue
+        if nv < 0.95 * ov:
+            out.append({"bench": key, "prev": ov, "now": nv,
+                        "ratio": round(nv / ov, 4),
+                        "prev_head": prev.get("head", "?")})
+    return out
+
+
 def main():
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                           capture_output=True, text=True).stdout.strip()
     import jax
+    prev = {}
+    path = os.path.join(ROOT, "HARDWARE_EVIDENCE.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
     evidence = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
         "head": head,
@@ -110,10 +143,15 @@ def main():
         benches[key] = run_bench(n, mode, steps)
         print(benches[key], flush=True)
     evidence["bench"] = benches
+    regressions = check_regressions(benches, prev)
+    evidence["regressions"] = regressions
+    if regressions:
+        print(f"PERF REGRESSION vs previous evidence: {regressions}",
+              flush=True)
     ok = (evidence["test_pallas_tpu"]["rc"] == 0
-          and all(b.get("rc") == 0 for b in benches.values()))
+          and all(b.get("rc") == 0 for b in benches.values())
+          and not regressions)
     evidence["ok"] = ok
-    path = os.path.join(ROOT, "HARDWARE_EVIDENCE.json")
     with open(path, "w") as f:
         json.dump(evidence, f, indent=2)
         f.write("\n")
