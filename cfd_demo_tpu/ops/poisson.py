@@ -1079,6 +1079,66 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
                          dynamic_tol=True, fixed_trip=diff)
 
 
+def mgp_implicit_adjoint(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                         dy: float, opts, tol_r,
+                         bc=_apply_pprime_bcs
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MG_PRODUCTION with the solve-at-convergence (implicit) VJP
+    (VERDICT r3 item 7): ``differentiable=True`` no longer excludes the
+    production projection's ADAPTIVE exit.
+
+    At convergence the solve map is pp = E(A^-1 R rhs) with R the
+    interior slice, A the boundary-folded interior operator (symmetric:
+    Neumann mirror folds only shrink the diagonal, the Dirichlet outlet
+    fold drops a coupling on both sides) and E the linear BC-slaving
+    extension e_int -> bc(pad(e_int, 1)). The map is independent of the
+    warm start and of HOW the solver got there, so the reverse
+    derivative needs neither the iteration trace nor a differentiable
+    forward: rbar = R^T A^-1 (E^T ct), i.e. ONE more MGP solve with the
+    transposed-slaving cotangent as its right-hand side -- exact
+    regardless of the adaptive schedule, O(1) activation memory, and
+    the forward runs the full non-differentiable machinery (Pallas
+    whole-cycle tiers, exact while_loop exits) untouched by AD.
+
+    Approximations, both O(solver tolerance): d pp / d pp0 is taken as
+    exactly 0 (true at exact convergence), and the backward solve runs
+    to its own f32-noise-floor / max-cycles exit. Gradients through the
+    ``err`` diagnostic are defined ZERO like every fast-adjoint path
+    (callers gate residual_dt_scaling off). Returns (p', err, cycles).
+    """
+    import dataclasses as _dc
+
+    opts_fwd = _dc.replace(opts, differentiable=False)
+
+    @jax.custom_vjp
+    def solve(p0, r, tol):
+        return multigrid_production(p0, r, dx, dy, opts_fwd, tol, bc=bc)
+
+    def fwd(p0, r, tol):
+        return solve(p0, r, tol), None  # implicit: nothing to save
+
+    def bwd(_, ct):
+        ct_p = ct[0]
+        ny, nx = ct_p.shape
+        spec = jax.ShapeDtypeStruct((ny - 2, nx - 2), ct_p.dtype)
+        ext = lambda e: bc(jnp.pad(e, 1))
+        w_int = jax.linear_transpose(ext, spec)(ct_p)[0]
+        w_full = jnp.pad(w_int, 1)
+        # A^T = A: solve A lam = E^T ct with the same machinery, from a
+        # zero start, to the f32 noise floor (tol 0 + opts.mgp_floor) or
+        # the cycle cap -- the gradient analog of "solved exactly".
+        lam, _, _ = multigrid_production(jnp.zeros_like(w_full), w_full,
+                                         dx, dy, opts_fwd,
+                                         jnp.zeros((), ct_p.dtype), bc=bc)
+        interior, _, _ = _iota_masks(lam.shape)
+        r_bar = jnp.where(interior, lam, 0.0)
+        return (jnp.zeros_like(ct_p), r_bar,
+                jnp.zeros((), ct_p.dtype))
+
+    solve.defvjp(fwd, bwd)
+    return solve(pp0, rhs, jnp.asarray(tol_r, pp0.dtype))
+
+
 def _mgp_fixed(pp0, rhs, dx, dy, opts, bc, cycles: int, diff: bool):
     """MG_PRODUCTION with a FIXED cycle count (opts.mgp_fixed_cycles):
     a deterministic schedule with no adaptive exit. In differentiable

@@ -99,7 +99,16 @@ def make_scene(grid: Grid, params: Optional[SimulationParams] = None,
         # substep counts all lower to lax.while_loop, which has no
         # reverse rule (SolverOptions.differentiable docstring).
         bad = []
-        if opts.early_exit:
+        solver_kind = (params or SimulationParams()).pressure_solver
+        # The adaptive MG_PRODUCTION projection differentiates through
+        # the solve-at-convergence VJP (ops.poisson.mgp_implicit_adjoint)
+        # whose forward is hidden from AD, so its exact while_loop exits
+        # are allowed; every other solver's early exit still lowers to a
+        # reverse-underivable while_loop.
+        mgp_implicit = (solver_kind == PressureSolver.MG_PRODUCTION
+                        and opts.mgp_fixed_cycles == 0
+                        and not opts.residual_dt_scaling)
+        if opts.early_exit and not mgp_implicit:
             bad.append("early_exit=False")
         if opts.outer_corrector_rounds != 0:
             bad.append("outer_corrector_rounds=0")
@@ -217,6 +226,19 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
         tol_r = opts.projection_div_tol
         if dt_sub is not None:
             tol_r = tol_r / dt_sub
+        if (opts.differentiable and opts.mgp_fixed_cycles == 0
+                and not opts.residual_dt_scaling):
+            # Solve-at-convergence VJP (ops.poisson.mgp_implicit_adjoint):
+            # the ADAPTIVE production projection differentiates exactly
+            # (one transposed solve per backward pass), with the
+            # non-differentiable forward machinery -- Pallas tiers,
+            # while_loop exits -- running untouched under the custom
+            # VJP. Gated off when res_p feeds the dynamics (JS
+            # residual-dt scaling): err gradients are zero by
+            # definition on this path, like every fast adjoint.
+            from ..ops.poisson import mgp_implicit_adjoint
+            return mgp_implicit_adjoint(pp0, rhs, g.dx, g.dy, opts,
+                                        tol_r, bc=bc)
         return multigrid_production(pp0, rhs, g.dx, g.dy, opts, tol_r,
                                     bc=bc)
     if solver == PressureSolver.JACOBI:

@@ -331,6 +331,80 @@ def test_mgp_fixed_cycles_fast_adjoint():
                                rtol=1e-5, atol=1e-9)
 
 
+def test_mgp_implicit_adjoint_solve_level():
+    """Round 4 (VERDICT r3 item 7): the ADAPTIVE MG_PRODUCTION solve
+    through ops.poisson.mgp_implicit_adjoint. The implicit VJP
+    (rbar = one transposed MGP solve of the slaving-transposed
+    cotangent) must match the directional finite difference of the
+    converged solve itself, and d/d(pp0) must be exactly zero (the
+    converged solution forgets its warm start)."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs,
+                                          mgp_implicit_adjoint)
+    rng = np.random.default_rng(11)
+    pp0 = _apply_pprime_bcs(jnp.asarray(
+        rng.standard_normal((32, 48)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    dx, dy = 1 / 48, 1 / 32
+    opts = solver_options_for(Semantics.RUST, differentiable=True,
+                              early_exit=False,
+                              outer_corrector_rounds=0)
+
+    def loss(p0, r):
+        pp, _, _ = mgp_implicit_adjoint(p0, r, dx, dy, opts, 0.0)
+        return jnp.sum(pp ** 2)
+
+    g0, gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(pp0, rhs)
+    assert float(jnp.max(jnp.abs(g0))) == 0.0
+    # directional FD in a random rhs direction (2 extra solves)
+    d = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    eps = 1e-3
+    fd = float((loss(pp0, rhs + eps * d) - loss(pp0, rhs - eps * d))
+               / (2 * eps))
+    got = float(jnp.sum(gr * d))
+    assert np.isclose(got, fd, rtol=2e-3), (got, fd)
+
+
+def test_mgp_adaptive_grad_end_to_end_with_early_exit():
+    """differentiable=True now composes with the production adaptive
+    projection INCLUDING early_exit=True (make_scene's rejection list
+    shrank: the MGP forward's while_loops hide behind the implicit
+    VJP). End-to-end rollout gradient is FD-consistent."""
+    loss = _loss_fn(_scene(solver="mg-production", early_exit=True), 3)
+    nu0 = jnp.asarray(0.01, jnp.float32)
+    i0 = jnp.asarray(1.0, jnp.float32)
+    gnu, gin = jax.grad(loss, argnums=(0, 1))(nu0, i0)
+    assert np.isfinite(float(gnu)) and np.isfinite(float(gin))
+    assert float(gin) != 0.0
+    eps = 1e-3
+    fd_in = (loss(nu0, i0 + eps) - loss(nu0, i0 - eps)) / (2 * eps)
+    assert np.isclose(float(gin), float(fd_in), rtol=2e-2), \
+        (float(gin), float(fd_in))
+
+
+def test_mgp_implicit_adjoint_cavity_grad_finite():
+    """Cavity (all-Neumann, gauge-pinned) through the implicit path:
+    the pseudo-inverse backward solve stays finite and nonzero."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs_cavity,
+                                          mgp_implicit_adjoint)
+    rng = np.random.default_rng(13)
+    rhs = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)  # compatible rhs (as div(u*) is)
+    dx, dy = 1 / 48, 1 / 32
+    opts = solver_options_for(Semantics.RUST, differentiable=True,
+                              early_exit=False,
+                              outer_corrector_rounds=0)
+
+    def loss(r):
+        pp, _, _ = mgp_implicit_adjoint(
+            jnp.zeros_like(r), r, dx, dy, opts,
+            0.0, bc=_apply_pprime_bcs_cavity)
+        return jnp.sum(pp ** 2)
+
+    g = jax.jit(jax.grad(loss))(rhs)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 @pytest.mark.parametrize("solver,over", [
     ("sor", {"jacobi_tol": 0.0}),
     ("mg-production", {"mgp_fixed_cycles": 3}),
