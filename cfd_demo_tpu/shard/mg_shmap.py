@@ -23,7 +23,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stencil import shifted
-from .halo import exchange_rows, global_row_index
+from .halo import exchange_cols, exchange_rows, global_row_index
 
 
 def _interior(gr, gc, gny, nx):
@@ -365,6 +365,213 @@ def mgp_shard_body(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray, gny: int,
         def cycle(p_loc):  # noqa: F811 -- floor-augmented variant
             p_loc, err = inner(p_loc)
             p_max = lax.pmax(jnp.max(jnp.abs(p_loc)), axis)
+            return p_loc, err, floor(p_max, rhs_max)
+
+        p_loc, err, _ = _masked_while(cycle, p0, tol_r,
+                                      opts.mgp_max_cycles,
+                                      dynamic_tol=True)
+        return p_loc, err
+    p_loc, err, _ = _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+    return p_loc, err
+
+
+# ---------------------------------------------------------------------------
+# MG_PRODUCTION on the 2-D rows x cols mesh (round 4, VERDICT r3 item 3):
+# the production projection scaled on BOTH grid axes. Fine-level
+# smoothing/residual/restriction run (rows x cols)-sharded with 1-wide
+# both-axis ppermute halos; the coarse hierarchy agglomerates exactly
+# like the rows tier (gathered at coarse size -- 4x fewer bytes than the
+# fine field -- and computed replicated through the very same
+# ops.poisson._cc_correction_from_coarse), so identical arithmetic on
+# identical values gives equality with the single-device solve
+# (tests/test_shmap.py). Implements the aligned hierarchy only (the
+# default; the legacy vertex-transfer scheme stays rows-tier/XLA).
+# ---------------------------------------------------------------------------
+
+
+def _gidx2d(shape, yaxis: str, xaxis: str):
+    """(global_row, global_col) int32 iotas of a (loc_y, loc_x) block
+    on the rows x cols mesh."""
+    loc_y, loc_x = shape
+    gr = (lax.axis_index(yaxis) * loc_y
+          + lax.broadcasted_iota(jnp.int32, shape, 0))
+    gc = (lax.axis_index(xaxis) * loc_x
+          + lax.broadcasted_iota(jnp.int32, shape, 1))
+    return gr, gc
+
+
+def _bc_shard2d(p_loc, gny, gnx, yaxis, xaxis, cavity):
+    """The reference p' BCs on a (rows x cols)-sharded block: rows
+    first, then columns (corner order). Every value a boundary write
+    reads is LOCAL to the shard that owns the written cell (row 0 reads
+    row 1, column 0 reads column 1, ...; loc_y >= 8 and loc_x >= 8 on
+    this tier), so no halo exchange is needed -- shifted's zero fill
+    only lands where the global-index masks are false."""
+    p = p_loc
+    gr, gc = _gidx2d(p.shape, yaxis, xaxis)
+    p = jnp.where(gr == 0, shifted(p, p.shape, 1, 0), p)
+    p = jnp.where(gr == gny - 1, shifted(p, p.shape, -1, 0), p)
+    p = jnp.where(gc == 0, shifted(p, p.shape, 0, 1), p)
+    if cavity:
+        p = jnp.where(gc == gnx - 1, shifted(p, p.shape, 0, -1), p)
+        p = jnp.where((gr == 0) & (gc == 0), 0.0, p)
+    else:
+        p = jnp.where(gc == gnx - 1, 0.0, p)
+    return p
+
+
+def _smooth_mgp_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy, omega,
+                        iterations, yaxis, xaxis, cavity):
+    """Damped Jacobi WITH the p' BCs every sweep
+    (ops.poisson._mgp_smooth) on a (rows x cols)-sharded block; one
+    1-wide halo exchange per axis per iteration."""
+    if iterations == 0:
+        return p_loc
+    loc_y, loc_x = p_loc.shape
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    gr, gc = _gidx2d(p_loc.shape, yaxis, xaxis)
+    interior = _interior(gr, gc, gny, gnx)
+    for _ in range(iterations):
+        px = exchange_rows(p_loc, yaxis, 1)
+        pc = exchange_cols(p_loc, xaxis, 1)
+        update = ((pc[:, 2:loc_x + 2] + pc[:, 0:loc_x]) / dx2
+                  + (px[2:loc_y + 2, :] + px[0:loc_y, :]) / dy2
+                  - rhs_loc) / denom
+        new = omega * update + (1.0 - omega) * p_loc
+        p_loc = jnp.where(interior, new, p_loc)
+        p_loc = _bc_shard2d(p_loc, gny, gnx, yaxis, xaxis, cavity)
+    return p_loc
+
+
+def _residual_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy, yaxis, xaxis):
+    """r = rhs - A p on the interior, 0 on the boundary
+    (ops.poisson._mg_residual) on a (rows x cols)-sharded block."""
+    loc_y, loc_x = p_loc.shape
+    dx2, dy2 = dx * dx, dy * dy
+    denom = 2.0 / dx2 + 2.0 / dy2
+    gr, gc = _gidx2d(p_loc.shape, yaxis, xaxis)
+    px = exchange_rows(p_loc, yaxis, 1)
+    pc = exchange_cols(p_loc, xaxis, 1)
+    ap = ((pc[:, 2:loc_x + 2] + pc[:, 0:loc_x]) / dx2
+          + (px[2:loc_y + 2, :] + px[0:loc_y, :]) / dy2
+          - denom * p_loc)
+    return jnp.where(_interior(gr, gc, gny, gnx), rhs_loc - ap, 0.0)
+
+
+def _aligned_restrict_shard2d(r_loc, gny, gnx, yaxis, xaxis):
+    """_cc_restrict of the interior residual under rows x cols
+    sharding. Both axes pair interior-even entries (global-odd index,
+    since shard offsets are even) with their +1 partner, which sits at
+    most one row/column into the next shard -- a 1-wide halo per axis.
+    Each shard owns a contiguous (loc_y/2, loc_x/2) coarse block, so
+    tiled all_gathers on both axes reassemble the COARSE level (4x
+    fewer bytes than the fine field); the last gathered row/column is
+    the nonexistent pair (gn-1, gn) and is sliced off. Requires even
+    local rows AND columns (fall back to the full gather otherwise)."""
+    loc_y, loc_x = r_loc.shape
+    # x pass: local-odd columns (= global-odd) pair with the +1 column.
+    pc = exchange_cols(r_loc, xaxis, 1)        # cols c0-1 .. c0+loc_x
+    left = r_loc[:, 1::2]                      # global-odd columns
+    right = pc[:, 3::2]                        # +1 partners (halo at seam)
+    fx = 0.5 * (left + right)                  # (loc_y, loc_x/2)
+    # y pass on the half-width block.
+    px = exchange_rows(fx, yaxis, 1)
+    top = fx[1::2, :]
+    bot = px[3::2, :]
+    blk = 0.5 * (top + bot)                    # (loc_y/2, loc_x/2)
+    r_c = lax.all_gather(blk, xaxis, axis=1, tiled=True)
+    r_c = lax.all_gather(r_c, yaxis, axis=0, tiled=True)
+    return lax.slice(r_c, (0, 0), ((gny - 2) // 2, (gnx - 2) // 2))
+
+
+def _vcycle_mgp_aligned_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy,
+                                yaxis, xaxis, opts, cavity):
+    """Aligned MGP V-cycle (ops.poisson._mgp_vcycle_aligned) on
+    (rows x cols)-sharded blocks: both-axis-sharded smoothing, residual
+    and first restriction; the coarse hierarchy below agglomerated and
+    computed replicated, then sliced back by (row, col) offset."""
+    from ..ops.poisson import (_cc_correction_from_coarse,
+                               _mgp_aligned_correction)
+    omega = opts.jacobi_omega
+    loc_y, loc_x = p_loc.shape
+    small = min(gny - 2, gnx - 2) <= opts.mgp_coarse_stop
+    if not small:
+        p_loc = _smooth_mgp_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy,
+                                    omega, opts.mgp_smooth, yaxis, xaxis,
+                                    cavity)
+    r_loc = _residual_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy,
+                              yaxis, xaxis)
+    if small or loc_y % 2 or loc_x % 2:
+        r_full = lax.all_gather(
+            lax.all_gather(r_loc, xaxis, axis=1, tiled=True),
+            yaxis, axis=0, tiled=True)
+        e_full = _mgp_aligned_correction(r_full, dx, dy, opts,
+                                         east_dirichlet=not cavity)
+    else:
+        r_c = _aligned_restrict_shard2d(r_loc, gny, gnx, yaxis, xaxis)
+        e_int = _cc_correction_from_coarse(r_c, gny - 2, gnx - 2, dx, dy,
+                                           opts, not cavity)
+        e_full = jnp.pad(e_int, 1)
+    i0 = lax.axis_index(yaxis) * loc_y
+    j0 = lax.axis_index(xaxis) * loc_x
+    p_loc = _bc_shard2d(
+        p_loc + lax.dynamic_slice(e_full, (i0, j0), (loc_y, loc_x)),
+        gny, gnx, yaxis, xaxis, cavity)
+    if not small:
+        p_loc = _smooth_mgp_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy,
+                                    omega, opts.mgp_smooth, yaxis, xaxis,
+                                    cavity)
+    return p_loc
+
+
+def mgp_shard_body_2d(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
+                      gny: int, gnx: int, yaxis: str, xaxis: str,
+                      dx: float, dy: float, opts, cavity: bool, tol_r):
+    """Shard-local MG_PRODUCTION solve on the 2-D rows x cols mesh
+    (ops.poisson.multigrid_production under explicit 2-axis sharding):
+    warm-started BC-aware aligned V-cycles until the globally (both
+    axes) pmax'd max|rhs - A p'| <= tol_r, at most mgp_max_cycles.
+    Same rtol widening / f32-noise-floor exit as every other tier, on
+    pmax2'd scales so all shards fire the exit on the same cycle.
+    Returns (local p', global max|residual|)."""
+    import dataclasses as _dc
+
+    from ..ops.poisson import _masked_while, _mgp_noise_floor
+
+    if opts.mgp_smooth == 3 and gny * gnx >= 48_000_000:
+        # mirror multigrid_production's size-aware smoothing strength
+        opts = _dc.replace(opts, mgp_smooth=5)
+    if getattr(opts, "mgp_scheme", "auto") == "legacy":
+        raise ValueError("mgp_shard_body_2d implements the aligned "
+                         "hierarchy only; legacy runs on the rows tier")
+
+    def pmax2(x):
+        return lax.pmax(lax.pmax(x, yaxis), xaxis)
+
+    def cycle(p_loc):
+        p_loc = _vcycle_mgp_aligned_shard2d(p_loc, rhs_loc, gny, gnx,
+                                            dx, dy, yaxis, xaxis, opts,
+                                            cavity)
+        r_loc = _residual_shard2d(p_loc, rhs_loc, gny, gnx, dx, dy,
+                                  yaxis, xaxis)
+        return p_loc, pmax2(jnp.max(jnp.abs(r_loc)))
+
+    p0 = _bc_shard2d(pp0_loc, gny, gnx, yaxis, xaxis, cavity)
+    if getattr(opts, "mgp_rtol", 0.0) > 0.0:
+        r0 = _residual_shard2d(p0, rhs_loc, gny, gnx, dx, dy,
+                               yaxis, xaxis)
+        err0 = pmax2(jnp.max(jnp.abs(r0)))
+        tol_r = jnp.maximum(jnp.asarray(tol_r, pp0_loc.dtype),
+                            opts.mgp_rtol * err0)
+    floor = _mgp_noise_floor(opts, dx, dy, pp0_loc.dtype)
+    if floor is not None:
+        rhs_max = pmax2(jnp.max(jnp.abs(rhs_loc)))
+        inner = cycle
+
+        def cycle(p_loc):  # noqa: F811 -- floor-augmented variant
+            p_loc, err = inner(p_loc)
+            p_max = pmax2(jnp.max(jnp.abs(p_loc)))
             return p_loc, err, floor(p_max, rhs_max)
 
         p_loc, err, _ = _masked_while(cycle, p0, tol_r,

@@ -26,12 +26,16 @@ step the last x-shard re-joins it as the global face-nx column; the
 updated face nx (pure BC output) is re-replicated with a chain of
 ppermutes (halo.bcast_from_last -- gather-free).
 
-Scope: the deterministic fast mode (outer_corrector_rounds == 0) in
-both semantics with PressureSolver.JACOBI, red/black SOR (the 2K-ring
-fused shard kernel with globally-keyed colors) or FDM (exact direct
-solve, replicated after a both-axis gather) -- BASELINE config 5's
-multi-chip throughput shape. Other solvers/modes: use the rows-only
-tier (step_shmap) or the GSPMD 2-D tier (mesh.make_sharded_step_2d).
+Scope (round 4 widened, VERDICT r3 item 3): both semantics with
+PressureSolver.JACOBI, red/black SOR (the 2K-ring fused shard kernel
+with globally-keyed colors), FDM (exact direct solve, replicated after
+a both-axis gather) or MG_PRODUCTION (shard.mg_shmap.mgp_shard_body_2d:
+both-axis-sharded aligned V-cycles, coarse-size agglomeration) -- and
+the Rust outer corrector rounds (model.rs:696-724) as a while_loop on
+the globally pmax'd residual with 1-wide both-axis halos around each
+round's divergence/corrector stencils. The JS multigrid kit and the
+lexicographic SOR ordering route to the rows-only tier (step_shmap) or
+the GSPMD 2-D tier (mesh.make_sharded_step_2d).
 """
 from __future__ import annotations
 
@@ -43,14 +47,31 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.config import FlowCase, PressureSolver, Semantics
+from ..ops.stencil import StencilCtx, col_index, row_index
 from ..solver.piso import (Scene, StepDiagnostics, adapt_substeps,
                            dt_control, ramped_inlet, resolve_fuse_k)
-from .halo import (_perm_down, _perm_up, bcast_from_last, exchange_rows,
-                   exchange_rows_cols)
+from .halo import (_perm_down, _perm_up, bcast_from_last, exchange_cols,
+                   exchange_rows, exchange_rows_cols)
 from .jacobi_shmap import jacobi_pallas_shard_body_2d
 from .mesh import COL_AXIS, ROW_AXIS, Split2D
 
 _HALO = 8  # row/column halo for the substep kernels (stencils <= 3)
+
+
+class _OffsetCtx2D(StencilCtx):
+    """StencilCtx whose row/col indices return *global* coordinates
+    (local + traced shard offsets) on the rows x cols mesh, so the
+    shared ops/bc/mask formulas apply per-shard unchanged -- the 2-D
+    twin of step_shmap._OffsetCtx."""
+
+    def __init__(self, row0, col0):
+        self._row0, self._col0 = row0, col0
+
+    def row_index(self, shape):
+        return self._row0 + row_index(shape)
+
+    def col_index(self, shape):
+        return self._col0 + col_index(shape)
 
 
 def _exchange_u(u_core, u_last, xaxis: str, width: int):
@@ -78,13 +99,15 @@ def _check_supported(scene: Scene, mesh: Mesh):
     opts, g = scene.opts, scene.grid
     solver = scene.params.pressure_solver
     if solver not in (PressureSolver.JACOBI, PressureSolver.SOR,
-                      PressureSolver.FDM):
-        raise ValueError("step_shmap_2d: fast-mode JACOBI/SOR/FDM only; "
-                         "other solvers run on the rows tier "
-                         "(step_shmap) or the GSPMD 2-D tier")
-    if opts.outer_corrector_rounds != 0:
-        raise ValueError("step_shmap_2d: outer corrector rounds need the "
-                         "rows tier (step_shmap)")
+                      PressureSolver.FDM, PressureSolver.MG_PRODUCTION):
+        raise ValueError("step_shmap_2d: JACOBI/SOR/FDM/MG_PRODUCTION "
+                         "only; the JS multigrid kit runs on the rows "
+                         "tier (step_shmap) or the GSPMD 2-D tier")
+    if (solver == PressureSolver.MG_PRODUCTION
+            and getattr(opts, "mgp_scheme", "auto") == "legacy"):
+        raise ValueError("step_shmap_2d: MG_PRODUCTION implements the "
+                         "aligned hierarchy only; mgp_scheme='legacy' "
+                         "runs on the rows tier (step_shmap)")
     if solver == PressureSolver.JACOBI:
         k = resolve_fuse_k(opts, g, divide=opts.jacobi_iters)
         if opts.jacobi_iters % k != 0:
@@ -101,7 +124,8 @@ def _check_supported(scene: Scene, mesh: Mesh):
             raise ValueError("step_shmap_2d: jacobi_iters must be a "
                              "multiple of the resolved SOR fuse k")
         min_loc = max(_HALO, _halo8(2 * _sor_k(scene)))
-    else:  # FDM: gather-based direct solve, substep halo floor only
+    else:  # FDM (gather-based direct solve) / MG_PRODUCTION (1-wide
+        # both-axis halos + coarse agglomeration): substep halo floor
         min_loc = _HALO
     Sy, Sx = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
     loc_y, loc_x = g.ny // Sy, g.nx // Sx
@@ -130,7 +154,8 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
     solver = params.pressure_solver
 
     if solver == PressureSolver.JACOBI:
-        def solve(pp0, rhs):
+        def solve(pp0, rhs, dt_sub):
+            del dt_sub
             return jacobi_pallas_shard_body_2d(
                 pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
                 opts.jacobi_omega, opts.jacobi_iters, k=fuse_k,
@@ -141,12 +166,23 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
         from .sor_shmap import sor_pallas_shard_body_2d
         k_s = _sor_k(scene)
 
-        def solve(pp0, rhs):
+        def solve(pp0, rhs, dt_sub):
+            del dt_sub
             return sor_pallas_shard_body_2d(
                 pp0, rhs, ny, nx, ROW_AXIS, COL_AXIS, g.dx, g.dy,
                 opts.sor_omega, opts.jacobi_iters, k=k_s,
                 interpret=interpret, cavity=cavity, tol=opts.jacobi_tol,
                 early_exit=opts.early_exit and opts.jacobi_tol > 0.0)
+    elif solver == PressureSolver.MG_PRODUCTION:
+        from .mg_shmap import mgp_shard_body_2d
+
+        def solve(pp0, rhs, dt_sub):
+            # solver.piso._solve_pressure: tol_r = div_tol / dt_sub
+            # bounds post-correction max|div(u)| by div_tol.
+            tol_r = opts.projection_div_tol / dt_sub
+            return mgp_shard_body_2d(pp0, rhs, ny, nx, ROW_AXIS,
+                                     COL_AXIS, g.dx, g.dy, opts, cavity,
+                                     tol_r)
     else:  # FDM: exact direct projection, replicated after a both-axis
         # gather (the rows tier's documented pattern; one gather per
         # projection vs one halo pair per K iterations)
@@ -154,8 +190,8 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
         from ..ops.poisson import _mg_residual, pprime_bc_fn
         bc_full = pprime_bc_fn(params.flow_case)
 
-        def solve(pp0, rhs_loc):
-            del pp0
+        def solve(pp0, rhs_loc, dt_sub):
+            del pp0, dt_sub
             rhs_full = lax.all_gather(
                 lax.all_gather(rhs_loc, COL_AXIS, axis=1, tiled=True),
                 ROW_AXIS, axis=0, tiled=True)
@@ -171,12 +207,42 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
             return lax.dynamic_slice(pp_full, (i0, j0),
                                      (ny // Sy, nx // Sx)), err
 
+    rounds = opts.outer_corrector_rounds
+    fast_tail = rounds == 0
+
     def shard_fn(u, v, p, pp, u_last, dt_sub, nu, inlet, substeps):
         from ..kernels.substep_pallas import (correct_bc_pallas,
                                               predict_div_pallas)
         off_r = lax.axis_index(ROW_AXIS) * loc_y
         off_c = lax.axis_index(COL_AXIS) * loc_x
         u_entry, v_entry, ul_entry = u, v, u_last
+
+        def correct_local_2d(us, vs, p, pp, dt_sub):
+            """Shard-local corrector (ops.corrector.correct on
+            rows x cols blocks): the u update reads p'[f-1] (1-column
+            halo), the v update p'[j-1] (1-row halo)."""
+            ppc = exchange_cols(pp, COL_AXIS, 1)  # cols c0-1 .. c0+loc_x
+            ppW = ppc[:, 0:loc_x]
+            u_upd = us - dt_sub * (pp - ppW) / g.dx
+            gf = off_c + lax.broadcasted_iota(jnp.int32, us.shape, 1)
+            u2 = jnp.where((gf >= 1) & (gf <= nx - 1), u_upd, us)
+            ppx = exchange_rows(pp, ROW_AXIS, 1)
+            v_upd = vs - dt_sub * (ppx[1:loc_y + 1, :]
+                                   - ppx[0:loc_y, :]) / g.dy
+            gv = off_r + lax.broadcasted_iota(jnp.int32, vs.shape, 0)
+            v2 = jnp.where(gv >= 1, v_upd, vs)
+            return u2, v2, p + pp
+
+        def div_local_2d(u, v, u_last, dt_sub):
+            """Shard-local divergence RHS: u's right face from the
+            1-column u halo (real global face nx injected on the last
+            x-shard), v[j+1] from the 1-row halo (zero above the top
+            shard = the implicit v top face row)."""
+            ue = _exchange_u(u, u_last, COL_AXIS, 1)  # (loc_y, loc_x+3)
+            du = (ue[:, 2:loc_x + 2] - ue[:, 1:loc_x + 1]) / g.dx
+            vx = exchange_rows(v, ROW_AXIS, 1)
+            dv = (vx[2:loc_y + 2, :] - vx[1:loc_y + 1, :]) / g.dy
+            return (du + dv) / dt_sub
 
         def substep(u, v, p, pp, u_last):
             # 1-2: predictor + divergence on the both-axis extended
@@ -192,47 +258,102 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
                 col_offset=off_c - H)
             rhs = rhs_e[H:H + loc_y, H:H + loc_x]
             # 3: pressure solve (Rust warm start model.rs:682; JS zero
-            # init) -- fused-K Jacobi/SOR halos or the FDM gather.
+            # init) -- fused-K Jacobi/SOR halos, the MGP V-cycles or
+            # the FDM gather.
             pp0 = pp if opts.semantics == Semantics.RUST else jnp.zeros_like(pp)
-            pp_new, err = solve(pp0, rhs)
-            # 4: fused corrector + BCs + reductions. p' needs real
-            # neighbor halos; u*, v* come halo-extended straight from
-            # the predictor kernel; p and the entry fields only matter
-            # on owned rows/columns, so zero padding keeps shapes
-            # uniform.
-            ppe = exchange_rows_cols(pp_new, ROW_AXIS, COL_AXIS, H, H)
-            zboth = ((H, H), (H, H))
-            zu = ((H, H), (H, H + 1))  # u entry: width loc_x+1+2H
-            u2e, v2e, p2e, res_u, res_v, max_vel = correct_bc_pallas(
-                us_e, vs_e, jnp.pad(p, zboth), ppe,
-                jnp.pad(u_entry, zu), jnp.pad(v_entry, zboth),
-                dt_sub, inlet, g, params.inlet_profile,
-                params.flow_case, opts.semantics,
-                block_rows=opts.pallas_block_rows,
-                interpret=interpret, row_offset=off_r - H,
-                col_offset=off_c - H,
-                own_rows=(H, H + loc_y), own_cols=(H, H + loc_x))
+            pp_new, err = solve(pp0, rhs, dt_sub)
             sly, slx = slice(H, H + loc_y), slice(H, H + loc_x)
-            u2 = u2e[sly, slx]
-            v2 = v2e[sly, slx]
-            p2 = p2e[sly, slx]
-            # Global face nx: pure BC output, valid in the rightmost
-            # shard's first right-halo column; re-replicate along x and
-            # fold its residual/CFL contribution in (the kernel's owned
-            # masks exclude it).
-            ul_new = bcast_from_last(
-                u2e[sly, H + loc_x:H + loc_x + 1], COL_AXIS)
-            res_u = jnp.maximum(res_u, jnp.max(jnp.abs(ul_new - ul_entry)))
-            max_vel = jnp.maximum(max_vel, jnp.max(jnp.abs(ul_new)))
-            return (u2, v2, p2, pp_new, ul_new, err,
-                    (res_u, res_v, max_vel))
+            if fast_tail:
+                # 4a: fused corrector + BCs + reductions. p' needs real
+                # neighbor halos; u*, v* come halo-extended straight
+                # from the predictor kernel; p and the entry fields
+                # only matter on owned rows/columns, so zero padding
+                # keeps shapes uniform.
+                ppe = exchange_rows_cols(pp_new, ROW_AXIS, COL_AXIS, H, H)
+                zboth = ((H, H), (H, H))
+                zu = ((H, H), (H, H + 1))  # u entry: width loc_x+1+2H
+                u2e, v2e, p2e, res_u, res_v, max_vel = correct_bc_pallas(
+                    us_e, vs_e, jnp.pad(p, zboth), ppe,
+                    jnp.pad(u_entry, zu), jnp.pad(v_entry, zboth),
+                    dt_sub, inlet, g, params.inlet_profile,
+                    params.flow_case, opts.semantics,
+                    block_rows=opts.pallas_block_rows,
+                    interpret=interpret, row_offset=off_r - H,
+                    col_offset=off_c - H,
+                    own_rows=(H, H + loc_y), own_cols=(H, H + loc_x))
+                u2 = u2e[sly, slx]
+                v2 = v2e[sly, slx]
+                p2 = p2e[sly, slx]
+                # Global face nx: pure BC output, valid in the
+                # rightmost shard's first right-halo column;
+                # re-replicate along x and fold its residual/CFL
+                # contribution in (the kernel's owned masks exclude it).
+                ul_new = bcast_from_last(
+                    u2e[sly, H + loc_x:H + loc_x + 1], COL_AXIS)
+                res_u = jnp.maximum(res_u,
+                                    jnp.max(jnp.abs(ul_new - ul_entry)))
+                max_vel = jnp.maximum(max_vel, jnp.max(jnp.abs(ul_new)))
+                return (u2, v2, p2, pp_new, ul_new, err,
+                        (res_u, res_v, max_vel))
+            # 4b: reference mode (round 4) -- plain corrector, then the
+            # Rust outer corrector loop (model.rs:696-724) on a
+            # globally pmax'd residual, then shard-local BCs. u* keeps
+            # the entry value at face nx (the predictor masks boundary
+            # faces), so the rounds' divergence reads the carried
+            # u_last -- exactly like the unsharded step.
+            us = us_e[sly, H:H + loc_x]
+            vs = vs_e[sly, slx]
+            u2, v2, p2 = correct_local_2d(us, vs, p, pp_new, dt_sub)
+
+            def round_body(carry):
+                u, v, p, pp, _, it = carry
+                rhs = div_local_2d(u, v, u_last, dt_sub)
+                pp, err = solve(pp, rhs, dt_sub)
+                u, v, p = correct_local_2d(u, v, p, pp, dt_sub)
+                return u, v, p, pp, err, it + 1
+
+            def round_cond(carry):
+                *_, err, it = carry
+                return jnp.logical_and(it < rounds,
+                                       err >= opts.outer_corrector_tol)
+
+            u2, v2, p2, pp_new, err, _ = lax.while_loop(
+                round_cond, round_body,
+                (u2, v2, p2, pp_new, err, jnp.asarray(0, jnp.int32)))
+            # BCs (model.rs:826-875) with global row+column masks.
+            from ..core.masks import masks_traced
+            from ..ops.bc import apply_bcs
+            ctx = _OffsetCtx2D(off_r, off_c)
+            # Outlet zero-gradient copy for the separately carried
+            # face nx (model.rs BC order: inlet, outlet copy, then the
+            # no-slip rows zero its corners); cavity side walls pin it
+            # to 0. The copy source u[:, nx-1] is read BEFORE the
+            # core BCs below, like the reference's sequential order
+            # (the later no-slip/obstacle writes don't feed it).
+            if cavity:
+                ul_new = jnp.zeros_like(u_last)
+            else:
+                ul_new = bcast_from_last(u2[:, loc_x - 1:loc_x],
+                                         COL_AXIS)
+                gr_u = off_r + lax.broadcasted_iota(
+                    jnp.int32, ul_new.shape, 0)
+                ul_new = jnp.where((gr_u == 0) | (gr_u == ny - 1),
+                                   0.0, ul_new)
+            _, _, mask_u_bc, mask_v_bc = masks_traced(
+                g, opts.semantics, u2.dtype, ctx=ctx,
+                shp_u=(loc_y, loc_x), shp_v=(loc_y, loc_x))
+            u2, v2 = apply_bcs(u2, v2, g, params.inlet_profile, inlet,
+                               mask_u_bc, mask_v_bc, params.flow_case,
+                               ctx=ctx)
+            return u2, v2, p2, pp_new, ul_new, err, None
 
         def sub_body(i, carry):
             u, v, p, pp, u_last, max_res_p, red = carry
-            u, v, p, pp, u_last, err, red = substep(u, v, p, pp, u_last)
+            u, v, p, pp, u_last, err, extras = substep(u, v, p, pp, u_last)
             # JS tracks the max residual across substeps
             # (index.html:288-293); Rust reports the last substep's.
             max_res_p = jnp.maximum(max_res_p, err) if js else err
+            red = extras if extras is not None else red
             return u, v, p, pp, u_last, max_res_p, red
 
         zero = jnp.asarray(0.0, u.dtype)
@@ -243,7 +364,18 @@ def make_step_shmap_2d(scene: Scene, mesh: Mesh,
         else:
             u, v, p, pp, u_last, res_p, red = lax.fori_loop(
                 0, substeps, sub_body, carry0)
-        res_u, res_v, max_vel = red
+        if fast_tail:
+            res_u, res_v, max_vel = red
+        else:
+            # Rounds mode: the residual/CFL reductions vs the
+            # step-entry fields, with the separately carried face nx
+            # folded in (the core block excludes it).
+            res_u = jnp.maximum(jnp.max(jnp.abs(u - u_entry)),
+                                jnp.max(jnp.abs(u_last - ul_entry)))
+            res_v = jnp.max(jnp.abs(v - v_entry))
+            max_vel = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(u)), jnp.max(jnp.abs(v))),
+                jnp.max(jnp.abs(u_last)))
 
         def pmax2(x):
             return lax.pmax(lax.pmax(x, ROW_AXIS), COL_AXIS)

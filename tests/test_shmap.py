@@ -728,7 +728,9 @@ def test_step_shmap_2d_collective_pattern():
 
 
 def test_step_shmap_2d_rejects_unsupported():
-    """Non-fast modes route to the rows tier with a clear error."""
+    """Unsupported modes route to the rows tier with a clear error;
+    the round-4 widening means DEFAULT Rust opts (outer corrector
+    rounds + early exit) now BUILD on this tier."""
     import cfd_demo_tpu as cfd
     from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
                               SimulationParams, solver_options_for)
@@ -736,10 +738,18 @@ def test_step_shmap_2d_rejects_unsupported():
     grid = Grid(nx=128, ny=64, lx=8.0, ly=4.0,
                 obstacles=(Cylinder(2.0, 2.0, 0.5),))
     mesh = _mesh2d()
+    # Round 4: the reference-exact default (rounds=20) builds.
+    assert make_step_shmap_2d(cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4),
+        solver_options_for(Semantics.RUST)), mesh) is not None
+    # The legacy MGP hierarchy stays rows-tier-only.
     with pytest.raises(ValueError, match="rows tier"):
         make_step_shmap_2d(cfd.make_scene(
-            grid, SimulationParams(dt=0.002, viscosity=1e-4),
-            solver_options_for(Semantics.RUST)), mesh)
+            grid, SimulationParams(
+                dt=0.002, viscosity=1e-4,
+                pressure_solver=PressureSolver.MG_PRODUCTION),
+            solver_options_for(Semantics.RUST, mgp_scheme="legacy",
+                               outer_corrector_rounds=0)), mesh)
     with pytest.raises(ValueError, match="JACOBI/SOR/FDM"):
         make_step_shmap_2d(cfd.make_scene(
             grid, SimulationParams(
@@ -826,3 +836,147 @@ def test_step_shmap_2d_shape_fuzz():
                 np.asarray(getattr(ref, f)),
                 np.asarray(getattr(got, f)), rtol=0, atol=1e-6,
                 err_msg=f"trial {trial} {ny}x{nx} {rows}x{cols} {f}")
+
+
+def test_step_shmap_2d_mg_production():
+    """Round 4 (VERDICT r3 item 3): the production projection on the
+    explicit 2-D rows x cols tier. A 256-wide grid keeps the interior
+    above mgp_coarse_stop so the cycle takes the both-axis SHARDED
+    restrict (shard.mg_shmap._aligned_restrict_shard2d), not the
+    small-grid gather fallback; warm starts and the pmax2'd
+    divergence-calibrated floor exit must reproduce the single-device
+    solve (same cycle counts -- max is an exact reduction)."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=256, ny=128, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+    assert min(grid.ny - 2, grid.nx - 2) > opts.mgp_coarse_stop
+
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    got_state, _ = _run_2d(scene, 4)
+    # Same envelope as the rows-tier MGP test: reassociation /
+    # fma-contraction ulps accumulate through the warm-started sweeps.
+    np.testing.assert_allclose(np.asarray(ref_state.u),
+                               np.asarray(got_state.u),
+                               rtol=0, atol=1e-5, err_msg="u")
+    np.testing.assert_allclose(np.asarray(ref_state.v),
+                               np.asarray(got_state.v),
+                               rtol=0, atol=1e-5, err_msg="v")
+    for f in ("p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)),
+            rtol=1e-4, atol=1e-6, err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-3, atol=1e-8), f
+
+
+def test_step_shmap_2d_reference_mode():
+    """Round 4 (VERDICT r3 item 3): the reference-exact Rust semantics
+    (warm-started Jacobi + the model.rs:696-724 outer corrector loop on
+    the pmax2'd residual) on the explicit 2-D rows x cols tier.
+    outer_corrector_tol=0 keeps the trip count deterministic."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
+                              solver_options_for)
+
+    grid = Grid(nx=128, ny=64, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, jacobi_tol=0.0, jacobi_iters=20,
+        outer_corrector_rounds=2, outer_corrector_tol=0.0,
+        early_exit=True, pallas_fuse_k=10)
+    scene = cfd.make_scene(grid, params, opts)
+
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    got_state, _ = _run_2d(scene, 4)
+    for f in ("u", "v", "p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=2e-6,
+            err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-4, atol=1e-8), f
+
+
+def test_step_shmap_2d_mgp_with_rounds():
+    """MG_PRODUCTION inside the Rust outer corrector loop on the 2-D
+    tier: each round re-solves with the dt_sub-scaled tolerance and a
+    warm start. Small grid exercises the gather-fallback correction."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=128, ny=64, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=2,
+        outer_corrector_tol=0.0, early_exit=True,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+
+    ref_state, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())
+    got_state, _ = _run_2d(scene, 3)
+    for f in ("u", "v", "p"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)), rtol=0, atol=1e-5,
+            err_msg=f)
+    for f in ("res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-3, atol=1e-8), f
+
+
+def test_step_shmap_2d_collective_pattern_mgp():
+    """The 2-D MGP step's compiled communication stays pinned: row and
+    column permutes + scalar reductions; its by-design coarse-level
+    agglomeration gathers are allowed but must be at COARSE size (every
+    f32 dim <= the matching grid dim // 2) -- a fine-field gather is a
+    regression."""
+    import re
+
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+    from cfd_demo_tpu.shard.mesh import shard_state_2d
+    from cfd_demo_tpu.shard.step_shmap2d import make_step_shmap_2d
+
+    grid = Grid(nx=256, ny=128, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        mgp_coarse_stop=16)
+    scene = cfd.make_scene(
+        grid, SimulationParams(dt=0.002, viscosity=1e-4,
+                               pressure_solver=PressureSolver.MG_PRODUCTION),
+        opts)
+    mesh = _mesh2d()
+    step = make_step_shmap_2d(scene, mesh, interpret=True, jit=False)
+    s = shard_state_2d(scene.init_state(), mesh)
+    txt = jax.jit(step).lower(s).compile().as_text()
+    for line in txt.splitlines():
+        if "all-gather" not in line:
+            continue
+        dims = [(int(m.group(1)), int(m.group(2))) for m in
+                re.finditer(r"f32\[(\d+),(\d+)\]", line)]
+        assert dims and all(a <= grid.ny // 2 and b <= grid.nx // 2
+                            for a, b in dims), (
+            f"fine-field gather crept in: {line.strip()}")
+    assert txt.count("all-to-all") == 0
+    assert txt.count("collective-permute") > 0
