@@ -185,7 +185,8 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
 
 
 def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
-                k, dx2, dy2, omega, cavity, emit_res):
+                k, dx2, dy2, omega, cavity, emit_res,
+                emit_restrict=False):
     """_kernel variant for the aligned MGP cycle (ops.poisson
     _mgp_vcycle_aligned): k damped BC-folded sweeps PLUS the residual
     r = rhs - A p of the final iterate, emitted in the same launch --
@@ -200,8 +201,22 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     last-sweep delta. emit_res=False (the cycle's POST-smooth
     position, which consumes only the exit metric) skips the full-
     array residual output entirely -- one less HBM write of the whole
-    fine level per cycle."""
-    if emit_res:
+    fine level per cycle.
+
+    emit_restrict (round 4, VERDICT r3 item 1): instead of the full
+    residual, emit the CELL-CENTERED-RESTRICTED residual at half rows
+    -- m[t, c] = 0.5*(fx[2t+1] + fx[2t+2]) with fx = 0.5*(r + east(r))
+    -- so the XLA side of the aligned cycle keeps only ONE strided
+    lane slice (m[:ncy, 1::2], which Mosaic cannot lower but XLA can)
+    instead of interior-slice + restrict_x + restrict_y passes over
+    the full fine level, and the kernel's residual write halves. The
+    expression order matches ops.poisson._cc_restrict exactly (0.5
+    pair averages per axis). The half-row compaction is the sublane
+    deinterleave reshape((w//2, 2, nxp))[:, 1] -- the one strided form
+    this Mosaic lowers (tools/probe_mosaic_r4.py)."""
+    if emit_restrict:
+        res_ref, err_ref, pp_win, rhs_win, m_win, sem = refs
+    elif emit_res:
         res_ref, err_ref, pp_win, rhs_win, sem = refs
     else:
         err_ref, pp_win, rhs_win, sem = refs
@@ -211,10 +226,14 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     # Margin k+1, not k: the fused residual (and the err metric) of an
     # owned edge row reads one ring PAST the k-sweep contamination
     # depth from a wrapped window edge; window edges that coincide with
-    # the global boundary are fold-protected instead.
+    # the global boundary are fold-protected instead. emit_restrict
+    # uses 16-granular starts so out_lo//2 (the half-row output DMA
+    # start) stays a provable multiple of 8; its halo covers the extra
+    # +1 row the y-pairing reads past the owned range.
+    g = 16 if emit_restrict else 8
     start = pl.multiple_of(
-        jnp.clip(((row0 - (k + 1)) // 8) * 8, 0, ny - w), 8)
-    out_lo = pl.multiple_of(row0 - start, 8)
+        jnp.clip(((row0 - (k + 1)) // g) * g, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, g)
 
     cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
                                 sem.at[0])
@@ -285,7 +304,16 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     r = rhs_win[:] - (bx * (E + W) + by * (N + S) - denom * pp)
     r = jnp.where(interior_r & interior_c, r, 0.0)
     err = jnp.max(jnp.where(owned_r, jnp.abs(r), 0.0))
-    if emit_res:
+    if emit_restrict:
+        # x pair average (== _cc_restrict_x on even interior width:
+        # fx[c] = 0.5*(r[c] + r[c+1]), consumed at odd c), then the y
+        # pair average at local-odd rows (start is even, so local-odd
+        # == global-odd == the interior-even pairing of _cc_restrict_y)
+        # compacted to half rows by the sublane deinterleave reshape.
+        fx = 0.5 * (r + east(r))
+        pair = 0.5 * (fx + north(fx))        # pair[l] = .5(fx[l]+fx[l+1])
+        m_win[:] = pair.reshape(w // 2, 2, nxp)[:, 1, :]
+    elif emit_res:
         rhs_win[:] = r
     # p' BCs once per launch (rows then columns, corner order).
     is_bot = gr == 0
@@ -304,7 +332,13 @@ def _kernel_res(pp_hbm, rhs_hbm, out_ref, *refs, ny, nx, nxp, bs, halo,
     out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
                                    out_ref, sem.at[0])
     out_cp.start()
-    if emit_res:
+    if emit_restrict:
+        half_lo = pl.multiple_of(out_lo // 2, 8)
+        res_cp = pltpu.make_async_copy(
+            m_win.at[pl.ds(half_lo, bs // 2), :], res_ref, sem.at[1])
+        res_cp.start()
+        res_cp.wait()
+    elif emit_res:
         res_cp = pltpu.make_async_copy(rhs_win.at[pl.ds(out_lo, bs), :],
                                        res_ref, sem.at[1])
         res_cp.start()
@@ -392,6 +426,339 @@ def jacobi_fused_k_res(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
         if emit_res:
             res = res[:, :nx]
     return out, res, jnp.max(err)
+
+
+def jacobi_fused_k_restrict(pp: jnp.ndarray, rhs: jnp.ndarray, dx: float,
+                            dy: float, omega: float, k: int,
+                            interpret: bool = False,
+                            cavity: bool = False):
+    """K fused damped sweeps + the CELL-CENTERED-RESTRICTED residual in
+    ONE launch (round 4, VERDICT r3 item 1): returns (p', m, max|r|)
+    with m of shape (ny//2, nx-ish) holding the x-paired y-paired
+    residual -- the aligned cycle's first coarse level is then just the
+    strided slice m[:(ny-2)//2, 1::2][:, :(nx-2)//2] (one XLA pass)
+    instead of interior-slice + _cc_restrict_x + _cc_restrict_y over
+    the full fine array, and the kernel writes ny/2 rows instead of ny.
+    Requires even interior dims (ny, nx even) and ny % 16 == 0; raises
+    ValueError when no feasible block exists (callers fall back to the
+    XLA pair)."""
+    ny, nx = pp.shape
+    if ny % 16 != 0 or nx % 2 != 0:
+        raise ValueError(f"emit_restrict needs ny%16==0, nx even; "
+                         f"got {ny}x{nx}")
+    if k > 14:
+        # 16-granular starts pin out_lo to 16: the bottom margin must
+        # cover the k-sweep + residual + pairing reach (k + 2 <= 16).
+        raise ValueError(f"emit_restrict supports k <= 14, got {k}")
+    nxp = -(-nx // 128) * 128
+    halo = -(-(k + 2) // 16) * 16  # 16-granular starts (see _kernel_res)
+
+    def vmem_model(bs):
+        # two halo windows + the half m window + out + m blocks
+        w_ = bs + 2 * halo
+        return (2 * w_ + w_ // 2 + bs + bs // 2) * nxp * 4
+
+    vmem_limit = None
+    budget = 6_815_744
+    bs = 256
+    while bs >= 16 and (ny % bs != 0 or ny < bs + 2 * halo
+                        or vmem_model(bs) > budget):
+        bs //= 2
+    if not interpret and nxp >= 4096:
+        # Large-window mode: same calibrated scoped model as
+        # jacobi_fused_k_res (6 live windows + outputs), with the m
+        # window/block at half size.
+        for cand in (256, 128, 64):
+            if (cand > bs and ny % cand == 0 and ny >= cand + 2 * halo
+                    and (6.5 * (cand + 2 * halo) + 1.5 * cand)
+                    * nxp * 4 <= _LARGE_SCOPED_BUDGET):
+                bs = cand
+                vmem_limit = _LARGE_VMEM_LIMIT
+                break
+    if bs < 16:
+        raise ValueError(f"no valid block size for ny={ny}, k={k}")
+    nblocks = ny // bs
+    w = bs + 2 * halo
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp = jnp.pad(pp, pad)
+        rhs = jnp.pad(rhs, pad)
+    kern = functools.partial(
+        _kernel_res, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity,
+        emit_res=False, emit_restrict=True)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs // 2, nxp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((ny // 2, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.VMEM((w // 2, nxp), pp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs)
+    out, m, err = outs
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, m, jnp.max(err)
+
+
+def _kernel_corr(pp_hbm, rhs_hbm, rowx_hbm, out_ref, err_ref, pmax_ref,
+                 pp_win, rhs_win, rw_win, d_win, corr_win, sem, *, ny,
+                 nx, nxp, bs, halo, k, dx2, dy2, omega, cavity, ncy,
+                 hr):
+    """Round-4 post-smooth fusion (VERDICT r3 item 1): add the
+    coarse-grid correction -- supplied as the HALF-HEIGHT x-prolonged
+    intermediate `rowx` (ops.poisson._cc_prolong_x output, zero-padded
+    one column left so fine col c reads rowx[:, c]) -- then run the k
+    damped BC-folded sweeps and emit p' + the exit metric max|r|.
+    Replaces the XLA y-prolong + pad + add + bc full-fine-level passes
+    of the aligned cycle's correction step.
+
+    The y pass IS _cc_prolong's even case: fine rows (2T+1, 2T+2) =
+    (0.75 row[T] + 0.25 row[T-1 clamp], 0.75 row[T] + 0.25 row[T+1
+    clamp]), built with the sublane interleave (the one Mosaic
+    lowers), shifted one row by a roll so the window extraction DMA
+    start stays 8-aligned, and masked to the interior (the ring ring
+    rows/cols of pad(e_int, 1) are zero). BC-consistency of the input
+    is NOT required after the add: the folded sweeps never read the
+    ring, and the final BC refresh reproduces bc(p + e) exactly
+    (the founding fold equivalence)."""
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    wr = w // 2 + 16
+    row0 = i * bs
+    start = pl.multiple_of(
+        jnp.clip(((row0 - (k + 1)) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+    # Coarse-row window: covers T in [start/2 - 1, start/2 + w/2 - 1]
+    # with 8-aligned slack on both sides.
+    rx = pl.multiple_of(
+        jnp.clip(((start // 2 - 8) // 8) * 8, 0, hr - wr), 8)
+
+    cp1 = pltpu.make_async_copy(pp_hbm.at[pl.ds(start, w), :], pp_win,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(rhs_hbm.at[pl.ds(start, w), :], rhs_win,
+                                sem.at[1])
+    cp3 = pltpu.make_async_copy(rowx_hbm.at[pl.ds(rx, wr), :], rw_win,
+                                sem.at[2])
+    cp1.start()
+    cp2.start()
+    cp3.start()
+    cp1.wait()
+    cp2.wait()
+    cp3.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gc = lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    interior_r = (gr >= 1) & (gr <= ny - 2)
+    interior_c = (gc >= 1) & (gc <= nx - 2)
+    owned_r = interior_r & (gr >= row0) & (gr < row0 + bs)
+
+    # y-prolong of the correction: evr/odr at coarse rows, interleaved
+    # to fine rows, rolled down one row so D2[d] <-> fine row
+    # 2*rx + d, then the (start - 2*rx)-offset window extracted by a
+    # local DMA (8-aligned by construction).
+    gT = rx + lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+    rw = rw_win[:]
+    dnv = jnp.where(gT == 0, rw, pltpu.roll(rw, 1, 0))
+    upv = jnp.where(gT == ncy - 1, rw, pltpu.roll(rw, wr - 1, 0))
+    evr = 0.75 * rw + 0.25 * dnv
+    odr = 0.75 * rw + 0.25 * upv
+    D = jnp.stack([evr, odr], axis=1).reshape(2 * wr, nxp)
+    d_win[:] = pltpu.roll(D, 1, 0)
+    off_d = pl.multiple_of(start - 2 * rx, 8)
+    ext_cp = pltpu.make_async_copy(d_win.at[pl.ds(off_d, w), :],
+                                   corr_win, sem.at[2])
+    ext_cp.start()
+    ext_cp.wait()
+    corr = jnp.where(interior_r & interior_c, corr_win[:], 0.0)
+    pp_win[:] = pp_win[:] + corr
+
+    denom = 2.0 / dx2 + 2.0 / dy2
+    ax = jnp.float32(omega / (dx2 * denom))
+    ay = jnp.float32(omega / (dy2 * denom))
+    ar = jnp.float32(omega / denom)
+    ac = jnp.float32(1.0 - omega)
+    bx = jnp.float32(1.0 / dx2)
+    by = jnp.float32(1.0 / dy2)
+    rhs_s = ar * rhs_win[:]
+
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def east(a):
+        return pltpu.roll(a, nxp - 1, 1)
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    adj_left = gc == 1
+    adj_right = gc == nx - 2
+
+    def folded(pp):
+        E = east(pp)
+        W = west(pp)
+        N = north(pp)
+        S = south(pp)
+        S = jnp.where(adj_bot, pp, S)
+        N = jnp.where(adj_top, pp, N)
+        W = jnp.where(adj_left, pp, W)
+        E = (jnp.where(adj_right, pp, E) if cavity
+             else jnp.where(adj_right, 0.0, E))
+        return E, W, N, S
+
+    def iterate(_, c):
+        pp = pp_win[:]
+        E, W, N, S = folded(pp)
+        pp_win[:] = ax * (E + W) + ay * (N + S) + ac * pp - rhs_s
+        return c
+
+    lax.fori_loop(0, k, iterate, 0)
+    pp = pp_win[:]
+    E, W, N, S = folded(pp)
+    r = rhs_win[:] - (bx * (E + W) + by * (N + S) - denom * pp)
+    err = jnp.max(jnp.where(owned_r & interior_c, jnp.abs(r), 0.0))
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    is_left = gc == 0
+    is_right = gc == nx - 1
+    pp = jnp.where(is_bot, north(pp), pp)
+    pp = jnp.where(is_top, south(pp), pp)
+    pp = jnp.where(is_left, east(pp), pp)
+    if cavity:
+        pp = jnp.where(is_right, west(pp), pp)
+        pp = jnp.where(is_bot & is_left, 0.0, pp)
+    else:
+        pp = jnp.where(is_right, 0.0, pp)
+    pp_win[:] = pp
+    # max|p'| over owned rows (post-BC, real lanes only): feeds the
+    # f32-noise-floor exit (ops.poisson._mgp_noise_floor) for free --
+    # max is an exact reduction, so the per-cycle full-array XLA max
+    # pass this replaces computed the identical value.
+    owned_rows = (gr >= row0) & (gr < row0 + bs)
+    pmax_ref[i, 0] = jnp.max(
+        jnp.where(owned_rows & (gc <= nx - 1), jnp.abs(pp), 0.0))
+    out_cp = pltpu.make_async_copy(pp_win.at[pl.ds(out_lo, bs), :],
+                                   out_ref, sem.at[0])
+    out_cp.start()
+    out_cp.wait()
+    err_ref[i, 0] = err
+
+
+def jacobi_fused_k_corr(pp: jnp.ndarray, rhs: jnp.ndarray,
+                        rowx: jnp.ndarray, dx: float, dy: float,
+                        omega: float, k: int, interpret: bool = False,
+                        cavity: bool = False):
+    """Correction add (y pass in-window from the half-height
+    x-prolonged `rowx`) + K fused damped sweeps + exit metric in ONE
+    launch -- the round-4 post-smooth position of the aligned MGP
+    cycle. ``rowx`` must be (ny//2, >= nx) with _cc_prolong_x's output
+    at columns 1..nx-2 (one zero column left, zero rows beyond the
+    (ny-2)//2 coarse rows). Returns (p', max|r|). Raises ValueError
+    when no feasible block exists (callers fall back to the XLA
+    prolong + add + bc + smooth chain)."""
+    ny, nx = pp.shape
+    if ny % 16 != 0 or nx % 2 != 0:
+        raise ValueError(f"fused corr needs ny%16==0, nx even; "
+                         f"got {ny}x{nx}")
+    nxp = -(-nx // 128) * 128
+    if rowx.shape[0] != ny // 2 or rowx.shape[1] < nx - 1:
+        raise ValueError(f"rowx must be ({ny // 2}, >= {nx - 1}), "
+                         f"got {rowx.shape}")
+    ncy = (ny - 2) // 2
+    hr = ny // 2
+    halo = _halo8(k + 1)
+
+    def vmem_model(bs):
+        w_ = bs + 2 * halo
+        wr_ = w_ // 2 + 16
+        return (2 * w_ + wr_ + 2 * wr_ + w_ + bs) * nxp * 4
+
+    vmem_limit = None
+    budget = 6_815_744
+    bs = 256
+    while bs >= 16 and (ny % bs != 0 or ny < bs + 2 * halo + 32
+                        or vmem_model(bs) > budget):
+        bs //= 2
+    if not interpret and nxp >= 4096:
+        for cand in (256, 128, 64):
+            w_ = cand + 2 * halo
+            # calibrated scoped model: 6 live full windows + the
+            # half-height prolong buffers (rw + D + corr ~ 2.5 w)
+            if (cand > bs and ny % cand == 0 and ny >= w_ + 32
+                    and (8.5 * w_ + cand) * nxp * 4
+                    <= _LARGE_SCOPED_BUDGET):
+                bs = cand
+                vmem_limit = _LARGE_VMEM_LIMIT
+                break
+    if bs < 16:
+        raise ValueError(f"no valid block size for ny={ny}, k={k}")
+    nblocks = ny // bs
+    w = bs + 2 * halo
+    wr = w // 2 + 16
+    if hr < wr:
+        raise ValueError(f"rowx height {hr} < window {wr}")
+    if nxp != nx:
+        pad = ((0, 0), (0, nxp - nx))
+        pp = jnp.pad(pp, pad)
+        rhs = jnp.pad(rhs, pad)
+    if rowx.shape[1] != nxp:
+        if rowx.shape[1] > nxp:
+            raise ValueError("rowx wider than the padded lane width")
+        rowx = jnp.pad(rowx, ((0, 0), (0, nxp - rowx.shape[1])))
+    kern = functools.partial(
+        _kernel_corr, ny=ny, nx=nx, nxp=nxp, bs=bs, halo=halo, k=k,
+        dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity,
+        ncy=ncy, hr=hr)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((bs, nxp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ny, nxp), pp.dtype),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), rhs.dtype),
+            pltpu.VMEM((wr, nxp), pp.dtype),
+            pltpu.VMEM((2 * wr, nxp), pp.dtype),
+            pltpu.VMEM((w, nxp), pp.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(pp, rhs, rowx)
+    out, err, pmax = outs
+    if nxp != nx:
+        out = out[:, :nx]
+    return out, jnp.max(err), jnp.max(pmax)
 
 
 COL_HALO = 128  # lane-tile-aligned column halo for the 2-D tiling

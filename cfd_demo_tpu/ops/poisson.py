@@ -250,6 +250,36 @@ def fixed_linear_adjoint(iter_fn, iters, forward, pp0, rhs, pre=None):
     return solve(pp0, rhs)
 
 
+def _exact_while(sweep, pp0, tol, iters, dynamic_tol=False):
+    """Exact do-while twin of :func:`_masked_while` for UNBATCHED
+    solves: identical fields and trip counts (the masked loop's
+    done-freeze is a no-op when the loop can simply stop), but no
+    per-iteration full-array freeze selects -- at 8192^2 those selects
+    are real HBM passes. Callers must not use this under vmap (the
+    lifted while_loop would re-apply the body to converged batch
+    elements)."""
+    def body(carry):
+        pp, _, _, it = carry
+        if dynamic_tol:
+            pp, err, tol2 = sweep(pp)
+            tol_eff = jnp.maximum(jnp.asarray(tol, err.dtype), tol2)
+        else:
+            pp, err = sweep(pp)
+            tol_eff = jnp.asarray(tol, jnp.result_type(pp))
+        return pp, err, tol_eff, it + 1
+
+    def cond(carry):
+        _, err, tol_eff, it = carry
+        return jnp.logical_or(
+            it == 0, jnp.logical_and(it < iters, err >= tol_eff))
+
+    f32 = pp0.dtype
+    pp, err, _, n = lax.while_loop(
+        cond, body, (pp0, jnp.asarray(jnp.inf, f32),
+                     jnp.asarray(0.0, f32), jnp.asarray(0, jnp.int32)))
+    return pp, err, n
+
+
 def _masked_while(sweep, pp0, tol, iters, dynamic_tol=False,
                   fixed_trip=False):
     """Masked-update convergence loop.
@@ -792,15 +822,11 @@ def _cc_restrict(fine):
     return _cc_restrict_y(_cc_restrict_x(fine))
 
 
-def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
-    """Cell-centered bilinear prolongation (linear interpolation in
-    cell-center coordinates), per-axis inverse of _cc_restrict's
-    even / mirror-pad / aggregate cases. Neumann edges clamp
-    (zero-slope error), the outlet edge interpolates toward the
-    0-valued ghost; west/south mirror-pad columns/rows are cut; an
-    aggregated first coarse cell expands to THREE fine cells with
-    center-coordinate weights (c0, c0, 0.6 c0 + 0.4 c1; the next left
-    child leans 0.8/0.2)."""
+def _cc_prolong_x(coarse, nx_f, east_dirichlet):
+    """The x pass of _cc_prolong: interpolate coarse columns to nx_f
+    fine columns at COARSE rows. Split out so the fused post-smooth
+    kernel (kernels.jacobi_pallas.jacobi_fused_k_corr) can consume the
+    half-height intermediate and run the y pass in-window."""
     ny_c, nx_c = coarse.shape
     _, r, c = _iota_masks(coarse.shape)
     left = jnp.where(c == 0, coarse, shifted(coarse, coarse.shape, 0, -1))
@@ -825,6 +851,20 @@ def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
         odd = 0.75 * coarse + 0.25 * rightn
         row = jnp.stack([even, odd], axis=2).reshape(ny_c, 2 * nx_c)
         row = lax.slice(row, (0, 2 * nx_c - nx_f), (ny_c, 2 * nx_c))
+    return row
+
+
+def _cc_prolong(coarse, ny_f, nx_f, east_dirichlet):
+    """Cell-centered bilinear prolongation (linear interpolation in
+    cell-center coordinates), per-axis inverse of _cc_restrict's
+    even / mirror-pad / aggregate cases. Neumann edges clamp
+    (zero-slope error), the outlet edge interpolates toward the
+    0-valued ghost; west/south mirror-pad columns/rows are cut; an
+    aggregated first coarse cell expands to THREE fine cells with
+    center-coordinate weights (c0, c0, 0.6 c0 + 0.4 c1; the next left
+    child leans 0.8/0.2)."""
+    ny_c, nx_c = coarse.shape
+    row = _cc_prolong_x(coarse, nx_f, east_dirichlet)
     if ny_f == ny_c:  # saturated axis (height 1): identity
         return row
     rr = row_index(row.shape)
@@ -935,12 +975,16 @@ def _mgp_smooth_res_auto(p, rhs, dx, dy, omega, iterations, bc, opts,
 
 def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
     """One aligned V-cycle on the full (slaved-ring) array; returns
-    (p, max|rhs - A p|) -- the exit metric comes from the post-smooth
-    launch for free (fused kernel) or from the same _mg_residual the
-    old separate exit check computed (XLA), so restructuring is
-    value-preserving there. Small interiors (<= mgp_coarse_stop) skip
-    smoothing entirely: the FDM correction solves the interior system
-    exactly, so the first cycle already reaches the f32 floor."""
+    (p, max|rhs - A p|, max|p| or None) -- the exit metric comes from
+    the post-smooth launch for free (fused kernel) or from the same
+    _mg_residual the old separate exit check computed (XLA), so
+    restructuring is value-preserving there. The third element is
+    max|p'| for the f32-noise-floor exit when the fused corr kernel
+    supplied it in-SMEM (an exact reduction: identical to the XLA max
+    pass it replaces), else None. Small interiors (<= mgp_coarse_stop)
+    skip smoothing entirely: the FDM correction solves the interior
+    system exactly, so the first cycle already reaches the f32
+    floor."""
     east_dirichlet = bc is _apply_pprime_bcs
     ny, nx = p.shape
     small = min(ny - 2, nx - 2) <= opts.mgp_coarse_stop
@@ -949,12 +993,51 @@ def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
         r = _mg_residual(p, rhs, dx, dy)
         p = bc(p + _mgp_aligned_correction(r, dx, dy, opts,
                                            east_dirichlet))
-        return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+        return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy))), None
+    # Round 4 (VERDICT r3 item 1, transfer-pass diet): on even-interior
+    # TPU grids the pre-smooth launch also emits the cell-centered-
+    # RESTRICTED residual at half rows (jacobi_fused_k_restrict), so
+    # the XLA side of the first coarsening collapses to one strided
+    # lane slice -- instead of interior-slice + restrict_x + restrict_y
+    # full-fine-level passes -- and the kernel's residual write halves.
+    if (_fused_smoother_ok(p, opts, nu) and ny % 16 == 0
+            and nx % 2 == 0 and nu <= 14):
+        from ..kernels.jacobi_pallas import jacobi_fused_k_restrict
+        try:
+            p2, m, _ = jacobi_fused_k_restrict(
+                p, rhs, dx, dy, omega, nu,
+                cavity=(bc is _apply_pprime_bcs_cavity))
+        except ValueError:
+            p2 = None
+        if p2 is not None:
+            ncy, ncx = (ny - 2) // 2, (nx - 2) // 2
+            r_c = lax.slice(m, (0, 1), (ncy, 2 * ncx), strides=(1, 2))
+            e_c = _cc_vcycle(r_c, 2 * dx, 2 * dy, opts, east_dirichlet,
+                             1.5 * dx)
+            # Post-smooth fusion: the y pass of the final prolongation,
+            # the correction add and the k post-sweeps all run in the
+            # corr kernel's windows (jacobi_fused_k_corr) -- no XLA
+            # pass ever touches the full fine level between the two
+            # smoothing launches.
+            from ..kernels.jacobi_pallas import jacobi_fused_k_corr
+            row = _cc_prolong_x(e_c, nx - 2, east_dirichlet)
+            rowp = jnp.pad(row, ((0, ny // 2 - ncy), (1, 0)))
+            try:
+                return jacobi_fused_k_corr(
+                    p2, rhs, rowp, dx, dy, omega, nu,
+                    cavity=(bc is _apply_pprime_bcs_cavity))
+            except ValueError:
+                pass
+            e_int = _cc_prolong(e_c, ny - 2, nx - 2, east_dirichlet)
+            p = bc(p2 + jnp.pad(e_int, 1))
+            p, _, err = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu,
+                                             bc, opts, need_res=False)
+            return p, err, None
     p, r, _ = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts)
     p = bc(p + _mgp_aligned_correction(r, dx, dy, opts, east_dirichlet))
     p, _, err = _mgp_smooth_res_auto(p, rhs, dx, dy, omega, nu, bc, opts,
                                      need_res=False)
-    return p, err
+    return p, err, None
 
 
 def _mgp_noise_floor(opts, dx, dy, dtype):
@@ -1055,26 +1138,47 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
             cavity=(bc is _apply_pprime_bcs_cavity))
 
     if aligned:
-        def solve_cycle(p):
-            # (p, err) with err from the post-smooth launch (fused
-            # kernel) / the identical _mg_residual values (XLA).
+        def solve_cycle3(p):
+            # (p, err, max|p| or None) with err from the post-smooth
+            # launch (fused kernel) / the identical _mg_residual
+            # values (XLA).
             return _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc)
     else:
-        def solve_cycle(p):
+        def solve_cycle3(p):
             p = _mgp_vcycle(p, rhs, dx, dy, opts, bc)
-            return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy)))
+            return p, jnp.max(jnp.abs(_mg_residual(p, rhs, dx, dy))), None
+
+    # Unbatched non-differentiable solves with early_exit take the
+    # exact do-while (identical fields/trip counts to the masked loop;
+    # no per-cycle full-array freeze selects -- real HBM passes at
+    # 8192^2). vmapped solves keep the masked loop's per-element
+    # freeze semantics.
+    batched = (type(pp0).__name__ == "BatchTracer"
+               or type(rhs).__name__ == "BatchTracer")
+    exact = opts.early_exit and not diff and not batched
 
     floor = _mgp_noise_floor(opts, dx, dy, pp0.dtype)
     if floor is None:
-        return _masked_while(solve_cycle, p0, tol_r, opts.mgp_max_cycles,
+        def cycle(p):
+            p, err, _ = solve_cycle3(p)
+            return p, err
+
+        if exact:
+            return _exact_while(cycle, p0, tol_r, opts.mgp_max_cycles)
+        return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
                              fixed_trip=diff)
 
     rhs_max = jnp.max(jnp.abs(rhs))
 
     def cycle(p):
-        p, err = solve_cycle(p)
-        return p, err, floor(jnp.max(jnp.abs(p)), rhs_max)
+        p, err, pmax = solve_cycle3(p)
+        if pmax is None:
+            pmax = jnp.max(jnp.abs(p))
+        return p, err, floor(pmax, rhs_max)
 
+    if exact:
+        return _exact_while(cycle, p0, tol_r, opts.mgp_max_cycles,
+                            dynamic_tol=True)
     return _masked_while(cycle, p0, tol_r, opts.mgp_max_cycles,
                          dynamic_tol=True, fixed_trip=diff)
 
@@ -1160,7 +1264,7 @@ def _mgp_fixed(pp0, rhs, dx, dy, opts, bc, cycles: int, diff: bool):
 
     def cycle_with(opts_v, p, r):
         if bc_known:
-            return _mgp_vcycle_aligned(p, r, dx, dy, opts_v, bc)
+            return _mgp_vcycle_aligned(p, r, dx, dy, opts_v, bc)[:2]
         p = _mgp_vcycle(p, r, dx, dy, opts_v, bc)
         return p, jnp.max(jnp.abs(_mg_residual(p, r, dx, dy)))
 

@@ -664,3 +664,83 @@ def test_cc_sweeps_kernel_matches_xla_hw():
         np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_got),
                                    rtol=0, atol=max(floor, 1e-3),
                                    err_msg=f"res {ny}x{nx}")
+
+
+def test_fused_restrict_and_corr_match_xla_hw():
+    """Round-4 transfer-fusion kernels on hardware at 2048^2:
+    jacobi_fused_k_restrict (smooth + cell-centered-restricted
+    residual) vs _mgp_smooth + _cc_restrict, and jacobi_fused_k_corr
+    (y-prolong + add + post-smooth + exit metric + max|p|) vs the XLA
+    prolong/add/bc/smooth chain."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.jacobi_pallas import (jacobi_fused_k_corr,
+                                                    jacobi_fused_k_restrict)
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs, _cc_prolong,
+                                          _cc_prolong_x, _cc_restrict,
+                                          _mg_residual, _mgp_smooth)
+    ny = nx = 2048
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(29)
+    pp = _apply_pprime_bcs(
+        jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    p_ref = jax.jit(lambda p, r: _mgp_smooth(p, r, dx, dy, 0.75, 3,
+                                             _apply_pprime_bcs))(pp, rhs)
+    r_ref = _mg_residual(p_ref, rhs, dx, dy)
+    rc_ref = _cc_restrict(r_ref[1:ny - 1, 1:nx - 1])
+    p_got, m, mr = jax.jit(
+        lambda p, r: jacobi_fused_k_restrict(p, r, dx, dy, 0.75, 3))(
+        pp, rhs)
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                               rtol=0, atol=1e-6)
+    ncy, ncx = (ny - 2) // 2, (nx - 2) // 2
+    rc_got = np.asarray(m)[:ncy, 1::2][:, :ncx]
+    tol = 30 * np.finfo(np.float32).eps * (
+        4.0 / dx / dx * float(jnp.max(jnp.abs(p_ref)))
+        + float(jnp.max(jnp.abs(rhs))))
+    np.testing.assert_allclose(np.asarray(rc_ref), rc_got, rtol=0,
+                               atol=tol)
+    assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
+                      rtol=1e-3, atol=tol)
+    # corr kernel: prolonged correction + post-smooth
+    e_c = jnp.asarray(0.05 * rng.standard_normal((ncy, ncx)), jnp.float32)
+    e_int = _cc_prolong(e_c, ny - 2, nx - 2, True)
+    q_ref = _apply_pprime_bcs(pp + jnp.pad(e_int, 1))
+    q_ref = jax.jit(lambda p, r: _mgp_smooth(p, r, dx, dy, 0.75, 3,
+                                             _apply_pprime_bcs))(q_ref, rhs)
+    qr_ref = _mg_residual(q_ref, rhs, dx, dy)
+    row = _cc_prolong_x(e_c, nx - 2, True)
+    rowp = jnp.pad(row, ((0, ny // 2 - ncy), (1, 0)))
+    q_got, qerr, qpmax = jax.jit(
+        lambda p, r, w: jacobi_fused_k_corr(p, r, w, dx, dy, 0.75, 3))(
+        pp, rhs, rowp)
+    np.testing.assert_allclose(np.asarray(q_ref), np.asarray(q_got),
+                               rtol=0, atol=1e-6)
+    assert np.isclose(float(qerr), float(jnp.max(jnp.abs(qr_ref))),
+                      rtol=1e-3, atol=tol)
+    assert float(qpmax) == float(jnp.max(jnp.abs(q_got)))
+
+
+def test_mgp_exact_while_matches_masked_hw():
+    """The round-4 exact do-while exit (ops.poisson._exact_while) must
+    reproduce the masked-loop solve on hardware: same fields, residual
+    and cycle count at a production-shaped 2048^2 MGP solve."""
+    import dataclasses
+    import jax.numpy as jnp
+    from cfd_demo_tpu import Semantics, solver_options_for
+    from cfd_demo_tpu.ops.poisson import multigrid_production
+    ny = nx = 2048
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(31)
+    pp = jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    o_exact = solver_options_for(Semantics.RUST, early_exit=True,
+                                 outer_corrector_rounds=0)
+    o_masked = dataclasses.replace(o_exact, early_exit=False)
+    pa, ea, na = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, o_exact, 10.0))(pp, rhs)
+    pb, eb, nb = jax.jit(lambda p, r: multigrid_production(
+        p, r, dx, dy, o_masked, 10.0))(pp, rhs)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert float(ea) == float(eb)
+    assert int(na) == int(nb)

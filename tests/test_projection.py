@@ -593,3 +593,84 @@ def test_mgp_smooth_auto_falls_back_on_infeasible_blocks(monkeypatch):
                              P._apply_pprime_bcs, opts)
     want = P._mgp_smooth(p, rhs, 0.1, 0.1, 0.75, 3, P._apply_pprime_bcs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_restrict_kernel_matches_xla():
+    """kernels.jacobi_pallas.jacobi_fused_k_restrict (interpret mode,
+    round 4): the smooth + restricted-residual launch must reproduce
+    _mgp_smooth followed by _cc_restrict of the interior residual --
+    the strided slice m[:ncy, 1::2][:, :ncx] equals the XLA coarse
+    level to the residual-cancellation floor, and p' matches the plain
+    fused launch bitwise-close."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs_cavity,
+                                          _cc_restrict, _mgp_smooth)
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k_restrict
+    rng = np.random.default_rng(19)
+    for shape, cavity in (((64, 96), False), ((64, 64), True),
+                          ((48, 150), False)):
+        ny, nx = shape
+        dx, dy = 1.0 / nx, 1.0 / ny
+        bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+        pp = bc(jnp.asarray(0.1 * rng.standard_normal(shape), jnp.float32))
+        rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        p_ref = _mgp_smooth(pp, rhs, dx, dy, 0.75, 3, bc)
+        r_ref = _mg_residual(p_ref, rhs, dx, dy)
+        rc_ref = _cc_restrict(r_ref[1:ny - 1, 1:nx - 1])
+        p_got, m, mr = jacobi_fused_k_restrict(pp, rhs, dx, dy, 0.75, 3,
+                                               interpret=True,
+                                               cavity=cavity)
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                                   rtol=0, atol=1e-6)
+        ncy, ncx = (ny - 2) // 2, (nx - 2) // 2
+        rc_got = np.asarray(m)[:ncy, 1::2][:, :ncx]
+        assert rc_got.shape == rc_ref.shape
+        tol = 30 * np.finfo(np.float32).eps * (
+            (2 / dx ** 2 + 2 / dy ** 2) * float(jnp.max(jnp.abs(p_ref)))
+            + float(jnp.max(jnp.abs(rhs))))
+        np.testing.assert_allclose(np.asarray(rc_ref), rc_got,
+                                   rtol=0, atol=tol)
+        assert np.isclose(float(mr), float(jnp.max(jnp.abs(r_ref))),
+                          rtol=1e-3, atol=tol)
+
+
+def test_fused_corr_kernel_matches_xla():
+    """kernels.jacobi_pallas.jacobi_fused_k_corr (interpret mode,
+    round 4): y-prolong of the half-height x-prolonged correction +
+    add + k damped BC'd sweeps in one launch must reproduce
+    bc(p + pad(_cc_prolong(e_c), 1)) followed by _mgp_smooth, with the
+    exit metric matching max|residual|."""
+    from cfd_demo_tpu.ops.poisson import (_apply_pprime_bcs_cavity,
+                                          _cc_prolong, _cc_prolong_x,
+                                          _mgp_smooth)
+    from cfd_demo_tpu.kernels.jacobi_pallas import jacobi_fused_k_corr
+    rng = np.random.default_rng(23)
+    for shape, cavity in (((64, 96), False), ((64, 64), True),
+                          ((80, 150), False)):
+        ny, nx = shape
+        dx, dy = 1.0 / nx, 1.0 / ny
+        bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+        ed = not cavity
+        pp = bc(jnp.asarray(0.1 * rng.standard_normal(shape), jnp.float32))
+        rhs = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        ncy, ncx = (ny - 2) // 2, (nx - 2) // 2
+        e_c = jnp.asarray(0.05 * rng.standard_normal((ncy, ncx)),
+                          jnp.float32)
+        # XLA reference: full prolong + pad + add + bc + smooth
+        e_int = _cc_prolong(e_c, ny - 2, nx - 2, ed)
+        p_ref = bc(pp + jnp.pad(e_int, 1))
+        p_ref = _mgp_smooth(p_ref, rhs, dx, dy, 0.75, 3, bc)
+        r_ref = _mg_residual(p_ref, rhs, dx, dy)
+        # fused: half-height x-prolonged intermediate into the kernel
+        row = _cc_prolong_x(e_c, nx - 2, ed)
+        rowp = jnp.pad(row, ((0, ny // 2 - ncy), (1, 0)))
+        p_got, err, pmax = jacobi_fused_k_corr(pp, rhs, rowp, dx, dy,
+                                               0.75, 3, interpret=True,
+                                               cavity=cavity)
+        assert float(pmax) == float(jnp.max(jnp.abs(p_got)))
+        np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_got),
+                                   rtol=0, atol=1e-6)
+        tol = 30 * np.finfo(np.float32).eps * (
+            (2 / dx ** 2 + 2 / dy ** 2) * float(jnp.max(jnp.abs(p_ref)))
+            + float(jnp.max(jnp.abs(rhs))))
+        assert np.isclose(float(err), float(jnp.max(jnp.abs(r_ref))),
+                          rtol=1e-3, atol=tol)

@@ -28,6 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="steps per dispatch (lax.scan): amortizes the "
+                         "~15-20 ms axon per-call cost 1/chunk for a "
+                         "TRUE steady ms/step; keep chunk*step_time "
+                         "well under the ~2-min device-time wall")
     args = ap.parse_args()
     n = args.n
 
@@ -39,20 +44,32 @@ def main():
                               outer_corrector_rounds=0,
                               pressure_impl="auto")
     scene = cfd.make_scene(grid, params, opts)
-    step = cfd.make_step(scene, donate=False)
     state = scene.init_state()
     times = []
-    for i in range(args.steps):
-        t0 = time.perf_counter()
-        state, diag = step(state)
-        rp = float(state.res_p)  # forces completion (axon block is a no-op)
-        dt_w = time.perf_counter() - t0
-        times.append(dt_w)
-        print(f"step {i}: {dt_w:.2f}s res_p={rp:.4g}", flush=True)
+    if args.chunk > 1:
+        run = cfd.make_run(scene, args.chunk, donate=False)
+        n_calls = -(-args.steps // args.chunk)
+        for i in range(n_calls):
+            t0 = time.perf_counter()
+            state, diags = run(state)
+            rp = float(state.res_p)
+            dt_w = time.perf_counter() - t0
+            times.append(dt_w / args.chunk)
+            print(f"call {i} ({args.chunk} steps): {dt_w:.2f}s "
+                  f"res_p={rp:.4g}", flush=True)
+    else:
+        step = cfd.make_step(scene, donate=False)
+        for i in range(args.steps):
+            t0 = time.perf_counter()
+            state, diag = step(state)
+            rp = float(state.res_p)  # forces completion (axon block is a no-op)
+            dt_w = time.perf_counter() - t0
+            times.append(dt_w)
+            print(f"step {i}: {dt_w:.2f}s res_p={rp:.4g}", flush=True)
     warm = times[max(3, len(times) // 3):] or times[-1:]
     best = sorted(warm)[:max(1, len(warm) // 2)]
     msstep = 1e3 * sum(best) / len(best)
-    print(f"steady ms/step ~{msstep:.0f}, cups {n * n / (msstep / 1e3):.3g}")
+    print(f"steady ms/step ~{msstep:.1f}, cups {n * n / (msstep / 1e3):.3g}")
     print("finite:", np.isfinite(np.asarray(state.u)).all())
 
 
