@@ -148,17 +148,30 @@ def _kernel(pp_hbm, rhs_hbm, out_ref, err_ref, pp_win, rhs_win, sem,
     # selects are provably no-ops and the sweep loop drops them
     # (~7% off the 50-iteration solve at 2048^2, docs/PERF.md). The
     # final (error-reporting) iteration keeps the full form; its cost
-    # is amortized 1/k.
+    # is amortized 1/k. Two iterations per loop trip (round 4): the
+    # halved loop-carried control overhead measured +4.5% on the
+    # 8192^2 solve (tools/probe_fastmode_r4.py), flat at 16384^2;
+    # op count and value sequence are unchanged (bitwise-identical
+    # fields).
     inner_rows = jnp.logical_and(start >= 2, start + w <= ny - 2)
+    trips, rem = (k - 1) // 2, (k - 1) % 2
 
     @pl.when(inner_rows)
     def _():
-        lax.fori_loop(0, k - 1,
-                      lambda _, c: (iterate(False, fold_rows=False), c)[1], 0)
+        lax.fori_loop(0, trips,
+                      lambda _, c: (iterate(False, fold_rows=False),
+                                    iterate(False, fold_rows=False), c)[2],
+                      0)
+        for _i in range(rem):
+            iterate(False, fold_rows=False)
 
     @pl.when(jnp.logical_not(inner_rows))
     def _():
-        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+        lax.fori_loop(0, trips,
+                      lambda _, c: (iterate(False), iterate(False), c)[2],
+                      0)
+        for _i in range(rem):
+            iterate(False)
 
     err = iterate(True)
     # p' BCs once per launch, rows then columns (corner order matters).

@@ -685,3 +685,316 @@ def sor_pallas(pp0, rhs, dx, dy, omega, tol, iters, k=5,
                               cavity=cavity)
         n_run = n_run + rem
     return pp, err, n_run
+
+
+# ---------------------------------------------------------------------------
+# Color-compressed red/black kernel (round 4, VERDICT r3 item 4).
+#
+# The uncompressed kernel pays 8 full-width rolls per iteration (4 per
+# color half-sweep) although each half only UPDATES half the cells and
+# only READS the other color. Storing the two colors as separate
+# half-width arrays -- PR[j, t] = p[j, 2t + (j&1)] (red, (r+c) even),
+# PB[j, t] = p[j, 2t + 1 - (j&1)] -- turns every neighbor access into
+# the OTHER color's array at lane offset {-1, 0, +1} selected by row
+# parity: 2 half-width lane rolls + 2 half-width sublane rolls per
+# half-sweep, i.e. HALF the roll volume and half the fma width of the
+# uncompressed form. Compression/decompression are two XLA passes each,
+# paid once per launch chain (strided lane slices are XLA-legal; Mosaic
+# cannot lower them, which is why the compression lives outside).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_rb2(pr_hbm, pb_hbm, rr_hbm, rb_hbm, pr_out, pb_out, err_ref,
+                pr_win, pb_win, rr_win, rb_win, sem,
+                *, ny, nx, nxc, nxcp, bs, halo, k, dx2, dy2, omega,
+                cavity):
+    i = pl.program_id(0)
+    w = bs + 2 * halo
+    row0 = i * bs
+    # two validity rings per iteration, like the uncompressed kernel
+    start = pl.multiple_of(
+        jnp.clip(((row0 - 2 * k) // 8) * 8, 0, ny - w), 8)
+    out_lo = pl.multiple_of(row0 - start, 8)
+
+    cps = [pltpu.make_async_copy(h.at[pl.ds(start, w), :], wdw, sem.at[j])
+           for j, (h, wdw) in enumerate(
+               ((pr_hbm, pr_win), (pb_hbm, pb_win),
+                (rr_hbm, rr_win), (rb_hbm, rb_win)))]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    gr = start + lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    gt = lax.broadcasted_iota(jnp.int32, (1, nxcp), 1)
+    rodd = gr % 2 == 1
+    interior_r = (gr >= 1) & (gr <= ny - 2)
+    owned_r = interior_r & (gr >= row0) & (gr < row0 + bs)
+    # red global col = 2t + (j&1); black = 2t + 1 - (j&1). Interior
+    # column windows per color follow from 1 <= col <= nx - 2 (nx
+    # even): red odd rows t <= nxc-2, even rows t >= 1; black mirrored.
+    reven = jnp.logical_not(rodd)
+    red_c = (rodd & (gt <= nxc - 2)) | (reven & (gt >= 1))
+    black_c = (rodd & (gt >= 1)) | (reven & (gt <= nxc - 2))
+    in_c = gt <= nxc - 1
+    adj_bot = gr == 1
+    adj_top = gr == ny - 2
+    is_bot = gr == 0
+    is_top = gr == ny - 1
+    denom = 2.0 / dx2 + 2.0 / dy2
+    bx = jnp.float32(1.0 / (dx2 * denom))
+    by = jnp.float32(1.0 / (dy2 * denom))
+    br = jnp.float32(1.0 / denom)
+    om = jnp.float32(omega)
+    rr_win[:] = br * rr_win[:]
+    rb_win[:] = br * rb_win[:]
+
+    def west(a):
+        return pltpu.roll(a, 1, 1)
+
+    def east(a):
+        return pltpu.roll(a, nxcp - 1, 1)
+
+    def north(a):
+        return pltpu.roll(a, w - 1, 0)
+
+    def south(a):
+        return pltpu.roll(a, 1, 0)
+
+    def half(upd, oth, rhs_s, own_mask, w_fold_odd, e_fold_even,
+             fold_rows):
+        """One color half-sweep: ``upd`` is the color being updated
+        (reads itself only through the boundary folds), ``oth`` the
+        other color's current window. w_fold_odd: the global-col-1
+        fold lands on (odd row, t=0) for red and (even row, t=0) for
+        black; e_fold_even mirrors for global col nx-2."""
+        W = jnp.where(rodd, oth if w_fold_odd else west(oth),
+                      west(oth) if w_fold_odd else oth)
+        E = jnp.where(rodd, east(oth) if w_fold_odd else oth,
+                      oth if w_fold_odd else east(oth))
+        N = north(oth)
+        S = south(oth)
+        if fold_rows:
+            S = jnp.where(adj_bot, upd, S)
+            N = jnp.where(adj_top, upd, N)
+        wf = rodd if w_fold_odd else jnp.logical_not(rodd)
+        W = jnp.where(wf & (gt == 0), upd, W)
+        ef = jnp.logical_not(rodd) if e_fold_even else rodd
+        E = (jnp.where(ef & (gt == nxc - 1), upd, E) if cavity
+             else jnp.where(ef & (gt == nxc - 1), 0.0, E))
+        update = bx * (E + W) + by * (N + S) - rhs_s
+        new = (1.0 - om) * upd + om * update
+        return jnp.where(interior_r & own_mask, new, upd)
+
+    def iterate(want_err, fold_rows=True):
+        pr_old = pr_win[:]
+        pb_old = pb_win[:]
+        # red reads black: W at PB[t-1] on EVEN rows (w_fold odd-row
+        # t=0); E at PB[t+1] on ODD rows; outlet-adjacent red is the
+        # (even row, t=nxc-1) cell.
+        pr = half(pr_old, pb_old, rr_win[:], red_c,
+                  w_fold_odd=True, e_fold_even=True, fold_rows=fold_rows)
+        pr_win[:] = pr
+        # black reads UPDATED red: W at PR[t-1] on ODD rows; E at
+        # PR[t+1] on EVEN rows; outlet-adjacent black is (odd, nxc-1).
+        pb = half(pb_old, pr, rb_win[:], black_c,
+                  w_fold_odd=False, e_fold_even=False,
+                  fold_rows=fold_rows)
+        pb_win[:] = pb
+        if not want_err:
+            return jnp.float32(0.0)
+        d = jnp.maximum(
+            jnp.max(jnp.where(owned_r & in_c, jnp.abs(pr - pr_old), 0.0)),
+            jnp.max(jnp.where(owned_r & in_c, jnp.abs(pb - pb_old), 0.0)))
+        return d
+
+    inner_rows = jnp.logical_and(start >= 2, start + w <= ny - 2)
+
+    @pl.when(inner_rows)
+    def _():
+        lax.fori_loop(0, k - 1,
+                      lambda _, c: (iterate(False, fold_rows=False), c)[1],
+                      0)
+
+    @pl.when(jnp.logical_not(inner_rows))
+    def _():
+        lax.fori_loop(0, k - 1, lambda _, c: (iterate(False), c)[1], 0)
+
+    err = iterate(True)
+    # BCs once per launch in compressed coordinates (rows, then col 0,
+    # then the outlet/east treatment, then the cavity gauge pin --
+    # exactly _apply_pprime_bcs[_cavity]'s write order). Row writes
+    # swap colors (rows 0/1 have opposite parity at equal t).
+    pr = pr_win[:]
+    pb = pb_win[:]
+    prn = jnp.where(is_bot, north(pb), pr)
+    pbn = jnp.where(is_bot, north(pr), pb)
+    prn = jnp.where(is_top, south(pb), prn)
+    pbn = jnp.where(is_top, south(pr), pbn)
+    # col 0 <- col 1: even rows write PR[.,0] from PB[.,0]; odd rows
+    # write PB[.,0] from PR[.,0] (both sources are global col 1).
+    pr2 = jnp.where(jnp.logical_not(rodd) & (gt == 0), pbn, prn)
+    pb2 = jnp.where(rodd & (gt == 0), prn, pbn)
+    if cavity:
+        # col nx-1 <- col nx-2 (same lane t=nxc-1, opposite color).
+        pb3 = jnp.where(jnp.logical_not(rodd) & (gt == nxc - 1), pr2, pb2)
+        pr3 = jnp.where(rodd & (gt == nxc - 1), pb2, pr2)
+        pr3 = jnp.where(is_bot & (gt == 0), 0.0, pr3)  # gauge pin (0,0)
+    else:
+        pb3 = jnp.where(jnp.logical_not(rodd) & (gt == nxc - 1), 0.0, pb2)
+        pr3 = jnp.where(rodd & (gt == nxc - 1), 0.0, pr2)
+    pr_win[:] = pr3
+    pb_win[:] = pb3
+    cp1 = pltpu.make_async_copy(pr_win.at[pl.ds(out_lo, bs), :], pr_out,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(pb_win.at[pl.ds(out_lo, bs), :], pb_out,
+                                sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+    err_ref[i, 0] = err
+
+
+def sor_compress(x):
+    """(ny, nx even) -> (red, black) half-width arrays:
+    red[j, t] = x[j, 2t + (j&1)], black[j, t] = x[j, 2t + 1 - (j&1)].
+    XLA-side (strided lane slices are not Mosaic-lowerable)."""
+    ny, nx = x.shape
+    a, b = x[:, 0::2], x[:, 1::2]
+    rodd = lax.broadcasted_iota(jnp.int32, (ny, 1), 0) % 2 == 1
+    return jnp.where(rodd, b, a), jnp.where(rodd, a, b)
+
+
+def sor_decompress(xr, xb):
+    """Inverse of sor_compress."""
+    ny, nxc = xr.shape
+    rodd = lax.broadcasted_iota(jnp.int32, (ny, 1), 0) % 2 == 1
+    even_c = jnp.where(rodd, xb, xr)
+    odd_c = jnp.where(rodd, xr, xb)
+    return jnp.stack([even_c, odd_c], axis=2).reshape(ny, 2 * nxc)
+
+
+def _tile_rb2(ny: int, nxcp: int, k: int, interpret: bool):
+    """(bs, halo, vmem_limit) for the compressed kernel's full-width
+    1-D row blocks, or None. Scoped model: 4 half-width windows + ~6
+    half-width half-sweep temporaries + 2 out blocks."""
+    halo = _halo8(2 * k)
+
+    def scoped(bs, h=None):
+        h = halo if h is None else h
+        return (10 * (bs + 2 * h) + 2 * bs) * nxcp * 4
+
+    if ny % 8 == 0 and scoped(ny, 0) <= _LIMIT:
+        # whole-array window: edges are domain edges, no halo needed
+        return ny, 0, None
+    for bs in (256, 128, 64, 32, 16, 8):
+        if ny % bs == 0 and ny >= bs + 2 * halo:
+            if scoped(bs) <= _LIMIT:
+                return bs, halo, None
+            if not interpret and nxcp >= 2048:
+                from .jacobi_pallas import (_LARGE_SCOPED_BUDGET,
+                                            _LARGE_VMEM_LIMIT)
+                if scoped(bs) <= _LARGE_SCOPED_BUDGET:
+                    return bs, halo, _LARGE_VMEM_LIMIT
+    return None
+
+
+def sor_rb2_ok(ny: int, nx: int, k: int, interpret: bool = False) -> bool:
+    return (ny % 8 == 0 and nx % 2 == 0
+            and _tile_rb2(ny, -(-(nx // 2) // 128) * 128, k,
+                          interpret) is not None)
+
+
+def sor_fused_k_rb2(pr, pb, rr, rb, nx, dx, dy, omega, k,
+                    interpret=False, cavity=False):
+    """K fused red/black iterations on color-compressed arrays.
+    Returns (pr', pb', last max err)."""
+    ny, nxc = pr.shape
+    nxcp = -(-nxc // 128) * 128
+    tile = _tile_rb2(ny, nxcp, k, interpret)
+    if tile is None:
+        raise ValueError(f"no rb2 tiling for ny={ny}, k={k}")
+    bs, halo, vmem_limit = tile
+    if nxcp != nxc:
+        pad = ((0, 0), (0, nxcp - nxc))
+        pr, pb = jnp.pad(pr, pad), jnp.pad(pb, pad)
+        rr, rb = jnp.pad(rr, pad), jnp.pad(rb, pad)
+    nblocks = ny // bs
+    w = bs + 2 * halo
+    kern = functools.partial(
+        _kernel_rb2, ny=ny, nx=nx, nxc=nxc, nxcp=nxcp, bs=bs, halo=halo,
+        k=k, dx2=dx * dx, dy2=dy * dy, omega=omega, cavity=cavity)
+    from .jacobi_pallas import _compiler_params
+    field = pl.BlockSpec((bs, nxcp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((ny, nxcp), pr.dtype)
+    pr2, pb2, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        compiler_params=_compiler_params(vmem_limit),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[field, field,
+                   pl.BlockSpec((nblocks, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[fshape, fshape,
+                   jax.ShapeDtypeStruct((nblocks, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((w, nxcp), pr.dtype)] * 4 + [
+            pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+    )(pr, pb, rr, rb)
+    if nxcp != nxc:
+        pr2, pb2 = pr2[:, :nxc], pb2[:, :nxc]
+    return pr2, pb2, jnp.max(err)
+
+
+def sor_pallas_rb2(pp0, rhs, dx, dy, omega, tol, iters, k=5,
+                   early_exit=True, interpret=False, cavity=False):
+    """ops.poisson.sor through the color-compressed launch chain:
+    compress once, iters//k fused launches (+ remainder) with the
+    K-granularity convergence check, decompress once. Returns
+    (p', last err, iterations)."""
+    ny, nx = pp0.shape
+    pr, pb = sor_compress(pp0)
+    rr, rb = sor_compress(rhs)
+    n_full = iters // k
+    rem = iters % k
+    step = functools.partial(sor_fused_k_rb2, rr=rr, rb=rb, nx=nx,
+                             dx=dx, dy=dy, omega=omega, k=k,
+                             interpret=interpret, cavity=cavity)
+
+    if early_exit and tol > 0.0 and n_full > 0:
+        def cond(carry):
+            _, _, err, it = carry
+            return jnp.logical_and(it < n_full, err >= tol)
+
+        def body(carry):
+            pr, pb, _, it = carry
+            pr, pb, err = step(pr, pb)
+            return pr, pb, err, it + 1
+
+        pr, pb, err, it = lax.while_loop(
+            cond, body,
+            (pr, pb, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        n_run = it * k
+    elif n_full > 0:
+        def body(carry, _):
+            pr, pb, _ = carry
+            pr, pb, err = step(pr, pb)
+            return (pr, pb, err), None
+
+        (pr, pb, err), _ = lax.scan(
+            body, (pr, pb, jnp.asarray(jnp.inf, jnp.float32)),
+            None, length=n_full)
+        n_run = jnp.asarray(n_full * k, jnp.int32)
+    else:
+        err = jnp.asarray(jnp.inf, jnp.float32)
+        n_run = jnp.asarray(0, jnp.int32)
+
+    if rem:
+        pr, pb, err = sor_fused_k_rb2(pr, pb, rr, rb, nx, dx, dy,
+                                      omega, rem, interpret=interpret,
+                                      cavity=cavity)
+        n_run = n_run + rem
+    return sor_decompress(pr, pb), err, n_run

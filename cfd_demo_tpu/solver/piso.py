@@ -426,15 +426,37 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
                                  or opts.jacobi_tol == 0.0) else "jnp")
         if impl == "pallas" and _pallas_ok(scene, rhs):
             from ..core.config import FlowCase
-            from ..kernels.sor_pallas import sor_pallas, sor_pallas_ok
+            from ..kernels.sor_pallas import (sor_pallas, sor_pallas_ok,
+                                              sor_pallas_rb2, sor_rb2_ok)
+            cavity = scene.params.flow_case == FlowCase.CAVITY
             k = max(resolve_fuse_k(opts, g) // 2, 1)  # halo spans 2k rows
+            # Round 4: the color-compressed launch chain (half-width
+            # per-color arrays -> half the roll volume per iteration)
+            # measured 1.3-1.9x the uncompressed kernel at every size
+            # probed >= 2M cells (tools/probe_sor_rb2.py); compression
+            # is two XLA passes per solve, so small grids keep the
+            # uncompressed single-array form. Auto k from the measured
+            # ladder (/tmp-protocol in docs/PERF.md round 4): k=25 (two
+            # launches at 50 iters) wins up to 8192 lanes, k=12 at
+            # 16384 where the 2k-row halo on bs=128 blocks turns over;
+            # an explicit pallas_fuse_k keeps the halved-k convention.
+            # (2048 lanes measured launch-latency-bound: k=25 LOST
+            # 2.8 -> 3.7 ms/step there, so small widths keep the
+            # halved-k convention.)
+            k_rb2 = k if opts.pallas_fuse_k else (
+                12 if g.nx >= 16384 else 25 if g.nx >= 4096 else k)
+            if g.nx * g.ny >= 2_000_000 and sor_rb2_ok(g.ny, g.nx, k_rb2):
+                return sor_pallas_rb2(pp0, rhs, g.dx, g.dy,
+                                      opts.sor_omega, opts.jacobi_tol,
+                                      opts.jacobi_iters, k=k_rb2,
+                                      early_exit=opts.early_exit,
+                                      cavity=cavity)
             if sor_pallas_ok(g.ny, g.nx, k, opts.pallas_block_rows):
                 return sor_pallas(pp0, rhs, g.dx, g.dy, opts.sor_omega,
                                   opts.jacobi_tol, opts.jacobi_iters, k=k,
                                   block_rows=opts.pallas_block_rows,
                                   early_exit=opts.early_exit,
-                                  cavity=(scene.params.flow_case
-                                          == FlowCase.CAVITY))
+                                  cavity=cavity)
         return sor(pp0, rhs, g.dx, g.dy, opts.sor_omega,
                    opts.jacobi_tol, opts.jacobi_iters,
                    early_exit=opts.early_exit, bc=bc,

@@ -744,3 +744,30 @@ def test_mgp_exact_while_matches_masked_hw():
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     assert float(ea) == float(eb)
     assert int(na) == int(nb)
+
+
+def test_sor_rb2_matches_uncompressed_hw():
+    """Round-4 color-compressed SOR chain on hardware at 2048^2: same
+    fields as the uncompressed fused kernel (identical multiplier
+    arithmetic per cell, ~1 ulp reassociation envelope) and the same
+    launch-granularity error metric."""
+    import jax.numpy as jnp
+    from cfd_demo_tpu.kernels.sor_pallas import sor_pallas, sor_pallas_rb2
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs
+    ny = nx = 2048
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(37)
+    pp = _apply_pprime_bcs(
+        jnp.asarray(0.1 * rng.standard_normal((ny, nx)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: sor_pallas(p, r, dx, dy, 1.5, 0.0, 10, k=5,
+                                early_exit=False))(pp, rhs)
+    got, err, n_got = jax.jit(
+        lambda p, r: sor_pallas_rb2(p, r, dx, dy, 1.5, 0.0, 10, k=5,
+                                    early_exit=False))(pp, rhs)
+    assert int(n_got) == int(n_ref) == 10
+    atol = 1e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-3, atol=1e-7)

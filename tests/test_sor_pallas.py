@@ -109,3 +109,42 @@ def test_sor_pallas_remainder_and_exact_count():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=atol)
     assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+
+
+def test_sor_rb2_compress_roundtrip():
+    """sor_compress/sor_decompress are exact inverses (the color-split
+    layout: red[j,t] = p[j, 2t+(j&1)])."""
+    from cfd_demo_tpu.kernels.sor_pallas import sor_compress, sor_decompress
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((24, 40)), jnp.float32)
+    r, b = sor_compress(x)
+    np.testing.assert_array_equal(np.asarray(sor_decompress(r, b)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("cavity", [False, True])
+def test_sor_rb2_matches_jnp(cavity):
+    """The round-4 color-compressed launch chain (sor_pallas_rb2: half
+    the roll volume per iteration) must reproduce ops.poisson.sor --
+    same red-then-black ordering, folds and per-launch BC refresh as
+    the uncompressed kernel."""
+    from cfd_demo_tpu.ops.poisson import _apply_pprime_bcs_cavity
+    from cfd_demo_tpu.kernels.sor_pallas import sor_pallas_rb2
+    n = 48 if cavity else 64
+    dx, dy = 1.0 / n, 1.0 / 32
+    bc = _apply_pprime_bcs_cavity if cavity else _apply_pprime_bcs
+    rng = np.random.default_rng(9)
+    pp = bc(jnp.asarray(rng.standard_normal((32, n)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, n)), jnp.float32)
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.6, 0.0, 13, early_exit=False,
+                         bc=bc))(pp, rhs)
+    got, err, n_got = jax.jit(
+        lambda p, r: sor_pallas_rb2(p, r, dx, dy, 1.6, 0.0, 13, k=5,
+                                    early_exit=False, interpret=True,
+                                    cavity=cavity))(pp, rhs)
+    assert int(n_got) == 13 == int(n_ref)
+    atol = 1e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
