@@ -34,7 +34,8 @@ def main():
                          "chip)")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--mode",
-                    choices=["fast", "reference", "production", "fdm"],
+                    choices=["fast", "reference", "production", "fdm",
+                             "sor"],
                     default="fast",
                     help="fast: fixed 50-iter Jacobi, 1 substep (deterministic "
                          "cost); reference: full Rust semantics incl. outer "
@@ -101,6 +102,18 @@ def main():
                                   outer_corrector_rounds=0,
                                   pressure_impl=args.impl,
                                   pallas_fuse_k=args.fuse_k)
+    elif args.mode == "sor":
+        # fixed 50-iteration red/black SOR schedule (the fast-mode
+        # shape on the JS-twin solver family; round 4 routes >= 2M
+        # cells through the color-compressed kernel chain)
+        from cfd_demo_tpu import PressureSolver
+        params = SimulationParams(dt=0.002, viscosity=1e-4,
+                                  pressure_solver=PressureSolver.SOR)
+        opts = solver_options_for(
+            Semantics.RUST, ramp_up_steps=10,
+            jacobi_tol=0.0, jacobi_iters=50, outer_corrector_rounds=0,
+            early_exit=False, pressure_impl=args.impl,
+            pallas_fuse_k=args.fuse_k)
     else:
         opts = solver_options_for(Semantics.RUST, ramp_up_steps=10,
                                   pressure_impl=args.impl,

@@ -82,6 +82,31 @@ def probe_bf16_roll() -> dict:
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
+def probe_strided_lane() -> dict:
+    """Toolchain probe (round 4): can Mosaic lower a strided LANE read
+    (x[:, 1::2])? Currently blocked -- it gates in-kernel x-restrict/
+    x-prolong and the in-kernel SOR color compression (docs/PERF.md
+    items 20-21); re-checked every round like the bf16 roll."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:][:, 1::2]
+
+    x = jnp.ones((8, 256), jnp.float32)
+    try:
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
+        return {"strided_lane_read": "UNBLOCKED",
+                "value": float(out[0, 0]),
+                "note": "revisit in-kernel x-restrict/x-prolong and "
+                        "in-kernel SOR color compression"}
+    except Exception as e:  # noqa: BLE001
+        return {"strided_lane_read": "blocked",
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def check_regressions(benches: dict, prev: dict) -> list:
     """Perf-regression tripwire (VERDICT r3 item 5): diff every bench
     metric against the PREVIOUS evidence file and flag >5% drops.
@@ -128,6 +153,9 @@ def main():
     print("bf16 probe...", flush=True)
     evidence["bf16_probe"] = probe_bf16_roll()
     print(evidence["bf16_probe"], flush=True)
+    print("strided-lane probe...", flush=True)
+    evidence["strided_lane_probe"] = probe_strided_lane()
+    print(evidence["strided_lane_probe"], flush=True)
     print("pallas hardware suite...", flush=True)
     evidence["test_pallas_tpu"] = run_pallas_suite()
     print(evidence["test_pallas_tpu"], flush=True)
@@ -135,9 +163,15 @@ def main():
     # steps=0: bench.py auto-scales so device work dominates the fixed
     # ~20-30 ms axon call cost (at 512^2, 200 steps were still ~40%
     # tunnel overhead and the metric under-reported the chip by ~2x).
+    # 8192^2 rows (round 4): the scale-out size all three solver
+    # families now clear or approach 1e9 at; auto-steps = 100 -> one
+    # ~4-6 s scan dispatch, far under the axon device-time wall.
     for n, mode, steps in ((512, "fast", 0), (2048, "fast", 0),
                            (2048, "reference", 30),
-                           (2048, "production", 200)):
+                           (2048, "production", 200),
+                           (8192, "fast", 0),
+                           (8192, "production", 0),
+                           (8192, "sor", 0)):
         key = f"{n}_{mode}"
         print(f"bench {key}...", flush=True)
         benches[key] = run_bench(n, mode, steps)
