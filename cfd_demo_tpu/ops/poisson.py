@@ -33,6 +33,11 @@ from jax import lax
 from .stencil import col_index, row_index, shifted
 from .stencil import iota_masks as _iota_masks
 
+try:  # internal but stable; the public alias is deprecation-gated
+    from jax._src.interpreters.batching import BatchTracer as _BatchTracer
+except ImportError:  # pragma: no cover - fall back to a name compare
+    _BatchTracer = ()
+
 
 def _apply_pprime_bcs(pp: jnp.ndarray) -> jnp.ndarray:
     """model.rs:807-815 / index.html:820-827: rows first, then columns
@@ -1153,7 +1158,9 @@ def multigrid_production(pp0: jnp.ndarray, rhs: jnp.ndarray,
     # no per-cycle full-array freeze selects -- real HBM passes at
     # 8192^2). vmapped solves keep the masked loop's per-element
     # freeze semantics.
-    batched = (type(pp0).__name__ == "BatchTracer"
+    batched = (isinstance(pp0, _BatchTracer)
+               or isinstance(rhs, _BatchTracer)
+               or type(pp0).__name__ == "BatchTracer"
                or type(rhs).__name__ == "BatchTracer")
     exact = opts.early_exit and not diff and not batched
 
@@ -1228,6 +1235,19 @@ def mgp_implicit_adjoint(pp0: jnp.ndarray, rhs: jnp.ndarray, dx: float,
         ext = lambda e: bc(jnp.pad(e, 1))
         w_int = jax.linear_transpose(ext, spec)(ct_p)[0]
         w_full = jnp.pad(w_int, 1)
+        if bc is _apply_pprime_bcs_cavity:
+            # All-Neumann interior operator is singular with a constant
+            # nullspace; range(A) = mean-free interiors. Project the
+            # cotangent there so the backward iteration cannot drift
+            # along the nullspace (its limit would otherwise depend on
+            # the solver schedule). Subtracting the mean realizes the
+            # pseudo-inverse exactly: A^+ annihilates the nullspace
+            # component of the cotangent, so lam = A^+ w is what the
+            # forward's A^+ (cavity gauge) transposes to.
+            interior0, _, _ = _iota_masks(w_full.shape)
+            n_int = jnp.sum(interior0.astype(w_full.dtype))
+            mean = jnp.sum(jnp.where(interior0, w_full, 0.0)) / n_int
+            w_full = jnp.where(interior0, w_full - mean, 0.0)
         # A^T = A: solve A lam = E^T ct with the same machinery, from a
         # zero start, to the f32 noise floor (tol 0 + opts.mgp_floor) or
         # the cycle cap -- the gradient analog of "solved exactly".

@@ -558,6 +558,16 @@ def mgp_shard_body_2d(pp0_loc: jnp.ndarray, rhs_loc: jnp.ndarray,
         return p_loc, pmax2(jnp.max(jnp.abs(r_loc)))
 
     p0 = _bc_shard2d(pp0_loc, gny, gnx, yaxis, xaxis, cavity)
+    fixed_cycles = getattr(opts, "mgp_fixed_cycles", 0)
+    if fixed_cycles > 0:
+        # Deterministic fixed schedule (ops.poisson._mgp_fixed twin,
+        # ADVICE r4): exactly ``cycles`` V-cycles, no adaptive exits,
+        # so the 2-D tier matches single-device fields for this config
+        # instead of silently running the masked adaptive loop.
+        p_loc, err = p0, jnp.zeros((), p0.dtype)
+        for _ in range(fixed_cycles):
+            p_loc, err = cycle(p_loc)
+        return p_loc, err
     if getattr(opts, "mgp_rtol", 0.0) > 0.0:
         r0 = _residual_shard2d(p0, rhs_loc, gny, gnx, dx, dy,
                                yaxis, xaxis)

@@ -443,7 +443,16 @@ def _solve_pressure(scene: Scene, pp0, rhs, dt_sub=None):
             # (2048 lanes measured launch-latency-bound: k=25 LOST
             # 2.8 -> 3.7 ms/step there, so small widths keep the
             # halved-k convention.)
-            k_rb2 = k if opts.pallas_fuse_k else (
+            # ADVICE r4: the big auto-k values coarsen the convergence-
+            # check granularity (a solve converging at iteration ~5
+            # would still run 25), changing n_run/fields in the
+            # more-converged direction for ADAPTIVE solves. Keep the
+            # halved-k convention whenever the tolerance exit is live
+            # (early_exit with jacobi_tol > 0) and reserve 25/12 for
+            # the fixed-schedule tol=0 path where only launch count
+            # matters.
+            adaptive = opts.early_exit and opts.jacobi_tol > 0.0
+            k_rb2 = k if (opts.pallas_fuse_k or adaptive) else (
                 12 if g.nx >= 16384 else 25 if g.nx >= 4096 else k)
             if g.nx * g.ny >= 2_000_000 and sor_rb2_ok(g.ny, g.nx, k_rb2):
                 return sor_pallas_rb2(pp0, rhs, g.dx, g.dy,

@@ -403,6 +403,16 @@ def test_mgp_implicit_adjoint_cavity_grad_finite():
     g = jax.jit(jax.grad(loss))(rhs)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0.0
+    # FD-consistency (ADVICE r4): with the backward cotangent projected
+    # onto range(A), the gradient must match a directional FD, not just
+    # be finite. Mean-free direction keeps the perturbed rhs compatible.
+    d = jnp.asarray(rng.standard_normal(rhs.shape), jnp.float32)
+    d = d - jnp.mean(d)
+    eps = 1e-3
+    loss_j = jax.jit(loss)
+    fd = (float(loss_j(rhs + eps * d)) - float(loss_j(rhs - eps * d))) / (2 * eps)
+    got = float(jnp.vdot(g, d))
+    assert np.isclose(got, fd, rtol=5e-3, atol=1e-6), (got, fd)
 
 
 @pytest.mark.parametrize("solver,over", [

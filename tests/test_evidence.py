@@ -54,3 +54,43 @@ def test_env_skip(evidence_mod, monkeypatch):
     prev = _prev({"2048_fast": 2.0e9})
     now = {"2048_fast": {"value": 1.0e9}}
     assert evidence_mod.check_regressions(now, prev) == []
+
+
+def test_baseline_sticks_after_flag(evidence_mod):
+    """ADVICE r4: a flagged regression must NOT become the accepted
+    baseline -- the comparison stays pinned to the last clean pass
+    (prev['baseline_bench'] wins over prev['bench'])."""
+    prev = {"head": "abc123",
+            "bench": {"2048_fast": {"value": 1.7e9}},        # flagged run
+            "baseline_bench": {"2048_fast": {"value": 2.0e9}}}  # clean bar
+    # Recovered to 4% under the CLEAN bar: still flagged (vs the 1.7e9
+    # last-run value it would pass).
+    now = {"2048_fast": {"value": 1.8e9}}
+    regs = evidence_mod.check_regressions(now, prev)
+    assert len(regs) == 1 and regs[0]["prev"] == 2.0e9
+    # Fully recovered: clean.
+    assert evidence_mod.check_regressions(
+        {"2048_fast": {"value": 1.96e9}}, prev) == []
+
+
+@pytest.fixture()
+def head_mod():
+    spec = importlib.util.spec_from_file_location(
+        "check_evidence_head", os.path.join(ROOT, "tools",
+                                            "check_evidence_head.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_docs_only_classifier(head_mod):
+    """The round-close gate's stale-evidence classifier: docs and round
+    artifacts do not invalidate a run; code/tests/bench do."""
+    for p in ("STATUS.md", "docs/PERF.md", "docs/sub/deep.md",
+              "BENCH_r05.json", "MULTICHIP_r05.json", "PROGRESS.jsonl",
+              "COPYCHECK.json", "out/plot.png"):
+        assert head_mod.is_docs_only(p), p
+    for p in ("cfd_demo_tpu/ops/poisson.py", "tests/test_shmap.py",
+              "bench.py", "tools/hardware_evidence.py", "native/geom.cpp",
+              "__graft_entry__.py", "pyproject.toml"):
+        assert not head_mod.is_docs_only(p), p

@@ -881,6 +881,41 @@ def test_step_shmap_2d_mg_production():
                           rtol=1e-3, atol=1e-8), f
 
 
+def test_step_shmap_2d_mgp_fixed_cycles():
+    """ADVICE r4: opts.mgp_fixed_cycles on the 2-D tier must run the
+    deterministic fixed schedule (ops.poisson._mgp_fixed twin), not the
+    adaptive masked loop — fields equal single-device for that config."""
+    import cfd_demo_tpu as cfd
+    from cfd_demo_tpu import (Cylinder, Grid, PressureSolver, Semantics,
+                              SimulationParams, solver_options_for)
+
+    grid = Grid(nx=256, ny=128, lx=8.0, ly=4.0,
+                obstacles=(Cylinder(2.0, 2.0, 0.5),))
+    params = SimulationParams(dt=0.002, viscosity=1e-4,
+                              pressure_solver=PressureSolver.MG_PRODUCTION)
+    opts = solver_options_for(
+        Semantics.RUST, ramp_up_steps=5, outer_corrector_rounds=0,
+        mgp_fixed_cycles=3,
+        pressure_impl="jnp", substep_impl="jnp")
+    scene = cfd.make_scene(grid, params, opts)
+
+    ref_state, _ = cfd.make_run(scene, 4, donate=False)(scene.init_state())
+    got_state, _ = _run_2d(scene, 4)
+    for f in ("u", "v"):
+        np.testing.assert_allclose(np.asarray(getattr(ref_state, f)),
+                                   np.asarray(getattr(got_state, f)),
+                                   rtol=0, atol=1e-5, err_msg=f)
+    for f in ("p", "p_prime"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref_state, f)),
+            np.asarray(getattr(got_state, f)),
+            rtol=1e-4, atol=1e-6, err_msg=f)
+    for f in ("res_u", "res_v", "res_p", "dt", "t"):
+        assert np.isclose(float(getattr(ref_state, f)),
+                          float(getattr(got_state, f)),
+                          rtol=1e-3, atol=1e-8), f
+
+
 def test_step_shmap_2d_reference_mode():
     """Round 4 (VERDICT r3 item 3): the reference-exact Rust semantics
     (warm-started Jacobi + the model.rs:696-724 outer corrector loop on

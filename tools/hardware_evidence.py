@@ -83,10 +83,22 @@ def probe_bf16_roll() -> dict:
 
 
 def probe_strided_lane() -> dict:
-    """Toolchain probe (round 4): can Mosaic lower a strided LANE read
-    (x[:, 1::2])? Currently blocked -- it gates in-kernel x-restrict/
+    """Toolchain probe (round 4, hardened round 5): can Mosaic lower a
+    strided LANE read (x[:, 1::2])? It gates in-kernel x-restrict/
     x-prolong and the in-kernel SOR color compression (docs/PERF.md
-    items 20-21); re-checked every round like the bf16 roll."""
+    items 20-21); re-checked every round like the bf16 roll.
+
+    Round 5 (VERDICT r4 item 4): the kernel body is first validated
+    under ``interpret=True`` (probe bugs must not masquerade as
+    toolchain limits), and a failure only classifies as "blocked" when
+    the traceback originates in the Mosaic lowering/compile path.
+    Probed formulations and their round-5 verdicts (tools/ probe run,
+    2026-08-21): gather form x[:, 1::2] -> ValueError in
+    _gather_lowering_rule (lowering.py); lax.slice strides=(1,2) ->
+    VerificationError; lane reshape (8,128,2)[:, :, 1] -> MosaicError
+    (remote compile 500). All three are lowering-path rejections."""
+    import traceback
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -94,17 +106,33 @@ def probe_strided_lane() -> dict:
     def k(x_ref, o_ref):
         o_ref[:] = x_ref[:][:, 1::2]
 
-    x = jnp.ones((8, 256), jnp.float32)
+    x = jnp.arange(8 * 256, dtype=jnp.float32).reshape(8, 256)
+    spec = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    try:  # self-check: the body itself must be shape-consistent
+        ref = pl.pallas_call(k, out_shape=spec, interpret=True)(x)
+        import numpy as np
+        assert np.array_equal(np.asarray(ref), np.asarray(x)[:, 1::2])
+    except Exception as e:  # noqa: BLE001 - the PROBE is broken
+        return {"strided_lane_read": "probe_bug",
+                "error": f"interpret-mode failure: "
+                         f"{type(e).__name__}: {str(e)[:200]}"}
     try:
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))(x)
+        out = pl.pallas_call(k, out_shape=spec)(x)
+        if float(out[0, 0]) != 1.0:
+            return {"strided_lane_read": "probe_bug",
+                    "error": f"wrong value {float(out[0, 0])} != 1.0"}
         return {"strided_lane_read": "UNBLOCKED",
                 "value": float(out[0, 0]),
                 "note": "revisit in-kernel x-restrict/x-prolong and "
                         "in-kernel SOR color compression"}
     except Exception as e:  # noqa: BLE001
-        return {"strided_lane_read": "blocked",
-                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        tb = "".join(traceback.format_exception(e))
+        lowering = ("pallas/mosaic" in tb or "Mosaic" in type(e).__name__
+                    or "mosaic" in str(e).lower())
+        verdict = "blocked" if lowering else "probe_bug"
+        return {"strided_lane_read": verdict,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+                "lowering_path": lowering}
 
 
 def check_regressions(benches: dict, prev: dict) -> list:
@@ -119,7 +147,13 @@ def check_regressions(benches: dict, prev: dict) -> list:
     if os.environ.get("CFD_EVIDENCE_BASELINE") == "skip":
         return []
     out = []
-    prev_bench = (prev or {}).get("bench", {})
+    # ADVICE r4: compare against the last CLEAN pass's numbers
+    # (baseline_bench), not the last pass's -- a flagged drop must be
+    # investigated (or explicitly skipped) before it becomes the
+    # comparison point, and repeated <5%-per-round drift accumulates
+    # against the clean baseline instead of resetting every round.
+    prev_bench = ((prev or {}).get("baseline_bench")
+                  or (prev or {}).get("bench", {}))
     for key, cur in benches.items():
         old = prev_bench.get(key, {})
         ov, nv = old.get("value"), cur.get("value")
@@ -135,6 +169,21 @@ def check_regressions(benches: dict, prev: dict) -> list:
 def main():
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                           capture_output=True, text=True).stdout.strip()
+    # VERDICT r4 item 1: the evidence gate is only meaningful when the
+    # recorded head IS the tree being measured. Refuse to run on a
+    # dirty repo (HARDWARE_EVIDENCE.json itself excepted -- this tool
+    # overwrites it) unless explicitly overridden for local debugging.
+    dirty = [ln for ln in subprocess.run(
+        ["git", "status", "--porcelain"], cwd=ROOT,
+        capture_output=True, text=True).stdout.splitlines()
+        if ln.strip() and not ln.endswith("HARDWARE_EVIDENCE.json")]
+    if dirty and os.environ.get("CFD_EVIDENCE_ALLOW_DIRTY") != "1":
+        print("hardware_evidence: repo dirty at launch -- commit first "
+              "so the evidence head matches the measured tree "
+              "(CFD_EVIDENCE_ALLOW_DIRTY=1 to override):", flush=True)
+        for ln in dirty[:20]:
+            print(" ", ln, flush=True)
+        return 2
     import jax
     prev = {}
     path = os.path.join(ROOT, "HARDWARE_EVIDENCE.json")
@@ -182,6 +231,26 @@ def main():
     if regressions:
         print(f"PERF REGRESSION vs previous evidence: {regressions}",
               flush=True)
+    # ADVICE r4: the stored comparison baseline only refreshes on a
+    # CLEAN pass (or an explicit CFD_EVIDENCE_BASELINE=skip override);
+    # a flagged regression keeps the last clean numbers as the bar.
+    prev_baseline = (prev.get("baseline_bench") or prev.get("bench")
+                     or {})
+    evidence["baseline_bench"] = (
+        {k: {"value": v["value"]} for k, v in benches.items()
+         if v.get("value")} if not regressions else prev_baseline)
+    # Drift watch (informational): per-metric all-time best; a >10%
+    # shortfall vs best is printed but does not fail ok (day-to-day
+    # variance vs an all-time-best day is wider than the 5% band).
+    best = dict(prev.get("best_bench") or {})
+    for k, v in benches.items():
+        if v.get("value"):
+            best[k] = max(best.get(k, 0.0), v["value"])
+    evidence["best_bench"] = best
+    for k, v in benches.items():
+        if v.get("value") and best.get(k) and v["value"] < 0.9 * best[k]:
+            print(f"DRIFT WATCH: {k} {v['value']:.3g} is >10% below "
+                  f"all-time best {best[k]:.3g}", flush=True)
     ok = (evidence["test_pallas_tpu"]["rc"] == 0
           and all(b.get("rc") == 0 for b in benches.values())
           and not regressions)
