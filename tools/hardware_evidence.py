@@ -215,12 +215,18 @@ def main():
     # 8192^2 rows (round 4): the scale-out size all three solver
     # families now clear or approach 1e9 at; auto-steps = 100 -> one
     # ~4-6 s scan dispatch, far under the axon device-time wall.
+    # 16384^2 production/sor rows (round 5, VERDICT r4 item 2): the
+    # largest-size closings are tripwired like the 8192^2 ones; auto
+    # steps = 100 -> ~27 s scan dispatches, far under the device-time
+    # wall.
     for n, mode, steps in ((512, "fast", 0), (2048, "fast", 0),
                            (2048, "reference", 30),
                            (2048, "production", 200),
                            (8192, "fast", 0),
                            (8192, "production", 0),
-                           (8192, "sor", 0)):
+                           (8192, "sor", 0),
+                           (16384, "production", 0),
+                           (16384, "sor", 0)):
         key = f"{n}_{mode}"
         print(f"bench {key}...", flush=True)
         benches[key] = run_bench(n, mode, steps)
