@@ -782,7 +782,14 @@ def test_step_shmap_2d_default_rust_production_size_hw():
     through make_step_shmap_2d on a 1x1 device mesh at 2048^2 with the
     REAL Pallas kernels inside the shard bodies, and asserts the fields
     match the plain single-device step -- proving the tier composes
-    correctly at real size, not just at test shapes."""
+    correctly at real size, not just at test shapes.
+
+    pallas_fuse_k is pinned to 10 (a divisor of the default 50
+    jacobi_iters): the plain path's auto k=16 and the tier's
+    divisibility-constrained k=10 would otherwise check the DEFAULT
+    adaptive tolerance exit at different launch granularities --
+    different legitimate iteration counts, not a composition bug
+    (the same pinning the CPU-mesh reference-mode test uses)."""
     import cfd_demo_tpu as cfd
     from cfd_demo_tpu import (Cylinder, Grid, Semantics, SimulationParams,
                               solver_options_for)
@@ -795,7 +802,7 @@ def test_step_shmap_2d_default_rust_production_size_hw():
     grid = Grid(nx=n, ny=n, lx=30.0, ly=30.0,
                 obstacles=(Cylinder(7.5, 15.0, 0.75),))
     params = SimulationParams(dt=0.002, viscosity=1e-4)
-    opts = solver_options_for(Semantics.RUST)  # true defaults
+    opts = solver_options_for(Semantics.RUST, pallas_fuse_k=10)
     scene = cfd.make_scene(grid, params, opts)
 
     ref_state, _ = cfd.make_run(scene, 3, donate=False)(scene.init_state())

@@ -40,7 +40,11 @@ sys.path.insert(0, ROOT)
 import numpy as np  # noqa: E402
 
 BS, NL = 512, 1024          # 2 MB f32 block, VMEM-resident
-T = 512                     # chained block-ops per launch
+T = 8192                    # chained block-ops per launch
+# (512-op launches measured 100-500 us -- same order as the
+# axon per-call jitter; the first probe pass returned negative
+# marginal rates. 8192-op launches run 2-30 ms, putting the
+# 10-launch L-delta 2-3 orders above the jitter.)
 L_SHORT, L_LONG = 2, 12
 
 
@@ -114,58 +118,84 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     print("backend:", jax.default_backend(), flush=True)
-    adj = lax.broadcasted_iota(jnp.int32, (1, NL), 1) == 1
+
+    def adj():
+        # built in-kernel (captured constants are rejected by pallas)
+        return lax.broadcasted_iota(jnp.int32, (1, NL), 1) == 1
 
     rates = {}
-    rates["fma"] = measure("fma", lambda x, y: 1.0000001 * x + y)
+    rates["fma"] = measure("fma", lambda x, y: 0.999 * x + y)
     rates["add"] = measure("add", lambda x, y: x + y)
+    rates["mul"] = measure("mul", lambda x, y: x * y)
     rates["lane_roll"] = measure(
         "lane_roll", lambda x, y: pltpu.roll(x, 1, 1))
     rates["sublane_roll"] = measure(
         "sublane_roll", lambda x, y: pltpu.roll(x, 1, 0))
     rates["select"] = measure(
-        "select", lambda x, y: jnp.where(adj, y, x))
+        "select", lambda x, y: jnp.where(adj(), y, x))
 
     # cross-check: one full sweep-iteration body (the real op mix,
     # minus windowing/DMA) -- composed floor should predict this
     def sweep(x, y):
+        a = adj()
         E = pltpu.roll(x, NL - 1, 1)
         W = pltpu.roll(x, 1, 1)
         N = pltpu.roll(x, BS - 1, 0)
         S = pltpu.roll(x, 1, 0)
-        W = jnp.where(adj, x, W)
-        E = jnp.where(adj, 0.0, E)
+        W = jnp.where(a, x, W)
+        E = jnp.where(a, 0.0, E)
         return 0.2499 * (E + W) + 0.2499 * (N + S) + 0.0001 * x - y
     rates["sweep_iter"] = measure("sweep_iter", sweep)
 
-    # ALU composition of the update: 2 add + 1 mul + 2 fma + 1 sub,
-    # counting mul/sub at the fma rate (same issue slot).
-    alu_t = 6.0 / rates["fma"]
-    t_floor = (2.0 / rates["lane_roll"] + 2.0 / rates["sublane_roll"]
-               + 2.0 / rates["select"] + alu_t)
-    pred_sweep = 1.0 / t_floor
-    meas_sweep = rates["sweep_iter"]
-    print(f"\ncomposed floor {pred_sweep / 1e9:.1f} G cell-iters/s vs "
-          f"measured single-block sweep {meas_sweep / 1e9:.1f} G "
-          f"({meas_sweep / pred_sweep:.2f}x of composition)", flush=True)
+    # ANALYSIS (round-5 finding): the single-op chains are VMEM-
+    # BANDWIDTH bound, not ALU bound -- each fori trip round-trips the
+    # 2 MB block through VMEM for ONE vector op (~0.4-0.5 T elem-ops/s
+    # ~ 3 TB/s of VMEM traffic), so composing a floor from them
+    # under-predicts any multi-op kernel (the 14-op sweep body pays
+    # the same per-trip VMEM round-trip ONCE). The honest machine
+    # ceiling for the fused sweep is therefore the sweep_iter
+    # microbench itself: the full per-iteration op mix on a
+    # VMEM-resident block with NO windowing, DMA, halos or error
+    # reduction. A solve cannot beat it without changing the op mix
+    # (item 22: already minimal) or the data format (bf16: blocked).
+    ceiling = rates["sweep_iter"]
+    print(f"\nin-kernel sweep ceiling: {ceiling / 1e9:.1f} G "
+          f"cell-iters/s (VMEM-resident, zero windowing)", flush=True)
 
-    # solve-level comparison (docs/PERF.md item 22 measurements)
+    # solve-level utilization (docs/PERF.md item 22 measurements):
+    # window redundancy converts the solve's owned-cell rate into the
+    # window-cell rate the kernel actually sustains.
     solves = {
-        "8192^2 (red 1.06, 23.29 ms/48it)": (8192 * 8192, 48, 23.29e-3, 1.06),
-        "16384^2 (red 1.25, 102.9 ms/48it)": (16384 * 16384, 48, 102.9e-3,
-                                              1.25),
+        "8192^2": (8192 * 8192, 48, 23.29e-3, 1.06),
+        "16384^2": (16384 * 16384, 48, 102.9e-3, 1.25),
     }
     out = {"rates": {k: v for k, v in rates.items()},
-           "floor_cell_iters_per_s": pred_sweep}
+           "sweep_ceiling_cell_iters_per_s": ceiling}
     for tag, (cells, iters, secs, red) in solves.items():
         meas = cells * iters / secs
-        floor_ms = cells * iters * red * t_floor * 1e3
-        pct = 100.0 * floor_ms / (secs * 1e3)
-        print(f"{tag}: measured {meas / 1e9:.0f} G cell-iters/s; "
-              f"roofline floor {floor_ms:.1f} ms vs measured "
-              f"{secs * 1e3:.1f} ms -> at {pct:.0f}% of floor", flush=True)
-        out[tag] = {"measured_ms": secs * 1e3, "floor_ms": floor_ms,
-                    "pct_of_floor": pct}
+        util = meas * red / ceiling
+        print(f"{tag}: measured {meas / 1e9:.0f} G owned cell-iters/s "
+              f"x {red} window redundancy = {meas * red / 1e9:.0f} G "
+              f"window rate -> {100 * util:.0f}% of ceiling", flush=True)
+        out[tag] = {"measured_ms": secs * 1e3, "redundancy": red,
+                    "pct_of_ceiling": round(100 * util, 1)}
+
+    # Bar feasibility: end-to-end fast-step bars (1.8e9 @ 8192^2,
+    # 1.7e9 @ 16384^2) against the ceiling, using the measured
+    # non-solve step remainder.
+    bars = {"8192^2": (8192, 1.8e9, 40.4e-3 - 24.3e-3, 1.06),
+            "16384^2": (16384, 1.7e9, 179.6e-3 - 107.2e-3, 1.25)}
+    for tag, (n, bar, nonsolve, red) in bars.items():
+        step_needed = n * n / bar
+        solve_budget = step_needed - nonsolve
+        need = n * n * 50 * red / solve_budget if solve_budget > 0 else float("inf")
+        verdict = "UNREACHABLE" if need > ceiling else "reachable"
+        print(f"bar {bar / 1e9:.1f}e9 @ {tag}: solve budget "
+              f"{solve_budget * 1e3:.1f} ms -> needs {need / 1e9:.0f} G "
+              f"window rate vs {ceiling / 1e9:.0f} G ceiling: {verdict}",
+              flush=True)
+        out[f"bar_{tag}"] = {"needed_window_rate": need,
+                             "ceiling": ceiling, "verdict": verdict}
     with open("/tmp/roofline_r5.json", "w") as f:
         json.dump(out, f, indent=1)
     print("DONE", flush=True)
