@@ -859,7 +859,14 @@ def _kernel_rb2(pr_hbm, pb_hbm, rr_hbm, rb_hbm, pr_out, pb_out, err_ref,
 def sor_compress(x):
     """(ny, nx even) -> (red, black) half-width arrays:
     red[j, t] = x[j, 2t + (j&1)], black[j, t] = x[j, 2t + 1 - (j&1)].
-    XLA-side (strided lane slices are not Mosaic-lowerable)."""
+    XLA-side (strided lane slices are not Mosaic-lowerable).
+
+    Round 5 NOTE: the pair-reshape minor-index form (docs/PERF.md
+    item 29) is 5x faster as an ISOLATED extraction but was tried
+    here and REGRESSED the 16384^2 SOR step 1.06e9 -> 0.47e9: in
+    this context XLA fuses the strided gathers into the two
+    where-selects, while the reshape materializes a relayout of the
+    full array. Context decides -- measure before switching forms."""
     ny, nx = x.shape
     a, b = x[:, 0::2], x[:, 1::2]
     rodd = lax.broadcasted_iota(jnp.int32, (ny, 1), 0) % 2 == 1

@@ -791,18 +791,29 @@ def _cc_coarse_size(m: int) -> int:
     return (m + 1) // 2 if ((m + 1) // 2) % 2 == 0 else m // 2
 
 
+def _pair_lanes(f):
+    """(f[:, 0::2], f[:, 1::2]) via the pair reshape. Round 5: XLA
+    lowers the lane-STRIDED slice pathologically on TPU -- 24.1 ms
+    for one (8192, 16384) extraction vs 4.7 ms for the
+    reshape-minor-index form (tools/probe_r5.py mgp3, docs/PERF.md
+    item 29); values are identical element-for-element."""
+    p = f.reshape(f.shape[0], f.shape[1] // 2, 2)
+    return p[:, :, 0], p[:, :, 1]
+
+
 def _cc_restrict_x(f):
     """Cell-centered averaging restriction along x with the odd-size
     rule of _cc_coarse_size. Column-local (shared bitwise with the
     row-sharded tier, shard.mg_shmap)."""
     nx = f.shape[1]
     if nx % 2 == 0:
-        return 0.5 * (f[:, 0::2] + f[:, 1::2])
+        a, b = _pair_lanes(f)
+        return 0.5 * (a + b)
     if _cc_coarse_size(nx) == (nx + 1) // 2:  # mirror-pad west
-        f = jnp.concatenate([f[:, :1], f], axis=1)
-        return 0.5 * (f[:, 0::2] + f[:, 1::2])
-    g = f[:, 1:]                               # aggregate west
-    t = 0.5 * (g[:, 0::2] + g[:, 1::2])
+        a, b = _pair_lanes(jnp.concatenate([f[:, :1], f], axis=1))
+        return 0.5 * (a + b)
+    a, b = _pair_lanes(f[:, 1:])               # aggregate west
+    t = 0.5 * (a + b)
     first = (f[:, :1] + f[:, 1:2] + f[:, 2:3]) / 3.0
     return jnp.where(col_index(t.shape) == 0, first, t)
 
@@ -1016,7 +1027,12 @@ def _mgp_vcycle_aligned(p, rhs, dx, dy, opts, bc):
             p2 = None
         if p2 is not None:
             ncy, ncx = (ny - 2) // 2, (nx - 2) // 2
-            r_c = lax.slice(m, (0, 1), (ncy, 2 * ncx), strides=(1, 2))
+            # Round 5: the strided lane slice m[:ncy, 1::2] measured
+            # 24.1 ms at 16384^2 (~10x its HBM floor) -- the pair
+            # reshape + minor index extracts the same odd lanes in
+            # 4.7 ms (tools/probe_r5.py mgp3; values identical).
+            hr, w_m = m.shape
+            r_c = m.reshape(hr, w_m // 2, 2)[:ncy, :ncx, 1]
             e_c = _cc_vcycle(r_c, 2 * dx, 2 * dy, opts, east_dirichlet,
                              1.5 * dx)
             # Post-smooth fusion: the y pass of the final prolongation,

@@ -184,6 +184,98 @@ def mgp_section():
     print("DONE", flush=True)
 
 
+def mgp2_section():
+    """Coarse-chain attribution at N=16384 fine (first coarse level
+    8191^2): the r5 first pass measured vcycle 88.45 = restrict 19.96
+    + corr 33.18 + ~35.3 coarse+glue BY SUBTRACTION (the direct coarse
+    probe hit HTTP 413: closure arrays bake into the HLO). This
+    section passes everything as scan carries instead."""
+    import jax
+    import jax.numpy as jnp
+    from cfd_demo_tpu import Semantics, solver_options_for
+    from cfd_demo_tpu.ops import poisson as P
+
+    print("backend:", jax.default_backend(), "N:", N, flush=True)
+    opts = solver_options_for(Semantics.RUST, outer_corrector_rounds=0)
+    dx = dy = 30.0 / N
+    ncy = ncx = (N - 2) // 2
+    rng = np.random.default_rng(0)
+    rc = jnp.asarray(rng.standard_normal((ncy, ncx)), jnp.float32)
+    dxc, dwc = 2 * dx, 1.5 * dx
+    omega, nu = opts.jacobi_omega, opts.mgp_smooth
+    results = {}
+
+    results["cc_vcycle_full"] = timed(
+        "_cc_vcycle @ 8191^2 (whole chain)",
+        lambda c, r: P._cc_vcycle(c, dxc, dxc, opts, True, dwc), rc, rc)
+    results["cc_sweeps_pre"] = timed(
+        "_cc_sweeps_res_auto pre (nu sweeps + residual, incl. pads)",
+        lambda c, r: P._cc_sweeps_res_auto(
+            jnp.zeros_like(c), c, dxc, dxc, omega, nu, True, dwc, opts,
+            need_res=True)[1], rc, rc)
+    results["cc_sweeps_post"] = timed(
+        "_cc_sweeps_res_auto post (no residual)",
+        lambda c, r: P._cc_sweeps_res_auto(
+            c, r, dxc, dxc, omega, nu, True, dwc, opts,
+            need_res=False)[0], rc, rc)
+    # XLA transfers at this level (restrict consumes the residual;
+    # prolong produces the correction) -- each keeps the carry shape
+    # with one extra full-level pass (add), noted in interpretation.
+    results["cc_restrict"] = timed(
+        "_cc_restrict + carry add",
+        lambda c, r: c + P._cc_restrict(c)[0, 0], rc, rc)
+    e_small = rc[:P._cc_coarse_size(ncy), :P._cc_coarse_size(ncx)]
+
+    def prol(c, r):
+        e = P._cc_prolong(c[:e_small.shape[0], :e_small.shape[1]],
+                          ncy, ncx, True)
+        return c + e
+    results["cc_prolong"] = timed("_cc_prolong + carry add", prol,
+                                  rc, rc)
+    with open("/tmp/probe_r5_mgp2.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("DONE", flush=True)
+
+
+def mgp3_section():
+    """The fine-level coarsening slice at 16384^2: vcycle(88.45) minus
+    measured parts (restrict 19.96 + corr-side 33.18 + cc_vcycle
+    22.47) leaves ~12.8 ms for ONE strided lane slice
+    r_c = lax.slice(m, (0,1), (ncy, 2ncx), strides=(1,2)) on the
+    (8192, 16384) restricted residual -- ~10x its HBM floor. Probe
+    alternative extraction forms (all share a +1 full-pass carry
+    overhead)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    print("backend:", jax.default_backend(), "N:", N, flush=True)
+    hr, nxp = N // 2, N
+    ncy = ncx = (N - 2) // 2
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.standard_normal((hr, nxp)) * 0.1, jnp.float32)
+
+    def via(tag, f):
+        return timed(tag, lambda c, r: c + f(c)[0, 0], m, m)
+
+    results = {}
+    results["strided_slice"] = via(
+        "lax.slice strides (1,2) [current]",
+        lambda c: lax.slice(c, (0, 1), (ncy, 2 * ncx), strides=(1, 2)))
+    results["reshape_index"] = via(
+        "reshape (hr, nxp//2, 2)[..., 1] + row/col slice",
+        lambda c: c.reshape(hr, nxp // 2, 2)[:ncy, :ncx, 1])
+    results["gather_1_2"] = via(
+        "x[:, 1::2] numpy-style",
+        lambda c: c[:ncy, 1::2][:, :ncx])
+    results["dynslice_pair"] = via(
+        "shift-add mask form (roll + even-lane reshape)",
+        lambda c: (c + 0.0).reshape(hr, nxp // 2, 2)[:, :, 1][:ncy, :ncx])
+    with open("/tmp/probe_r5_mgp3.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("DONE", flush=True)
+
+
 if __name__ == "__main__":
     sec = sys.argv[1] if len(sys.argv) > 1 else "sor"
-    {"sor": sor_section, "mgp": mgp_section}[sec]()
+    {"sor": sor_section, "mgp": mgp_section, "mgp2": mgp2_section, "mgp3": mgp3_section}[sec]()
